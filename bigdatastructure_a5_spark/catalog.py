@@ -1,0 +1,119 @@
+"""Table catalog: load the driver's parquet fixtures and register views.
+
+The reference's ``DatabaseModel`` is a dict of collections built from JSON
+schema/stats files (`/root/reference/main.py:126-134`,
+`/root/reference/challenge/loader.py:149-182`).  Here a "database" is a set of
+DataFrames registered as temp views; statistics come from the data itself
+(Parquet footers + optional ANALYZE), not from a stats.json.
+
+Scale note: each table is a plain ``spark.read.parquet`` — on a cluster this
+is a distributed columnar scan with predicate pushdown and column pruning for
+free, replacing the reference's whole-document scan cost model
+(`challenge/simulator.py:69-70`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: canonical table names produced by the driver (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = _read_parquet_nanos_safe(spark, table_path(sf_dir, name))
+    return df
+
+
+def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, tolerating TIMESTAMP(NANOS) columns Spark 4 rejects.
+
+    Spark has no nanosecond timestamp type (TimestampType is microseconds);
+    files with INT64 TIMESTAMP(NANOS) (e.g. the events fixture, pandas default)
+    raise PARQUET_TYPE_ILLEGAL.  Fallback: read nanos as LongType via the
+    legacy conf, then convert with integer division — ``ts DIV 1000`` — NOT
+    double division, which silently corrupts epoch-nanos (~1.7e18 exceeds
+    a double's 53-bit mantissa, drifting the result by hundreds of ns).
+    Truncating division matches how DuckDB/Arrow cast ns->us.
+    """
+    from pyspark.sql import functions as F
+
+    nanos_cols = _nanos_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    # left set for the session: execution of the (lazy) scan below re-reads
+    # the conf, and it only affects nanos-typed files — which we always
+    # convert right here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Columns typed timestamp[ns] in the parquet footer (cheap local read;
+    checked upfront so the Spark scan never hits PARQUET_TYPE_ILLEGAL)."""
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(path):
+        inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not inner:
+            return []
+        p = os.path.join(path, inner[0])
+    return [
+        f.name for f in pq.read_schema(p) if str(f.type).startswith("timestamp[ns")
+    ]
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load every fixture table that exists under ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` works against the
+    same names DuckDB pre-registers (driver contract in ``__spark_entry__``)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def analyze_tables(spark: SparkSession, names: tuple[str, ...] = TABLES) -> None:
+    """Compute CBO statistics for saved tables (reference stats.json analogue,
+    `challenge/loader.py:53-76`).  Only applies to catalog tables, not temp
+    views; used by the denormalization workbench after ``saveAsTable``."""
+    for name in names:
+        if any(t.name == name for t in spark.catalog.listTables()):
+            if not spark.catalog.isCached(name):
+                spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")

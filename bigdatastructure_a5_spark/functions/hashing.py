@@ -1,0 +1,53 @@
+"""Text normalization, shingling, and stable fingerprints.
+
+Building blocks for the dedup/text-analysis operators.  Everything here is a
+built-in-function composition (split/transform/md5/...), never a Python UDF,
+so the hot path stays JVM-side at scale.
+
+``md5`` is used as the stable cross-engine hash: Spark's ``F.md5`` and
+DuckDB's ``md5()`` produce identical hex strings, which lets even hash-based
+operators (fingerprinting, minhash) be oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Lowercase, collapse whitespace runs, trim — canonical form for dedup."""
+    c = _as_col(col)
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of normalized text -> array<string>."""
+    return F.split(normalized_text(col), " ")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingles (space-joined), for minhash/jaccard.
+
+    Implemented with ``transform`` over token positions + ``slice`` — pure
+    Catalyst expressions, no UDF.
+    """
+    toks = tokens(col)
+    count = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) would count DOWN; guard short documents explicitly.
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def md5_fingerprint(col: Column | str) -> Column:
+    """Stable content fingerprint of the normalized text."""
+    return F.md5(normalized_text(col))

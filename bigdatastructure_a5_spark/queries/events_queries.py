@@ -1,0 +1,42 @@
+"""Event-stream analytics in batch form.
+
+The reference has NO streaming constructs (SURVEY.md §1.1); the driver's
+`events` fixture is extension scope.  Each query here is the batch-mode twin
+of a Structured Streaming operator in streaming/ — same expressions, swap
+``read`` for ``readStream`` and the tumbling window becomes a watermarked
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.catalog import load_table
+from bigdatastructure_a5_spark.registry import query
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour_ts,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+    tags=("ext:events",),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event type (streaming twin:
+    ``groupBy(window(ts, '1 hour'), event_type)`` with a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )

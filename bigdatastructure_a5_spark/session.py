@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference models a 1000-server sharded cluster
+(`/root/reference/query_simulator/config.py:18`); here the cluster is real
+Spark.  Local test runs use ``local[$SPARK_GRAFT_CPUS]`` (default 32) but every
+knob is chosen so the same code runs unchanged on a large cluster:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+- CBO + histogram stats on (the reference's 1/NDV selectivity model is exactly
+  Catalyst's FilterEstimation/JoinEstimation — SURVEY.md §4),
+- Arrow transfer on (pandas UDF extensions run vectorized),
+- shuffle partitions sized to the parallelism of the session; on a real
+  cluster AQE coalesces / splits from this initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "bigdatastructure-a5-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    On a real cluster the master/memory settings come from spark-submit; the
+    builder only *adds* conf, so these local[] defaults do not fight a cluster
+    deployment.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        # one shuffle partition per core locally; AQE coalesces below this.
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.sql.statistics.histogram.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # dimension tables (region/nation/supplier/part at our SFs) broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,46 @@
+"""Plan-shape assertions (the reference's plan tests, tests/test_challenge.py
+analogue): verify Catalyst produces the physical plans the 100-TB design
+depends on — pushdown at the scan, broadcast for dims, partial aggregation.
+"""
+
+from __future__ import annotations
+
+from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_eq_conjunctive")
+    assert "PushedFilters: [" in plan
+    assert "p_brand" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "projection_computed")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 referenced columns are read, not all 11 lineitem columns
+    assert "l_extendedprice" in read_schema and "l_quantity" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_filtered_brand")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_pricing_summary")
+    # partial/final HashAggregate pair = the reference's map/shuffle/reduce
+    # model (query_simulator/aggregate.py:166-274) executed for real
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "partial" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,106 @@
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Runs every registry query on Spark and its oracle on DuckDB over the same
+parquet fixtures, then compares row count, sorted column names, and the
+order-insensitive multiset of stringified row values (a stricter stand-in for
+the driver's value hash: exact string equality per cell).
+
+Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bigdatastructure_a5_spark.catalog import TABLES, table_path
+from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
+from bigdatastructure_a5_spark.session import get_spark
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)  # full precision — catches last-ulp drift
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    _load_all()
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    failures = []
+    for name, qd in sorted(REGISTRY.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = qd.builder(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if qd.oracle is None:
+            print(f"ok*   {name}: rows={len(s_rows)} (no oracle — rows-only check)")
+            if not s_rows:
+                failures.append(name)
+                print(f"FAIL  {name}: empty result")
+            continue
+        try:
+            res = con.execute(qd.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            sc, dc = _canon_rows(s_cols, s_rows), _canon_rows(d_cols, d_rows)
+            if sc != dc:
+                diff = next(
+                    (i for i, (a, b) in enumerate(zip(sc, dc)) if a != b), None
+                )
+                problems.append(
+                    f"values differ (first at sorted-row {diff}):\n"
+                    f"    spark: {sc[diff][:200] if diff is not None else '?'}\n"
+                    f"    duck : {dc[diff][:200] if diff is not None else '?'}"
+                )
+        if len(s_rows) == 0:
+            problems.append("empty result (driver wants >= 1 row)")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"ok    {name}: rows={len(s_rows)} hash-match")
+
+    print(f"\n{len(REGISTRY) - len(set(failures))}/{len(REGISTRY)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
