@@ -64,9 +64,10 @@ def _load_all() -> None:
     if _LOADED:
         return
     from bigdatastructure_a5_spark.queries import (  # noqa: F401
+        denorm,
+        events_queries,
         parity,
         pipeline,
-        events_queries,
     )
 
     _LOADED = True
