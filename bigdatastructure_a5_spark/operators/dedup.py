@@ -1,0 +1,238 @@
+"""Near-duplicate detection for training-data pipelines (extension scope,
+BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Absent from the reference (it has no data); designed Spark-first for 100 TB:
+
+- the only all-pairs computation is *within LSH buckets* (candidate
+  generation is a shuffle on band hashes, never a cross join);
+- signatures/hashes are pure Catalyst expressions (xxhash64, higher-order
+  functions) — zero Python in the executor loop;
+- exact-Jaccard verification joins candidates back to shingle sets, i.e.
+  cost scales with candidate count, not corpus size squared.
+
+MinHash/LSH background: Broder 1997 (resemblance via min-wise permutations);
+banding analysis per Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets*
+ch. 3.  SimHash: Charikar 2002.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.functions.hashing import word_shingles
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles: array<string> DISTINCT word n-grams). Documents shorter
+    than n words have empty sets and cannot match anything."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 128
+) -> DataFrame:
+    """(id, sig: array<bigint> of length num_hashes).
+
+    The i-th signature component is min over shingles of ``xxhash64(i, s)`` —
+    salting the single 64-bit hash family by the component index is the
+    standard substitute for num_hashes independent permutations.  Everything
+    runs inside whole-stage codegen.
+    """
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
+        ),
+    )
+    return shingled.filter(F.size("shingles") > 0).select(
+        "id", sig.alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing >= 1 LSH band.
+
+    bands x rows_per_band must equal the signature length.  With b=32, r=4 a
+    pair at Jaccard 0.8 is caught with prob 1-(1-0.8^4)^32 ~ 1-1e-7; at 0.3
+    almost never — the curve that makes this subquadratic.  The heavy op is
+    a self-join on (band, band_hash): a shuffle keyed by 16 bytes, no cross
+    join anywhere.
+    """
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bhash")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity pairs (id_a, id_b, jaccard >= threshold).
+
+    Without ``candidates``: inverted-index join on shingles (cost ~ sum of
+    posting-list squares — fine when no shingle is super-common; for 100 TB
+    pair it with LSH candidates instead).  With ``candidates``: verification
+    only of those pairs.  Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — exact integer
+    counts, one deterministic double division.
+    """
+    sizes = shingled.filter(F.size("shingles") > 0).select(
+        "id", F.size("shingles").alias("n")
+    )
+    exploded = shingled.select("id", F.explode("shingles").alias("g"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(
+            b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "inner")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full scalable pipeline: shingle -> minhash -> LSH bucket-join ->
+    exact-Jaccard verification of candidates only."""
+    shingled = shingle_sets(df, id_col, text_col, shingle_n)
+    sigs = minhash_signatures(shingled, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    return jaccard_pairs(shingled, threshold, candidates=cands)
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash: bigint) — Charikar sign-random-projection over token
+    hashes: bit b of the fingerprint is the sign of sum over tokens of
+    (bit b of xxhash64(token) ? +1 : -1).  Near-duplicates differ in few
+    bits (small Hamming distance).
+
+    Implemented as explode -> 64 conditional sums -> bit assembly; all
+    built-ins.  At 100 TB the explode+groupBy is one shuffle on doc ids —
+    or zero if the corpus is already partitioned by id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, 1)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    summed = toks.groupBy("id").agg(*bit_sums)
+    fingerprint = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, b)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return summed.select("id", fingerprint.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """(id_a, id_b, hamming <= max_hamming) via the chunk trick: two prints
+    within Hamming d must share an identical 16-bit chunk when d < chunks
+    (pigeonhole) -> candidate join on chunk equality, verify popcount."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunked = fingerprints.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", "ck.c", "ck.v")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

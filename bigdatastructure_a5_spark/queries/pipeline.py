@@ -20,6 +20,18 @@ from bigdatastructure_a5_spark.functions.hashing import (
     normalized_text,
     tokens,
 )
+from bigdatastructure_a5_spark.operators.dedup import (
+    jaccard_pairs,
+    near_duplicates_minhash,
+    shingle_sets,
+    simhash64,
+    simhash_near_pairs,
+)
+from bigdatastructure_a5_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine_pairs,
+)
 from bigdatastructure_a5_spark.registry import query
 
 #: DuckDB equivalent of functions.hashing.normalized_text (note the 'g' flag —
@@ -89,4 +101,136 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+#: DuckDB twin of operators.dedup.shingle_sets (word trigrams, distinct):
+#: w[i]||' '||w[i+1]||' '||w[i+2] == array_join(slice(toks, i, 3), ' ')
+_SHINGLES_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 RANGE(1, GREATEST(LEN(w) - 1, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               )
+             ) AS s
+      FROM d
+    )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLES_SQL
+    + """
+    , ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, LEN(s) AS n FROM sh WHERE LEN(s) > 0)
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+    """,
+    tags=("ext:dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by word-trigram Jaccard >= 0.8 via inverted-index
+    join (subquadratic when no shingle is super-common); finds the corpus's
+    planted duplicates.  Integer intersection/union counts -> one
+    deterministic double division, so the oracle hash-matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(shingle_sets(docs, "doc_id", "text", 3), threshold=0.8)
+
+
+@query("dedup_minhash_lsh", oracle=None, tags=("ext:dedup",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable near-dup pipeline: shingle -> 128 minhashes -> 32x4 LSH bands
+    -> bucket-join candidates -> exact-Jaccard verify >= 0.8.  At this
+    threshold capture probability is 1-(1-0.8^4)^32 ~ 1-1e-7, so the result
+    equals dedup_ngram_jaccard (tests assert exactly that); not
+    SQL-expressible in DuckDB (xxhash64 family), hence rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return near_duplicates_minhash(docs, "doc_id", "text", threshold=0.8)
+
+
+@query("dedup_simhash", oracle=None, tags=("ext:dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit sign-projection fingerprints, chunk
+    candidates (pigeonhole guarantees recall for d < 4 chunks), Hamming <= 3
+    verify.  On the fixtures the planted duplicates sit at Hamming 0-3 while
+    random pairs start at ~5 (measured) — a clean separation."""
+    docs = load_table(spark, sf_dir, "documents")
+    prints = simhash64(docs, "doc_id", "text")
+    return simhash_near_pairs(prints, max_hamming=3, chunks=4)
+
+
+@query(
+    "neardup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           LIST_COSINE_SIMILARITY(a.emb, b.emb) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE LIST_COSINE_SIMILARITY(a.emb, b.emb) >= 0.45
+    """,
+    tags=("ext:similarity",),
+)
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (cosine >= 0.45), exact all-pairs
+    baseline.  Both engines fold the 64-dim dot product sequentially in
+    double precision, so values are bit-identical (verified) and the oracle
+    hash-matches without rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.45)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == vec_id).first().embedding)
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, LIST_COSINE_SIMILARITY(e.emb, q.qv) AS cosine
+    FROM e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("ext:similarity",),
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbours of vector 0 — the ANN correctness
+    baseline.  Executes as scan + codegen scoring + TakeOrderedAndProject
+    (per-partition top-k, no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return brute_force_topk(emb, _query_vector(spark, sf_dir, 0), k=10)
+
+
+@query("sim_ann_lsh", oracle=None, tags=("ext:similarity",))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via multi-table hyperplane LSH (4 planes x 8
+    tables): score only vectors bucket-matching the query in >= 1 table.
+    Recall vs brute force is measured in tests; not SQL-expressible (seeded
+    hyperplane family), hence rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return ann_lsh_topk(
+        emb, _query_vector(spark, sf_dir, 0), k=10, n_planes=4, n_tables=8
     )

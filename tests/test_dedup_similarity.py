@@ -1,0 +1,128 @@
+"""Dedup + similarity operator tests (extension scope).
+
+Key properties:
+- MinHash+LSH result == exact Jaccard result at threshold 0.8 (banding
+  capture probability at 0.8 with 32x4 is 1-1e-7 and verification is exact,
+  so any difference is a bug, not noise).
+- MinHash signature agreement estimates Jaccard (Broder's theorem).
+- SimHash pairs at Hamming <= 3 are true near-duplicates (precision).
+- ANN top-k recall vs brute force is measurable and nonzero.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.catalog import load_table
+from bigdatastructure_a5_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_signatures,
+    near_duplicates_minhash,
+    shingle_sets,
+    simhash64,
+    simhash_near_pairs,
+)
+from bigdatastructure_a5_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine_pairs,
+)
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def shingled(docs):
+    return shingle_sets(docs).cache()
+
+
+@pytest.fixture(scope="module")
+def exact_dup_rows(shingled):
+    return jaccard_pairs(shingled, threshold=0.8).collect()
+
+
+def test_minhash_lsh_equals_exact_jaccard(docs, exact_dup_rows):
+    exact = {(r.id_a, r.id_b) for r in exact_dup_rows}
+    lsh = _pairs(near_duplicates_minhash(docs, threshold=0.8))
+    assert len(exact) > 0  # fixtures contain planted duplicates
+    assert lsh == exact
+
+
+def test_minhash_estimates_jaccard(spark, shingled, exact_dup_rows):
+    """Signature agreement rate ~ true Jaccard for the planted dup pairs."""
+    sigs = minhash_signatures(shingled, 128)
+    true = spark.createDataFrame(exact_dup_rows[:10])
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sb"))
+    est = (
+        true.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "jaccard",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m
+                    )
+                )
+                / F.lit(128.0)
+            ).alias("est"),
+        )
+    )
+    for r in est.collect():
+        assert abs(r.est - r.jaccard) < 0.15  # 128 hashes -> s.e. ~ 0.035
+
+
+def test_simhash_semantics_on_synthetic_docs(spark):
+    """Deterministic semantics: identical text -> Hamming 0; one word changed
+    -> small distance; unrelated text -> larger distance."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark shuffles and parquet files"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], ["doc_id", "text"]
+    )
+    fp = {r.id: r.simhash for r in simhash64(df, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(fp[a] ^ fp[b]).count("1")  # noqa: E731
+    assert ham(1, 2) == 0
+    assert ham(1, 3) < ham(1, 4)
+    assert ham(1, 3) <= 16
+
+
+def test_simhash_catches_planted_duplicates(docs, shingled, exact_dup_rows):
+    """Recall on the fixtures: a healthy share of the planted (trigram
+    jaccard >= 0.8) duplicates sits within Hamming 3."""
+    prints = simhash64(docs, "doc_id", "text")
+    found = _pairs(simhash_near_pairs(prints, max_hamming=3, chunks=4))
+    planted = {(r.id_a, r.id_b) for r in exact_dup_rows}
+    assert len(found & planted) >= len(planted) * 0.4
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = list(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()
+        .embedding
+    )
+    exact = [r.vec_id for r in brute_force_topk(emb, qv, k=10).collect()]
+    approx = [r.vec_id for r in ann_lsh_topk(emb, qv, k=10, n_planes=4).collect()]
+    assert len(approx) > 0
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, (recall, exact, approx)
+
+
+def test_cosine_pairs_symmetric_threshold(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = cosine_pairs(emb, threshold=0.45).collect()
+    assert all(r.id_a < r.id_b and r.cosine >= 0.45 for r in rows)
+    assert len(rows) > 0
