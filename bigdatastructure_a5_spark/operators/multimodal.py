@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Extension scope (BASELINE.json): image/audio/video handled as ``binary``
+columns with a typed metadata struct, processed by Arrow-batched pandas
+functions via ``mapInPandas``.  The actual codec work (JPEG decode, resample,
+frame extraction) needs libraries this container doesn't ship, so the codec
+boundary is STUBBED — but everything Spark-side is real and tested: the
+schema contract, the mapInPandas batch iteration, the output schema, and the
+deterministic fallback "decoder" (byte-level features) that stands in for
+pixels.
+
+Design for 100 TB of media:
+- payloads stay opaque bytes end-to-end (no JVM<->Python per-row chatter;
+  Arrow moves whole batches);
+- decode parallelism is row-group parallelism: media tables are written with
+  small ``parquet.block.size`` so a 256 MB task holds a handful of videos;
+- feature extraction emits SMALL typed rows (drop the payload as early as
+  possible — the classic projection-pushdown argument applied to bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: canonical media-table schema: payload + typed metadata columns
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sha1_prefix", StringType(), False),
+        StructField("byte_entropy_q", LongType(), False),
+    ]
+)
+
+
+def real_decode(payload: bytes, kind: str):  # pragma: no cover - stub
+    """The codec boundary.  Wire Pillow/torchaudio/pyav here on a cluster
+    with media libs installed."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use fake_decode (deterministic byte-level features) instead"
+    )
+
+
+def fake_decode(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in for a decoder: byte-level features that are
+    reproducible everywhere (sha1 prefix + a quantized byte-entropy proxy)."""
+    n = len(payload)
+    counts: dict[int, int] = {}
+    for b in payload:
+        counts[b] = counts.get(b, 0) + 1
+    # quantized collision mass (entropy proxy), integer arithmetic only
+    coll = sum(c * c for c in counts.values())
+    return {
+        "n_bytes": n,
+        "sha1_prefix": hashlib.sha1(payload).hexdigest()[:12],
+        "byte_entropy_q": (coll * 1000) // (n * n) if n else -1,
+    }
+
+
+def decode_media(df: DataFrame, decoder=fake_decode) -> DataFrame:
+    """mapInPandas decode: Arrow batches in, small typed feature rows out.
+
+    The payload column dies here — downstream stages shuffle features,
+    never bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                decoder(bytes(p) if p is not None else b"", k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "kind", pdf["kind"].values)
+            yield out
+
+    return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a real binary media table from the documents fixture (payload =
+    utf-8 bytes of the text) so the plumbing runs on actual data: binary
+    column, metadata struct columns, realistic sizes."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.length("text").cast("int").alias("width"),
+        F.lit(1).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' on the opaque payload: emit one row per sampled
+    offset (for video this is 1-per-N-frames; here 1-per-N-bytes on the
+    stub).  Pure Spark: posexplode over a computed offset sequence — shows
+    the explode-and-carry-metadata shape a real frame sampler uses."""
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(F.col("payload").cast("string")) - 1, F.lit(0)),
+        F.lit(every_n_bytes),
+    )
+    return df.select(
+        "media_id",
+        "kind",
+        F.posexplode(offsets).alias("frame_no", "byte_offset"),
+    )

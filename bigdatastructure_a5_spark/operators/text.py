@@ -1,0 +1,116 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+tokenization statistics, rolling-hash fingerprints.
+
+Extension scope (BASELINE.json).  Everything is built-in expressions
+(higher-order functions over token arrays) — the whole module runs inside
+whole-stage codegen, no Python per row, so at 100 TB these are scan-speed
+annotators of the kind used to filter pretraining corpora (cf. Gopher/
+FineWeb-style quality heuristics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.functions.hashing import tokens
+
+#: Small public stopword/marker lexicons; membership *ratios* over these are
+#: the classic cheap language-ID signal (a word-level analogue of the n-gram
+#: profile method of Cavnar & Trenkle 1994).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "los", "las", "de", "que", "y", "en", "un", "una"),
+    "de": ("der", "die", "das", "und", "nicht", "ein", "eine", "zu", "ist", "mit"),
+    "fr": ("le", "la", "les", "des", "et", "que", "une", "dans", "est", "pour"),
+}
+
+#: "BPE-ish" pretokenizer: word pieces OR single non-space punctuation —
+#: the usual pre-tokenization split before byte-pair merging.
+BPE_TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def _marker_count(toks: Column, lang: str) -> Column:
+    """How many tokens are markers of ``lang`` (membership in a literal set
+    — compiled to a codegen'd IN list)."""
+    markers = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_scores(text_col: Column | str) -> dict[str, Column]:
+    toks = tokens(text_col)
+    return {lang: _marker_count(toks, lang) for lang in STOPWORDS}
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """Argmax language by marker count; deterministic tie-break by the fixed
+    lexicon order (en, es, de, fr); 'und' (undetermined) when no marker hits.
+    """
+    scores = lang_scores(text_col)
+    best = None
+    best_score = None
+    for lang in STOPWORDS:  # insertion order = tie-break order
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1]:
+
+    0.25 x length_ok   (120 <= chars <= 20000)
+    0.25 x diversity   (distinct tokens / tokens)
+    0.25 x word_shape  (mean token length in [3, 12])
+    0.25 x stopwordy   (>= 2 stopword hits in any language)
+
+    Ratios are exact-integer divisions and the weighted sum is a fixed-order
+    IEEE expression, so the DuckDB oracle (same operation order) matches
+    bit-for-bit.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_toks = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast(
+        "double"
+    )
+    mean_tok_len = (F.length(F.regexp_replace(c, r"\s+", ""))).cast(
+        "double"
+    ) / n_toks.cast("double")
+    any_stop = None
+    for lang in STOPWORDS:
+        cnt = _marker_count(toks, lang)
+        any_stop = cnt if any_stop is None else any_stop + cnt
+    return (
+        F.when((n_chars >= 120) & (n_chars <= 20000), 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.5, 0.25).otherwise(0.0)
+        + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), 0.25).otherwise(0.0)
+        + F.when(any_stop >= 2, 0.25).otherwise(0.0)
+    )
+
+
+def bpe_token_count(text_col: Column | str) -> Column:
+    """Token count under the BPE-ish pretokenizer regex (words + punctuation
+    marks), the standard proxy for LLM token budgets."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_REGEX), 0))
+
+
+def rolling_fingerprint(text_col: Column | str, base: int = 131, mod: int = (1 << 31) - 1) -> Column:
+    """Order-sensitive polynomial rolling hash over token hashes:
+    ``h = (h*base + hash(tok)) mod (2^31-1)`` — unlike the md5 fingerprint
+    this is incremental (streaming-friendly) and content-order sensitive.
+    Token hashes are reduced below ``mod`` so the fold never overflows a
+    64-bit long (acc*131 + tok < 2^38).
+    """
+    toks = tokens(text_col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(mod))) % F.lit(mod),
+    )

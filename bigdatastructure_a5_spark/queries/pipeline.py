@@ -234,3 +234,162 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(
         emb, _query_vector(spark, sf_dir, 0), k=10, n_planes=4, n_tables=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (operators/text.py): language ID, quality, BPE-ish tokens,
+# rolling fingerprints
+# ---------------------------------------------------------------------------
+from bigdatastructure_a5_spark.operators.text import (  # noqa: E402
+    STOPWORDS,
+    bpe_token_count,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+)
+
+
+def _in_list_sql(lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"LEN(LIST_FILTER(w, x -> LIST_CONTAINS([{lits}], x)))"
+
+
+_LANG_SCORES_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, STRING_SPLIT({_NORM_SQL}, ' ') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, text, w,
+             {_in_list_sql('en')} AS sc_en,
+             {_in_list_sql('es')} AS sc_es,
+             {_in_list_sql('de')} AS sc_de,
+             {_in_list_sql('fr')} AS sc_fr
+      FROM t
+    )
+"""
+
+
+@query(
+    "text_langid",
+    oracle=_LANG_SCORES_SQL
+    + """
+    SELECT doc_id,
+           CASE
+             WHEN GREATEST(sc_en, sc_es, sc_de, sc_fr) = 0 THEN 'und'
+             WHEN sc_en = GREATEST(sc_en, sc_es, sc_de, sc_fr) THEN 'en'
+             WHEN sc_es = GREATEST(sc_es, sc_de, sc_fr) THEN 'es'
+             WHEN sc_de = GREATEST(sc_de, sc_fr) THEN 'de'
+             ELSE 'fr'
+           END AS detected_lang,
+           sc_en AS en_markers
+    FROM s
+    """,
+    tags=("ext:text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (argmax of stopword hits, earliest-language
+    tie-break).  The fixtures' texts are English-ish word salad for every
+    label, so the detector mechanics are what's under test (multilingual
+    behavior is unit-tested on real phrases in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from bigdatastructure_a5_spark.operators.text import lang_scores
+
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("detected_lang"),
+        lang_scores("text")["en"].alias("en_markers"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN LENGTH(text) >= 120 AND LENGTH(text) <= 20000
+                THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         + CASE WHEN CAST(LEN(LIST_DISTINCT(w)) AS DOUBLE) / CAST(LEN(w) AS DOUBLE) >= 0.5
+                THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         + CASE WHEN CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(LEN(w) AS DOUBLE) BETWEEN 3.0 AND 12.0
+                THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         + CASE WHEN LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['the','a','and','of','to','in','is','that','it','for',
+                                                            'el','la','los','las','de','que','y','en','un','una',
+                                                            'der','die','das','und','nicht','ein','eine','zu','ist','mit',
+                                                            'le','les','des','et','dans','est','pour'], x))) >= 2
+                THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+           AS quality
+    FROM t
+    """,
+    tags=("ext:text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/FineWeb-style composite quality heuristic in [0,1]: length
+    band, lexical diversity, mean token length band, stopword presence —
+    each worth 0.25.  Exactly representable quarters, so the oracle
+    hash-matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "text_token_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("ext:text",),
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token-budget proxy: count of BPE-pretokenizer pieces (word spans
+    plus single punctuation marks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+@query("text_rolling_fingerprint", oracle=None, tags=("ext:text",))
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash per document (streaming-
+    friendly fingerprint, unlike the order-insensitive md5 of the whole
+    text).  xxhash64-based, hence no SQL oracle (rows-only check);
+    determinism is pytest-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint("text").alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (operators/multimodal.py): binary payloads + pandas UDF
+# decode stubs
+# ---------------------------------------------------------------------------
+from bigdatastructure_a5_spark.operators.multimodal import (  # noqa: E402
+    decode_media,
+    media_from_documents,
+)
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    tags=("ext:multimodal",),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: documents -> media table (payload bytes +
+    typed metadata) -> Arrow-batched mapInPandas decode (stubbed codec,
+    deterministic byte features) -> typed feature rows.  The byte count is
+    oracle-checked; hash/entropy features are pytest-verified (no sha1 in
+    DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    return decode_media(media).select("media_id", "kind", "n_bytes")

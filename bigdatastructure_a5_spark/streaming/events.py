@@ -1,0 +1,90 @@
+"""Structured Streaming over the events table: watermarked tumbling windows.
+
+Batch/stream parity design: the aggregation expressions are shared with the
+batch twin (queries/events_queries.py), only the source (``readStream``) and
+sink differ.  On a real cluster this runs continuously against a file/Kafka
+source with the same code; tests drive it with ``Trigger.AvailableNow`` over
+the finite fixture and compare to the batch result.
+
+Late data: the watermark bounds state — at 100 TB/day of events the state
+store only keeps windows younger than the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: events.parquet physical schema — ts is INT64 TIMESTAMP(NANOS), which Spark
+#: must read as long (see catalog._read_parquet_nanos_safe for the batch path)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # epoch nanos
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events fixture (one file = one microbatch
+    under AvailableNow).  Converts epoch-nanos with integer division, same
+    as the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a DIRECTORY; select just the events file by glob
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .format("parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour rollup per event type — the streaming twin
+    of events_hourly_rollup.  countDistinct is not incremental, so the
+    streaming variant uses approx_count_distinct (documented deviation)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, streaming_df: DataFrame, name: str = "stream_result"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion with AvailableNow into a
+    memory sink; returns the result table.  Complete output mode so windowed
+    aggregates are all emitted even without watermark expiry."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,49 @@
+"""Structured Streaming tests: the stream over the finite fixture must agree
+with its batch twin (same expressions, different source/sink)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.catalog import load_table
+from bigdatastructure_a5_spark.streaming.events import (
+    hourly_rollup_stream,
+    read_events_stream,
+    run_stream_to_memory,
+)
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    result = run_stream_to_memory(
+        spark, hourly_rollup_stream(stream), name="hourly_test"
+    )
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    s = {
+        (r.hour_ts, r.event_type): (r.n_events, r.sum_value)
+        for r in result.collect()
+    }
+    b = {
+        (r.hour_ts, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert s == b
+
+
+def test_streaming_watermark_metadata(spark, sf_dir):
+    stream = hourly_rollup_stream(read_events_stream(spark, sf_dir), "30 minutes")
+    assert stream.isStreaming
+    # the watermark must appear in the analyzed plan (state-bound streaming)
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
