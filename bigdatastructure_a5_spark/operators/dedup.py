@@ -41,17 +41,29 @@ def minhash_signatures(
 
     The i-th signature component is min over shingles of ``xxhash64(i, s)`` —
     salting the single 64-bit hash family by the component index is the
-    standard substitute for num_hashes independent permutations.  Everything
-    runs inside whole-stage codegen.
+    standard substitute for num_hashes independent permutations.
+
+    Shape matters: explode(shingles) -> groupBy(id) with num_hashes MIN
+    aggregates, then assemble the array.  A nested higher-order expression
+    (transform-in-transform) computes the same thing but falls out of
+    whole-stage codegen into interpreted eval — measured ~50x slower at
+    sf0.1.  The aggregate form is all codegen, does map-side partial mins,
+    and its shuffle carries one 128-long signature per doc per partition.
     """
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
-        ),
+    # hash the (variable-length) shingle string ONCE, then derive the salted
+    # family from the 8-byte value — the 128 per-row hashes each touch 12
+    # bytes instead of re-hashing the whole string.
+    exploded = shingled.filter(F.size("shingles") > 0).select(
+        "id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("gh")
     )
-    return shingled.filter(F.size("shingles") > 0).select(
-        "id", sig.alias("sig")
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("gh"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -106,10 +118,39 @@ def jaccard_pairs(
     only of those pairs.  Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — exact integer
     counts, one deterministic double division.
     """
-    sizes = shingled.filter(F.size("shingles") > 0).select(
-        "id", F.size("shingles").alias("n")
+    nonempty = shingled.filter(F.size("shingles") > 0)
+
+    if candidates is not None:
+        # verification path: candidate pairs are few — join their shingle
+        # ARRAYS back and intersect in place (no inverted index, no second
+        # big shuffle; cost ~ |candidates|).
+        sa = nonempty.select(
+            F.col("id").alias("id_a"), F.col("shingles").alias("sha")
+        )
+        sb = nonempty.select(
+            F.col("id").alias("id_b"), F.col("shingles").alias("shb")
+        )
+        joined = candidates.join(sa, "id_a").join(sb, "id_b")
+        i = F.size(F.array_intersect("sha", "shb"))
+        union = F.size("sha") + F.size("shb") - i
+        return (
+            joined.select(
+                "id_a",
+                "id_b",
+                (i.cast("double") / union.cast("double")).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    # full-corpus path: inverted-index join.  Join on 8-byte shingle hashes,
+    # not strings: smaller shuffle, faster equality.  A 64-bit collision
+    # would need ~2^32 distinct shingles to be likely (birthday bound);
+    # counts stay exact far beyond this corpus, and the DuckDB oracle
+    # (string joins) would expose one deterministically.
+    sizes = nonempty.select("id", F.size("shingles").alias("n"))
+    exploded = shingled.select(
+        "id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("g")
     )
-    exploded = shingled.select("id", F.explode("shingles").alias("g"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(
@@ -120,8 +161,6 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "inner")
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     return (
