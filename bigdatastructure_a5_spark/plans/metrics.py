@@ -148,7 +148,11 @@ def estimated_stats(df: DataFrame) -> dict[str, float]:
     """Catalyst CBO estimate for the same plan (the reference's whole output
     was this side of the duality): sizeInBytes, rowCount if known."""
     stats = df._jdf.queryExecution().optimizedPlan().stats()
-    out = {"size_bytes": float(stats.sizeInBytes().toString())}
+
+    def _num(v) -> float:  # scala BigInt arrives as py4j object or plain int
+        return float(v if isinstance(v, (int, float)) else v.toString())
+
+    out = {"size_bytes": _num(stats.sizeInBytes())}
     if stats.rowCount().isDefined():
-        out["row_count"] = float(stats.rowCount().get().toString())
+        out["row_count"] = _num(stats.rowCount().get())
     return out
