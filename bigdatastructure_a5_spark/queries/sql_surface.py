@@ -1,0 +1,137 @@
+"""SQL-surface extensions beyond the reference's grammar (SURVEY.md §2.6).
+
+The reference's only value semantics is literal equality; its grammar knows
+SELECT/FROM/JOIN-ON/WHERE-AND.  Spark's full SQL surface comes free — these
+queries pin the behaviors down with oracles so "free" is verified, not
+assumed: semi/anti/outer joins, DISTINCT aggregation, HAVING, ROLLUP,
+JSON extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.catalog import load_table
+from bigdatastructure_a5_spark.functions.numeric import dec_sum_double
+from bigdatastructure_a5_spark.registry import query
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_custkey, c_name, has_order
+    FROM (
+      SELECT c_custkey, c_name, TRUE AS has_order
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_name, FALSE AS has_order
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ) t
+    """,
+    tags=("ext:joins",),
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (EXISTS / NOT EXISTS): customers with and
+    without orders.  Semi/anti ship only the left side out of the join —
+    at 100 TB this is the dedup-by-reference-list / filter-by-blocklist
+    workhorse."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cond = c.c_custkey == o.o_custkey
+    with_o = c.join(o, cond, "left_semi").select(
+        "c_custkey", "c_name", F.lit(True).alias("has_order")
+    )
+    without_o = c.join(o, cond, "left_anti").select(
+        "c_custkey", "c_name", F.lit(False).alias("has_order")
+    )
+    return with_o.union(without_o)
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+    tags=("ext:joins",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving empty groups (nations with no suppliers
+    count 0 — COUNT(col) skips the padded NULLs)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    j = n.join(s, n.n_nationkey == s.s_nationkey, "left")
+    return j.groupBy("n_name").agg(F.count("s_suppkey").alias("n_suppliers"))
+
+
+@query(
+    "agg_distinct_having",
+    oracle="""
+    SELECT l_partkey,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(DISTINCT l_suppkey) >= 3
+    """,
+    tags=("ext:agg",),
+)
+def agg_distinct_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation + HAVING (both absent from the reference's model,
+    SURVEY.md §2.4).  Spark expands distinct aggs into a two-level
+    aggregation — still partial/final, still one shuffle on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter(F.col("n_suppliers") >= 3)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("ext:agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping sets family — absent from the
+    reference).  NULL-padded subtotal rows must agree across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dec_sum_double("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) > 80
+    """,
+    tags=("ext:scalar", "ext:events"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract a typed field from the JSON props
+    column and filter on it.  At scale: prefer promoting hot JSON fields to
+    columns at ingest (this expression is the promotion)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("k_value")).filter(
+        F.col("k_value") > 80
+    )

@@ -68,6 +68,7 @@ def _load_all() -> None:
         events_queries,
         parity,
         pipeline,
+        sql_surface,
     )
 
     _LOADED = True

@@ -1,0 +1,96 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no stateful/streaming constructs at all; this is the
+"custom stateful operator" extension the brief asks for: a per-user running
+profile (event count, value sum, last seen) maintained in the state store
+across micro-batches — the shape of fraud counters, rate limiters, feature
+stores.
+
+Scale design: state is keyed by user_id, so it shards with the shuffle; the
+state store holds one small row per user (not per event).  In production add
+a timeout (``GroupStateTimeout.ProcessingTimeTimeout``) to expire idle keys
+and bound state; the finite-fixture test uses NoTimeout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value_cents", LongType()),  # exact integer cents
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def _update_user_profile(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, cents, last_ts = state.get
+    else:
+        n, cents, last_ts = 0, 0, None
+    for pdf in pdfs:
+        n += len(pdf)
+        # sum in integer cents: exact and associative across micro-batches
+        cents += int(round(float(pdf["value"].sum()) * 100))
+        batch_max = pdf["ts"].max()
+        if last_ts is None or batch_max > last_ts:
+            last_ts = batch_max
+    state.update((n, cents, last_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [cents / 100.0],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Running per-user profile over an event stream (update output mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_user_profile_to_memory(spark, streaming_df, name: str = "user_profiles"):
+    """Drive the stateful stream with AvailableNow into a memory sink; the
+    LAST update per user is the final profile (update mode emits per batch)."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the text/dedup expression helpers.
+
+Each property runs a small batch of generated documents through ONE Spark
+job per example set (examples are kept small — Spark round-trips dominate).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.functions.hashing import (
+    md5_fingerprint,
+    normalized_text,
+    word_shingles,
+)
+from bigdatastructure_a5_spark.operators.text import quality_score
+
+WORDS = st.sampled_from(
+    "the quick brown fox lazy dog spark shuffle parquet scan la der und".split()
+)
+DOC = st.lists(WORDS, min_size=1, max_size=30).map(" ".join)
+#: documents with chaotic whitespace around/between the same tokens
+SPACING = st.lists(st.sampled_from([" ", "  ", "\t", "\n"]), min_size=1, max_size=8)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(doc=DOC, spacing=SPACING)
+@_SETTINGS
+def test_normalization_is_whitespace_invariant_and_idempotent(spark, doc, spacing):
+    words = doc.split(" ")
+    messy = spacing[0].join([""] + words) + spacing[-1]
+    df = spark.createDataFrame([(doc,), (messy,)], ["text"])
+    rows = df.select(
+        normalized_text("text").alias("n"), md5_fingerprint("text").alias("fp")
+    ).collect()
+    assert rows[0].n == rows[1].n  # whitespace chaos normalizes away
+    assert rows[0].fp == rows[1].fp
+    again = (
+        spark.createDataFrame([(rows[0].n,)], ["text"])
+        .select(normalized_text("text").alias("n"))
+        .first()
+        .n
+    )
+    assert again == rows[0].n  # idempotent
+
+
+@given(doc=DOC, n=st.integers(min_value=1, max_value=4))
+@_SETTINGS
+def test_shingle_count_formula(spark, doc, n):
+    df = spark.createDataFrame([(doc,)], ["text"])
+    got = df.select(F.size(word_shingles("text", n)).alias("k")).first().k
+    n_words = len(doc.split(" "))
+    assert got == max(n_words - n + 1, 0)
+
+
+@given(doc=st.text(min_size=0, max_size=200))
+@_SETTINGS
+def test_quality_score_bounded(spark, doc):
+    df = spark.createDataFrame([(doc,)], ["text"])
+    q = df.select(quality_score("text").alias("q")).first().q
+    assert q is None or 0.0 <= q <= 1.0

@@ -47,3 +47,34 @@ def test_streaming_watermark_metadata(spark, sf_dir):
     # the watermark must appear in the analyzed plan (state-bound streaming)
     plan = stream._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_stateful_user_profiles_match_batch(spark, sf_dir):
+    from bigdatastructure_a5_spark.streaming.stateful import (
+        run_user_profile_to_memory,
+        user_profile_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    profiles = run_user_profile_to_memory(
+        spark, user_profile_stream(stream), name="profiles_test"
+    )
+    # update mode may emit several rows per user; keep the last (max count)
+    final = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in profiles.orderBy("n_events").collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, s) in batch.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - s) < 0.005  # integer-cents accumulation
