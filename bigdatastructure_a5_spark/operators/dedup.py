@@ -207,9 +207,13 @@ def simhash64(
     built-ins.  At 100 TB the explode+groupBy is one shuffle on doc ids —
     or zero if the corpus is already partitioned by id.
     """
+    from bigdatastructure_a5_spark.functions.hashing import tokens
+
+    # plain split for unigrams — word_shingles(n=1) would route through a
+    # nested higher-order expression that leaves whole-stage codegen
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, 1)).alias("tok"),
+        F.explode(tokens(text_col)).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(

@@ -1,0 +1,69 @@
+"""Skew mitigation: salted joins and salted aggregation.
+
+The reference's cost model has no notion of skew (every shard holds
+``nb_documents / nb_servers`` uniformly — `main.py:141-166`); real clusters
+are not so lucky.  AQE's skew-join splitting (enabled in session.py) handles
+most cases at runtime; explicit salting remains the tool when one key
+dominates so hard that even split partitions overwhelm a task, or for
+aggregations (AQE does not salt aggregates).
+
+Pattern: spread the hot side over ``salt`` sub-keys, replicate the small
+side to every sub-key, join on (key, salt).  Aggregations: two-phase —
+partial by (key, salt), final by key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed fact to a small table on ``key`` with ``salt``-way key
+    spreading.  The small side is exploded x salt (fine: it's small — this
+    is a targeted broadcast-amplification trade) so every salted fact row
+    finds its partner without a hot partition."""
+    salted_fact = skewed.withColumn(
+        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = salted_fact.join(replicated, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase salted SUM/COUNT aggregation: partial groupBy (keys, salt)
+    then final groupBy (keys).  Useful when a single group receives a large
+    share of all rows — the partial phase spreads that group over ``salt``
+    reducers.  (Spark's map-side partial aggregation already does this when
+    mapper-local data contains the hot key; explicit salting also covers the
+    reduce side.)  Produces sum_<col> and n_rows columns."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.col(c).cast("decimal(18,2)")).alias(f"__s_{c}") for c in sum_cols],
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__n").alias("n_rows"),
+        *[
+            F.sum(f"__s_{c}").cast("double").alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )

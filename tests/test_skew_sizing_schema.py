@@ -1,0 +1,149 @@
+"""Skew mitigation, sizing engine, and JSON-Schema loader tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DateType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructType,
+)
+
+from bigdatastructure_a5_spark.catalog import load_table
+from bigdatastructure_a5_spark.operators.skew import salted_agg, salted_join
+from bigdatastructure_a5_spark.plans.sizing import (
+    document_size_bytes,
+    modeled_vs_real,
+)
+from bigdatastructure_a5_spark.sources.schema_loader import (
+    json_schema_to_spark,
+    load_collection_schemas,
+)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = load_table(spark, sf_dir, "part")
+    plain = li.join(part, "p_partkey").count()
+    salted = salted_join(li, part, "p_partkey", salt=8).count()
+    assert salted == plain
+
+
+def test_salted_agg_matches_plain_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: (r.n, r.s)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.n_rows, r.sum_l_quantity)
+        for r in salted_agg(li, ["l_returnflag"], ["l_quantity"], salt=8).collect()
+    }
+    assert salted == plain  # decimal partials -> exact equality
+
+
+def test_document_size_matches_reference_constants():
+    """Golden arithmetic from the reference's own unit test
+    (tests/test_challenge.py:63-99 uses 8 B ints + overrides; here the
+    homework Product shape, main.py:42-106): struct of id(int) + name(string)
+    = 12+8 + 12+80."""
+    schema = StructType().add("id", LongType()).add("name", StringType())
+    assert document_size_bytes(schema) == (12 + 8) + (12 + 80)
+    nested = (
+        StructType()
+        .add("id", LongType())
+        .add("price", StructType().add("amount", DoubleType()).add("currency", StringType()))
+        .add("tags", ArrayType(StringType()))
+    )
+    # id 20, price: 12 + (12+8 + 12+80), tags: 12 + 2*80 with avg len 2
+    expected = 20 + 12 + (20 + 92) + 12 + 2 * 80
+    assert document_size_bytes(nested, avg_array_lengths={"tags": 2.0}) == expected
+
+
+def test_modeled_vs_real_sizes(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    d = modeled_vs_real(part)
+    assert d["rows"] == part.count()
+    assert d["modeled_bytes"] > 0 and d["real_bytes"] > 0
+
+
+def test_json_schema_loader_with_ref_and_allof(tmp_path):
+    (tmp_path / "product.json").write_text(
+        json.dumps(
+            {
+                "type": "object",
+                "properties": {
+                    "IDP": {"type": "integer"},
+                    "brand": {"type": "string"},
+                    "price": {
+                        "type": "object",
+                        "properties": {"amount": {"type": "number"}},
+                    },
+                    "categories": {
+                        "type": "array",
+                        "items": {
+                            "type": "object",
+                            "properties": {"title": {"type": "string"}},
+                        },
+                    },
+                },
+            }
+        )
+    )
+    (tmp_path / "db.json").write_text(
+        json.dumps(
+            {
+                "Product": {
+                    "allOf": [
+                        {"$ref": "product.json"},
+                        {
+                            "type": "object",
+                            "properties": {
+                                "launchDate": {"type": "string", "format": "date"}
+                            },
+                        },
+                    ]
+                },
+                "Stock": {
+                    "type": "object",
+                    "properties": {
+                        "IDW": {"type": "integer"},
+                        "quantity": {"type": "integer"},
+                    },
+                },
+            }
+        )
+    )
+    schemas = load_collection_schemas(tmp_path / "db.json")
+    prod = schemas["Product"]
+    assert isinstance(prod["IDP"].dataType, LongType)
+    assert isinstance(prod["price"].dataType, StructType)
+    assert isinstance(prod["categories"].dataType, ArrayType)
+    assert isinstance(prod["launchDate"].dataType, DateType)  # allOf merged
+    assert isinstance(schemas["Stock"]["quantity"].dataType, LongType)
+
+
+def test_schema_usable_for_spark_read(spark, tmp_path):
+    st = json_schema_to_spark(
+        {
+            "type": "object",
+            "properties": {"a": {"type": "integer"}, "b": {"type": "string"}},
+        }
+    )
+    df = spark.createDataFrame([(1, "x")], schema=st)
+    assert df.schema == st
