@@ -90,3 +90,48 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "session_start", "session_end", "n_events", "session_value"
         )
     )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, value,
+             CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 1800) * 1800) AS TIMESTAMP) AS grid_ts
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, value, grid_ts - (k * INTERVAL 30 MINUTE) AS window_start
+      FROM g, (SELECT UNNEST([0, 1]) AS k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM w
+    GROUP BY window_start, event_type
+    """,
+    tags=("ext:events", "ext:streaming"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, 30-minute slide): every event lands in
+    two overlapping windows.  The oracle reproduces Spark's window
+    assignment with grid arithmetic (floor to the slide grid, subtract k
+    slides).  Streaming twin: the same F.window with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -87,3 +87,73 @@ def load_denormalizations(
             )
         )
     return specs
+
+
+@dataclass(frozen=True)
+class ClusterConfig:
+    """Reference cluster knobs (`challenge/models.py:63-66`,
+    `chapter5/loader.py:11-14`): server count and the fraction of a
+    collection a shard-targeted access touches."""
+
+    nb_servers: int = 1000
+    sharding_access_fraction: float = 0.1
+
+    def shuffle_partitions(self, cap: int = 2000) -> int:
+        """Map the modeled cluster onto a Spark knob: one shuffle partition
+        per modeled server, capped (AQE coalesces below this at runtime)."""
+        return min(self.nb_servers, cap)
+
+
+@dataclass(frozen=True)
+class CollectionStats:
+    """Reference per-collection statistics (`challenge/models.py:39-44`,
+    `main.py:22-35`).  In this engine real data supersedes these (ANALYZE
+    TABLE / CBO); the loader exists so reference stats.json files remain
+    usable as *hints* (e.g. expected NDVs for workload planning)."""
+
+    nb_documents: int = 0
+    distinct_values: dict[str, int] = None  # type: ignore[assignment]
+    avg_array_lengths: dict[str, float] = None  # type: ignore[assignment]
+    field_selectivity: dict[str, float] = None  # type: ignore[assignment]
+    sharding_key: str | None = None
+
+
+def load_stats(path: str | Path) -> tuple[ClusterConfig, dict[str, CollectionStats]]:
+    """S4: parse the reference stats format — ``{"cluster": {...},
+    "collections": {name: {...}}}`` (`challenge/loader.py:53-76`,
+    `chapter5/loader.py:32-54`)."""
+    data = json.loads(Path(path).read_text())
+    cl = data.get("cluster", {})
+    cluster = ClusterConfig(
+        nb_servers=int(cl.get("nb_servers", 1000)),
+        sharding_access_fraction=float(cl.get("sharding_access_fraction", 0.1)),
+    )
+    stats: dict[str, CollectionStats] = {}
+    for name, s in data.get("collections", {}).items():
+        stats[name] = CollectionStats(
+            nb_documents=int(s.get("nb_documents", 0)),
+            distinct_values={k: int(v) for k, v in s.get("distinct_values", {}).items()},
+            avg_array_lengths={
+                k: float(v) for k, v in s.get("avg_array_lengths", {}).items()
+            },
+            field_selectivity={
+                k: float(v) for k, v in s.get("field_selectivity", {}).items()
+            },
+            sharding_key=s.get("sharding_key"),
+        )
+    return cluster, stats
+
+
+def load_flat_schema(path: str | Path) -> dict[str, dict]:
+    """S3: the challenge's flat schema format — ``{"collections": {name:
+    {"primary_key": ..., "fields": {fname: {"type", "avg_size"}}}}}``
+    (`challenge/loader.py:35-50`).  Returns per-collection field specs;
+    combine with sources.schema_loader for nested JSON-Schema dialects."""
+    data = json.loads(Path(path).read_text())
+    return {
+        name: {
+            "primary_key": c.get("primary_key"),
+            "fields": dict(c.get("fields", {})),
+        }
+        for name, c in data.get("collections", {}).items()
+    }

@@ -147,3 +147,50 @@ def test_schema_usable_for_spark_read(spark, tmp_path):
     )
     df = spark.createDataFrame([(1, "x")], schema=st)
     assert df.schema == st
+
+
+def test_stats_and_flat_schema_loaders(tmp_path):
+    from bigdatastructure_a5_spark.sources.json_config import (
+        load_flat_schema,
+        load_stats,
+    )
+
+    (tmp_path / "stats.json").write_text(
+        json.dumps(
+            {
+                "cluster": {"nb_servers": 1000, "sharding_access_fraction": 0.1},
+                "collections": {
+                    "Product": {
+                        "nb_documents": 100000,
+                        "distinct_values": {"brand": 5000},
+                        "field_selectivity": {"brand": 0.0005},
+                        "sharding_key": "IDP",
+                    }
+                },
+            }
+        )
+    )
+    cluster, stats = load_stats(tmp_path / "stats.json")
+    assert cluster.nb_servers == 1000
+    assert cluster.shuffle_partitions() == 1000
+    assert stats["Product"].distinct_values["brand"] == 5000
+    assert stats["Product"].sharding_key == "IDP"
+
+    (tmp_path / "schema.json").write_text(
+        json.dumps(
+            {
+                "collections": {
+                    "Product": {
+                        "primary_key": "IDP",
+                        "fields": {
+                            "IDP": {"type": "integer"},
+                            "brand": {"type": "string", "avg_size": 40},
+                        },
+                    }
+                }
+            }
+        )
+    )
+    flat = load_flat_schema(tmp_path / "schema.json")
+    assert flat["Product"]["primary_key"] == "IDP"
+    assert flat["Product"]["fields"]["brand"]["avg_size"] == 40
