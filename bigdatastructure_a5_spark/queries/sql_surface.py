@@ -135,3 +135,79 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", k.alias("k_value")).filter(
         F.col("k_value") > 80
     )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, YEAR(CAST(l_shipdate AS DATE)) AS ship_year,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, YEAR(CAST(l_shipdate AS DATE)))
+    """,
+    tags=("ext:agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (flag, ship year): all four grouping-set combinations in one
+    pass (Spark Expand + single shuffle, not four scans)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year(F.to_date("l_shipdate"))
+    )
+    return (
+        li.cube("l_returnflag", "ship_year")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .select("l_returnflag", "ship_year", "n_lines")
+    )
+
+
+@query(
+    "filter_over_intermediate",
+    oracle="""
+    SELECT l_partkey, n_lines, sum_qty
+    FROM (
+      SELECT l_partkey, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    ) t
+    WHERE n_lines = 30
+    """,
+    tags=("O7",),
+)
+def filter_over_intermediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: a filter whose input is a prior step's output, not a base
+    collection (reference chapter5/simulator.py:102-131 `input_ref`) —
+    ordinary chained transformation in Spark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+    return agg.filter(F.col("n_lines") == 30)
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(LIST_MAX(embedding) AS DOUBLE) AS max_val,
+           LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+    tags=("ext:scalar",),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column functions over the embedding vectors: size, element
+    access, max, filtered count — the array toolbox the reference's type
+    system sizes but never computes on (SURVEY §1.2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.col("embedding").getItem(0).cast("double").alias("first_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )

@@ -80,3 +80,17 @@ def test_chapter5_workload_reproduces_reference_ordering(
             r.metrics.output_rows for r in report.rows if r.query == q
         }
         assert len(counts) == 1
+
+
+def test_cbo_estimates_after_analyze(spark, sf_dir):
+    """§4 parity: with ANALYZE TABLE stats, Catalyst's CBO carries row counts
+    (the reference's 1/NDV selectivity model is CBO's FilterEstimation)."""
+    spark.sql("DROP TABLE IF EXISTS cbo_part")
+    load_table(spark, sf_dir, "part").write.saveAsTable("cbo_part")
+    spark.sql("ANALYZE TABLE cbo_part COMPUTE STATISTICS FOR ALL COLUMNS")
+    t = spark.table("cbo_part")
+    est_all = estimated_stats(t)
+    assert est_all.get("row_count") == t.count()
+    est_f = estimated_stats(t.filter(F.col("p_brand") == "Brand#12"))
+    # CBO filter estimate ~ rows/NDV(brand): between 1 and 10% of the table
+    assert 1 <= est_f.get("row_count", 0) <= 0.1 * est_all["row_count"]
