@@ -394,7 +394,7 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
     return (
-        c.withColumn("rn", F.row_number().over(w))
+        c.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
     )
@@ -427,8 +427,8 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.upper("o_orderstatus"), F.lit("-"), F.substring("o_orderpriority", 1, 1)
         ).alias("status_code"),
-        F.year(d).alias("order_year"),
-        F.month(d).alias("order_month"),
+        F.year(d).cast("bigint").alias("order_year"),
+        F.month(d).cast("bigint").alias("order_month"),
         F.floor("o_totalprice").cast("bigint").alias("total_floor"),
         F.date_add(d, 30).alias("due_date"),
     )

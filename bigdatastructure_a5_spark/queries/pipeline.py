@@ -99,8 +99,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
     )
 
 
@@ -302,7 +302,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         lang_id("text").alias("detected_lang"),
-        lang_scores("text")["en"].alias("en_markers"),
+        lang_scores("text")["en"].cast("bigint").alias("en_markers"),
     )
 
 

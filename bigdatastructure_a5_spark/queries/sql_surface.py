@@ -151,7 +151,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (flag, ship year): all four grouping-set combinations in one
     pass (Spark Expand + single shuffle, not four scans)."""
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "ship_year", F.year(F.to_date("l_shipdate"))
+        "ship_year", F.year(F.to_date("l_shipdate")).cast("bigint")
     )
     return (
         li.cube("l_returnflag", "ship_year")
@@ -206,8 +206,8 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
         F.col("embedding").getItem(0).cast("double").alias("first_val"),
         F.array_max("embedding").cast("double").alias("max_val"),
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_positive"),
     )

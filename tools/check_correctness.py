@@ -66,9 +66,10 @@ def main() -> int:
                 print(f"FAIL  {name}: empty result")
             continue
         try:
-            res = con.execute(qd.oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(qd.oracle)
+            d_cols = list(rel.columns)
+            d_typestrs = [str(t) for t in rel.types]
+            d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -77,6 +78,30 @@ def main() -> int:
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        else:
+            # dtype kinds must align too (the driver checks schema, not just
+            # names): compare via arrow-ish buckets int/float/str/ts/bool
+            def _kind(t: str) -> str:
+                t = t.lower()
+                for k in ("int", "long", "short", "byte", "hugeint"):
+                    if k in t:
+                        return "int"
+                for k in ("double", "float", "decimal", "real"):
+                    if k in t:
+                        return "float"
+                if "bool" in t:
+                    return "bool"
+                if "timestamp" in t or "date" in t:
+                    return "temporal"
+                return "str"
+
+            s_types = {c: _kind(t) for c, t in sdf.dtypes}
+            d_types = {c: _kind(t) for c, t in zip(d_cols, d_typestrs)}
+            for c in s_types:
+                if s_types[c] != d_types.get(c, s_types[c]):
+                    problems.append(
+                        f"dtype[{c}] spark={s_types[c]} duck={d_types[c]}"
+                    )
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if not problems:
