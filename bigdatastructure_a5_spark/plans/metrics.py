@@ -39,17 +39,20 @@ _SIZE_UNITS = {
 
 
 def _parse_metric(raw: str) -> float:
-    """Parse a formatted SQL-metric string: '6,000', '112.1 KiB',
-    'total (min, med, max...)' variants -> leading scalar in bytes/count."""
-    s = raw.strip().splitlines()[0]
-    m = re.match(r"^([\d.,]+)\s*([A-Za-z]+)?", s)
-    if not m:
-        return 0.0
-    value = float(m.group(1).replace(",", ""))
-    unit = m.group(2)
-    if unit in _SIZE_UNITS:
-        value *= _SIZE_UNITS[unit]
-    return value
+    """Parse a formatted SQL-metric string -> leading scalar in bytes/count.
+
+    Shapes seen: '6,000'; '112.1 KiB'; and for multi-task stages a LABEL
+    first line: 'total (min, med, max (stageId: taskId))\\n271.5 KiB (...)'
+    — so scan lines for the first one that starts with a number."""
+    for line in raw.strip().splitlines():
+        m = re.match(r"^([\d.,]+)\s*([A-Za-z]+)?", line.strip())
+        if m:
+            value = float(m.group(1).replace(",", ""))
+            unit = m.group(2)
+            if unit in _SIZE_UNITS:
+                value *= _SIZE_UNITS[unit]
+            return value
+    return 0.0
 
 
 @dataclass

@@ -94,3 +94,28 @@ def test_cbo_estimates_after_analyze(spark, sf_dir):
     est_f = estimated_stats(t.filter(F.col("p_brand") == "Brand#12"))
     # CBO filter estimate ~ rows/NDV(brand): between 1 and 10% of the table
     assert 1 <= est_f.get("row_count", 0) <= 0.1 * est_all["row_count"]
+
+
+def test_metric_parser_handles_multitask_label_lines():
+    from bigdatastructure_a5_spark.plans.metrics import _parse_metric
+
+    assert _parse_metric("6,000") == 6000
+    assert _parse_metric("112.1 KiB") == 112.1 * 1024
+    multi = "total (min, med, max (stageId: taskId))\n271.5 KiB (8.0 KiB, 8.5 KiB, 9.0 KiB (stage 3: task 7))"
+    assert _parse_metric(multi) == 271.5 * 1024
+    assert _parse_metric("total (min, med, max)") == 0.0
+
+
+def test_sharding_demo_reproduces_reference_ordering(spark, sf_dir):
+    """BASELINE Q6/Q7 (REPORT.md:150-155) on real layouts: the bucket-aligned
+    aggregation shuffles nothing; unaligned pays; cost ordering follows."""
+    from bigdatastructure_a5_spark.examples.sharding_demo import run
+
+    res = run(spark, sf_dir)
+    assert res["q6_sharded"].shuffle_bytes == 0
+    assert res["q6_unsharded"].shuffle_bytes > 0
+    assert res["q7_unaligned"].shuffle_bytes > 0
+    assert (
+        res["q6_sharded"].costs()["time"]
+        < res["q6_unsharded"].costs()["time"]
+    )
