@@ -102,13 +102,33 @@ def run_with_metrics(
     """Execute ``df`` (noop sink: full execution, no driver collect) and pull
     its metrics from the SQL status store — AQE-safe, unlike walking
     ``executedPlan`` (an AdaptiveSparkPlanExec exposes no children)."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsList()
+    last_eid_before = before.last().executionId() if before.size() > 0 else -1
+
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()
     wall = time.perf_counter() - t0
 
-    store = spark._jsparkSession.sharedState().statusStore()
-    ex = store.executionsList().last()
-    eid = ex.executionId()
+    # the status store is fed by an ASYNC listener bus: poll until our
+    # execution (id > pre-action max) is registered, else last() can hand
+    # back the previous query's metrics under load
+    eid = None
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        lst = store.executionsList()
+        if lst.size() > 0 and lst.last().executionId() > last_eid_before:
+            eid = lst.last().executionId()
+            break
+        time.sleep(0.05)
+    if eid is None:  # fall back to whatever is newest
+        eid = store.executionsList().last().executionId()
+    # metric values are aggregated asynchronously too — wait for completion
+    while time.time() < deadline:
+        ex = store.execution(eid)
+        if ex.isDefined() and ex.get().completionTime().isDefined():
+            break
+        time.sleep(0.05)
     graph = store.planGraph(eid)
     values = store.executionMetrics(eid)
 

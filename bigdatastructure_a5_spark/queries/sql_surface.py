@@ -211,3 +211,26 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("embedding").cast("double").alias("max_val"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_positive"),
     )
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    ) t
+    """,
+    tags=("ext:setops",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): building-segment customers who have a finished
+    order — completes the set-operation family (union/except/intersect)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)

@@ -88,3 +88,12 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup by event_id within the watermark horizon — the
+    streaming twin of the batch dedup_exact operator.  State holds one key
+    per event_id younger than the watermark; older duplicates are dropped by
+    construction (and their state evicted), which is how exactly-once-ish
+    ingestion dedup runs at 100 TB/day."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

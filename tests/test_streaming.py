@@ -78,3 +78,23 @@ def test_stateful_user_profiles_match_batch(spark, sf_dir):
     for uid, (n, s) in batch.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - s) < 0.005  # integer-cents accumulation
+
+
+def test_streaming_dedup_drops_replayed_events(spark, sf_dir):
+    from bigdatastructure_a5_spark.streaming.events import dedup_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    # replay the stream against itself: every event arrives twice
+    doubled = stream.union(stream)
+    deduped = dedup_stream(doubled)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_test").count()
+    expected = load_table(spark, sf_dir, "events").count()
+    assert got == expected
