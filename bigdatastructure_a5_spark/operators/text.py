@@ -102,15 +102,19 @@ def bpe_token_count(text_col: Column | str) -> Column:
 
 
 def rolling_fingerprint(text_col: Column | str, base: int = 131, mod: int = (1 << 31) - 1) -> Column:
-    """Order-sensitive polynomial rolling hash over token hashes:
-    ``h = (h*base + hash(tok)) mod (2^31-1)`` — unlike the md5 fingerprint
-    this is incremental (streaming-friendly) and content-order sensitive.
-    Token hashes are reduced below ``mod`` so the fold never overflows a
-    64-bit long (acc*131 + tok < 2^38).
+    """Order-sensitive polynomial rolling hash over the characters of the
+    normalized text: ``h = (h*base + ascii(c)) mod (2^31-1)`` — unlike the
+    md5 fingerprint this is incremental (streaming/rolling-window friendly)
+    and content-order sensitive.  The accumulator stays below ``mod`` so the
+    fold never overflows a 64-bit long (acc*131 + 127 < 2^38), and the char
+    basis makes it expressible in plain SQL (cross-engine oracle-checkable:
+    DuckDB's ``list_reduce`` with a prepended 0 seed folds identically).
     """
-    toks = tokens(text_col)
+    from bigdatastructure_a5_spark.functions.hashing import normalized_text
+
+    chars = F.split(normalized_text(text_col), "")
     return F.aggregate(
-        toks,
+        chars,
         F.lit(0).cast("bigint"),
-        lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(mod))) % F.lit(mod),
+        lambda acc, c: (acc * base + F.ascii(c)) % F.lit(mod),
     )

@@ -378,12 +378,25 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
 
 
-@query("text_rolling_fingerprint", oracle=None, tags=("ext:text",))
+@query(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           LIST_REDUCE(
+             LIST_PREPEND(
+               CAST(0 AS BIGINT),
+               LIST_TRANSFORM(STRING_SPLIT({_NORM_SQL}, ''), c -> CAST(ASCII(c) AS BIGINT))
+             ),
+             (a, b) -> (a * 131 + b) % 2147483647
+           ) AS fingerprint
+    FROM documents
+    """,
+    tags=("ext:text",),
+)
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive polynomial rolling hash per document (streaming-
-    friendly fingerprint, unlike the order-insensitive md5 of the whole
-    text).  xxhash64-based, hence no SQL oracle (rows-only check);
-    determinism is pytest-verified."""
+    friendly, unlike the order-insensitive-of-position md5): char-level
+    fold, bit-identical across engines (oracle via DuckDB list_reduce)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", rolling_fingerprint("text").alias("fingerprint")
