@@ -432,3 +432,18 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = media_from_documents(docs)
     return decode_media(media).select("media_id", "kind", "n_bytes")
+
+
+@query("sim_ann_ivf", oracle=None, tags=("ext:similarity",))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: sample-fit coarse quantizer (16 cells, seeded
+    Lloyd), distributed cell assignment, probe the 4 cells nearest the
+    query, exact cosine on ~4/16 of the corpus.  Data-dependent complement
+    to the hyperplane-LSH variant; recall measured in tests; probabilistic
+    by construction, hence rows-only check."""
+    from bigdatastructure_a5_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return ivf_topk(
+        emb, _query_vector(spark, sf_dir, 0), k=10, n_centroids=16, n_probe=4
+    )

@@ -126,3 +126,27 @@ def test_cosine_pairs_symmetric_threshold(spark, sf_dir):
     rows = cosine_pairs(emb, threshold=0.45).collect()
     assert all(r.id_a < r.id_b and r.cosine >= 0.45 for r in rows)
     assert len(rows) > 0
+
+
+def test_ivf_recall_and_pruning(spark, sf_dir):
+    from bigdatastructure_a5_spark.operators.similarity import (
+        fit_centroids_sample,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = list(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()
+        .embedding
+    )
+    exact = [r.vec_id for r in brute_force_topk(emb, qv, k=10).collect()]
+    approx = ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=4).collect()
+    assert len(approx) == 10
+    recall = len(set(exact) & {r.vec_id for r in approx}) / 10
+    assert recall >= 0.2, (recall, exact, [r.vec_id for r in approx])
+    # the quantizer is deterministic (seeded, sample via limit)
+    c1 = fit_centroids_sample(emb, 16)
+    c2 = fit_centroids_sample(emb, 16)
+    assert (c1 == c2).all()
