@@ -12,6 +12,7 @@ from bigdatastructure_a5_spark.functions.vectors import (  # noqa: F401
 )
 from bigdatastructure_a5_spark.functions.hashing import (  # noqa: F401
     word_shingles,
+    word_shingles_from_tokens,
     normalized_text,
     md5_fingerprint,
 )

@@ -48,6 +48,28 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Shingles from an already-materialized token-array COLUMN.
+
+    Use this (not ``word_shingles``) in hot paths: when the lambda inside
+    ``transform`` closes over a nested expression like ``split(...)``,
+    Catalyst re-evaluates that whole subtree per element — O(tokens²) work
+    per document (measured 9x slower at sf0.1).  Binding the token array to
+    a real column first makes each element O(n).
+    """
+    t = _as_col(toks)
+    count = F.size(t) - F.lit(n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def md5_fingerprint(col: Column | str) -> Column:
     """Stable content fingerprint of the normalized text."""
     return F.md5(normalized_text(col))

@@ -20,17 +20,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdatastructure_a5_spark.functions.hashing import word_shingles
+from bigdatastructure_a5_spark.functions.hashing import (
+    tokens,
+    word_shingles_from_tokens,
+)
 
 
 def shingle_sets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, shingles: array<string> DISTINCT word n-grams). Documents shorter
-    than n words have empty sets and cannot match anything."""
+    than n words have empty sets and cannot match anything.
+
+    Tokenizes into a materialized column first so the shingling transform
+    binds a column reference, not a nested split() — see
+    ``word_shingles_from_tokens`` for why that is ~9x faster."""
     return df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).select(
+        "id",
+        F.array_distinct(word_shingles_from_tokens("toks", n)).alias("shingles"),
     )
 
 
