@@ -24,22 +24,48 @@ from bigdatastructure_a5_spark.functions.hashing import (
     tokens,
     word_shingles_from_tokens,
 )
+from bigdatastructure_a5_spark.session import ensure_min_partitions
 
 
 def shingle_sets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingles: array<string> DISTINCT word n-grams). Documents shorter
-    than n words have empty sets and cannot match anything.
+    """(id, shingles: array<bigint> DISTINCT xxhash64'd word n-grams).
+    Documents shorter than n words have empty sets and cannot match anything.
 
-    Tokenizes into a materialized column first so the shingling transform
-    binds a column reference, not a nested split() — see
-    ``word_shingles_from_tokens`` for why that is ~9x faster."""
-    return df.select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
-    ).select(
-        "id",
-        F.array_distinct(word_shingles_from_tokens("toks", n)).alias("shingles"),
+    Two deliberate representation choices, both for the 100 TB case:
+
+    - Tokenize into a materialized column first so the shingling transform
+      binds a column reference, not a nested split() — see
+      ``word_shingles_from_tokens`` for why that is ~9x faster.
+    - Hash each shingle to 8 bytes IMMEDIATELY and keep only hashes: every
+      downstream consumer (minhash, inverted-index join, intersection
+      counts) compares shingles for equality, never reads them back, so
+      carrying strings just inflates shuffle/cache width (measured ~10x
+      slower to persist).  |distinct hashes| == |distinct strings| short of
+      a 64-bit collision (birthday bound ~2^32 distinct shingles), the same
+      risk the hash-join already takes.
+    - Drop the too-short documents HERE, as a linear token-count check
+      between tokenize and shingle.  A downstream
+      ``filter(size(shingles) > 0)`` looks equivalent but is poison:
+      Catalyst pushes it below this projection and inlines the whole
+      split() into every element_at of the predicate — re-tokenizing per
+      shingle position, O(tokens²) per document (measured 10x slower than
+      the projection itself).  Consumers may assume every emitted set is
+      non-empty.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "id",
+            F.array_distinct(
+                F.transform(
+                    word_shingles_from_tokens("toks", n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("shingles"),
+        )
     )
 
 
@@ -59,12 +85,11 @@ def minhash_signatures(
     sf0.1.  The aggregate form is all codegen, does map-side partial mins,
     and its shuffle carries one 128-long signature per doc per partition.
     """
-    # hash the (variable-length) shingle string ONCE, then derive the salted
-    # family from the 8-byte value — the 128 per-row hashes each touch 12
-    # bytes instead of re-hashing the whole string.
-    exploded = shingled.filter(F.size("shingles") > 0).select(
-        "id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("gh")
-    )
+    # shingles are already 8-byte hashes; the salted family re-hashes 12
+    # bytes per (row, i) instead of a whole string.  shingle_sets guarantees
+    # non-empty sets (do NOT re-filter on size(shingles) — see its
+    # docstring for why that predicate is pathological).
+    exploded = shingled.select("id", F.explode("shingles").alias("gh"))
     mins = exploded.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("gh"))).alias(f"h{i}")
@@ -101,6 +126,10 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bhash")
+    # The self-join evaluates its child once PER SIDE — without a persist
+    # the whole shingle -> minhash -> banding subtree (the expensive
+    # 64-min aggregation) runs twice.
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -127,7 +156,9 @@ def jaccard_pairs(
     only of those pairs.  Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — exact integer
     counts, one deterministic double division.
     """
-    nonempty = shingled.filter(F.size("shingles") > 0)
+    # shingle_sets emits only non-empty sets; no size filter needed (and a
+    # size-on-computed-array predicate is pathological — see shingle_sets).
+    nonempty = shingled
 
     if candidates is not None:
         # verification path: candidate pairs are few — join their shingle
@@ -156,10 +187,16 @@ def jaccard_pairs(
     # would need ~2^32 distinct shingles to be likely (birthday bound);
     # counts stay exact far beyond this corpus, and the DuckDB oracle
     # (string joins) would expose one deterministically.
+    #
+    # The shingle sets feed four consumers here (both self-join sides +
+    # both size lookups); Spark never shares a subtree across a join, so
+    # persist the single shingling pass — spread across the executor pool
+    # first, since a one-split source would otherwise tokenize and
+    # cache-encode in a single task.  Same calls at 100 TB, just
+    # StorageLevel.DISK_ONLY or a checkpoint.
+    nonempty = ensure_min_partitions(nonempty).persist()
     sizes = nonempty.select("id", F.size("shingles").alias("n"))
-    exploded = shingled.select(
-        "id", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("g")
-    )
+    exploded = nonempty.select("id", F.explode("shingles").alias("g"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(
@@ -198,7 +235,11 @@ def near_duplicates_minhash(
 ) -> DataFrame:
     """Full scalable pipeline: shingle -> minhash -> LSH bucket-join ->
     exact-Jaccard verification of candidates only."""
-    shingled = shingle_sets(df, id_col, text_col, shingle_n)
+    # Consumed by both the signature branch and the verification joins;
+    # one parallel shingling pass instead of three.
+    shingled = ensure_min_partitions(
+        shingle_sets(df, id_col, text_col, shingle_n)
+    ).persist()
     sigs = minhash_signatures(shingled, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return jaccard_pairs(shingled, threshold, candidates=cands)
@@ -272,6 +313,9 @@ def simhash_near_pairs(
             )
         ).alias("ck"),
     ).select("id", "simhash", "ck.c", "ck.v")
+    # Self-join: persist so the fingerprint subtree (explode + 64
+    # conditional sums) is computed once, not once per side.
+    chunked = chunked.persist()
     a, b = chunked.alias("a"), chunked.alias("b")
     return (
         a.join(

@@ -58,3 +58,18 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_min_partitions(df, n: int | None = None):
+    """Repartition ``df`` up to the session's parallelism if it is narrower.
+
+    A small parquet table arrives as one split, so every narrow stage —
+    including the columnar encoding done by ``persist()`` — runs in a single
+    task.  Multi-pass pipelines (minhash, inverted-index joins) repartition
+    first so compute and cache-build use the whole executor pool.  A no-op
+    when the input is already wide (the 100 TB case: thousands of splits).
+    """
+    target = n or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
