@@ -260,8 +260,10 @@ def simhash64(
     from bigdatastructure_a5_spark.functions.hashing import tokens
 
     # plain split for unigrams — word_shingles(n=1) would route through a
-    # nested higher-order expression that leaves whole-stage codegen
-    toks = df.select(
+    # nested higher-order expression that leaves whole-stage codegen.
+    # Spread a one-split source first: the explode + 64 partial sums are
+    # the heavy map side and would otherwise run in a single task.
+    toks = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(text_col)).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

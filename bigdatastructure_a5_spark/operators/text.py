@@ -42,6 +42,46 @@ def lang_scores(text_col: Column | str) -> dict[str, Column]:
     return {lang: _marker_count(toks, lang) for lang in STOPWORDS}
 
 
+def with_lang_scores(df, text_col: str = "text", prefix: str = "sc_"):
+    """Append one ``{prefix}{lang}`` marker-count column per language.
+
+    Two projections on purpose: the token array is materialized first, and
+    because ``split()`` is not a cheap expression referenced once,
+    CollapseProject leaves it materialized — each score column then scans
+    the SAME array.  Composing ``lang_scores`` expressions inline instead
+    re-tokenizes once per language (and once per duplicated branch of any
+    downstream when-chain)."""
+    toks_c = F.col("__toks")
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .select(
+            "*",
+            *[
+                _marker_count(toks_c, lang).alias(f"{prefix}{lang}")
+                for lang in STOPWORDS
+            ],
+        )
+        .drop("__toks")
+    )
+
+
+def lang_id_from_scores(prefix: str = "sc_") -> Column:
+    """Argmax language over materialized ``{prefix}{lang}`` columns (cheap
+    column references, safe to duplicate through the when-chain);
+    deterministic tie-break by lexicon order; 'und' when no marker hits."""
+    best = None
+    best_score = None
+    for lang in STOPWORDS:
+        s = F.col(f"{prefix}{lang}")
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
 def lang_id(text_col: Column | str) -> Column:
     """Argmax language by marker count; deterministic tie-break by the fixed
     lexicon order (en, es, de, fr); 'und' (undetermined) when no marker hits.

@@ -319,12 +319,15 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     label, so the detector mechanics are what's under test (multilingual
     behavior is unit-tested on real phrases in pytest)."""
     docs = load_table(spark, sf_dir, "documents")
-    from bigdatastructure_a5_spark.operators.text import lang_scores
+    from bigdatastructure_a5_spark.operators.text import (
+        lang_id_from_scores,
+        with_lang_scores,
+    )
 
-    return docs.select(
+    return with_lang_scores(docs, "text").select(
         "doc_id",
-        lang_id("text").alias("detected_lang"),
-        lang_scores("text")["en"].cast("bigint").alias("en_markers"),
+        lang_id_from_scores().alias("detected_lang"),
+        F.col("sc_en").cast("bigint").alias("en_markers"),
     )
 
 
