@@ -57,3 +57,84 @@ def test_vector_ops(spark):
     assert row.dot == 18.0
     assert row.na == 3.0
     assert math.isclose(row.cos, 1.0, rel_tol=1e-12)
+
+
+def test_word_shingles_from_tokens_matches_word_shingles(spark):
+    """The hot-path (materialized-tokens) shingler is semantically identical
+    to the single-expression form, including the short-document guard."""
+    from bigdatastructure_a5_spark.functions.hashing import (
+        tokens,
+        word_shingles_from_tokens,
+    )
+
+    texts = [("a b c d e",), ("one two three",), ("x y",), ("",), ("  Sp  ACE   s ",)]
+    df = spark.createDataFrame(texts, ["text"])
+    ref = [r.sh for r in df.select(word_shingles("text", 3).alias("sh")).collect()]
+    got = [
+        r.sh
+        for r in df.select(tokens("text").alias("toks"))
+        .select(word_shingles_from_tokens("toks", 3).alias("sh"))
+        .collect()
+    ]
+    assert got == ref
+
+
+def test_shingle_sets_hashes_and_drops_short_docs(spark):
+    """shingle_sets emits DISTINCT xxhash64 values and no empty sets (short
+    docs are dropped by the linear pre-filter, never by a size(computed)
+    predicate — see the docstring for the pushdown trap)."""
+    from bigdatastructure_a5_spark.operators.dedup import shingle_sets
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r.id: r.shingles for r in shingle_sets(df).collect()}
+    assert set(rows) == {1}  # docs 2 and 3 are shorter than n=3
+    expected = {
+        r.h
+        for r in spark.createDataFrame([("a b c",), ("b c a",), ("c a b",)], ["s"])
+        .select(F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    assert set(rows[1]) == expected  # distinct hashes of the distinct trigrams
+
+
+def test_ensure_min_partitions(spark):
+    from bigdatastructure_a5_spark.session import ensure_min_partitions
+
+    narrow = spark.range(100).coalesce(1)
+    widened = ensure_min_partitions(narrow)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    already_wide = spark.range(100).repartition(64)
+    assert ensure_min_partitions(already_wide) is already_wide  # no-op
+
+
+def test_lang_scores_two_stage_matches_inline(spark):
+    """with_lang_scores + lang_id_from_scores == the single-expression
+    lang_id on multilingual fixtures."""
+    from bigdatastructure_a5_spark.operators.text import (
+        lang_id,
+        lang_id_from_scores,
+        with_lang_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy"),
+            (2, "el perro y la gata en un parque"),
+            (3, "der hund und die katze ist nicht da"),
+            (4, "le chien et la vache dans les champs est pour tous"),
+            (5, "zzz qqq www"),
+        ],
+        ["doc_id", "text"],
+    )
+    inline = {r.doc_id: r.l for r in df.select("doc_id", lang_id("text").alias("l")).collect()}
+    staged = {
+        r.doc_id: r.l
+        for r in with_lang_scores(df, "text")
+        .select("doc_id", lang_id_from_scores().alias("l"))
+        .collect()
+    }
+    assert staged == inline
+    assert staged[1] == "en" and staged[2] == "es" and staged[3] == "de"
+    assert staged[4] == "fr" and staged[5] == "und"
