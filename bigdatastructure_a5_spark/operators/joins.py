@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -70,3 +70,136 @@ def filter_then_join(
     if right_filter is not None:
         right = right.filter(right_filter)
     return equi_join(left, right, on, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: Sequence[str],
+    direction: str = "backward",
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join (beyond reference scope — SURVEY.md §2.3 lists it absent):
+    for each left row, attach the single right row with the greatest
+    ``right_time <= left_time`` within the same ``on`` key (``backward``;
+    ``forward`` takes the smallest ``right_time >= left_time``).
+
+    Spark-first shape: NOT an inequality join (which Spark would execute as
+    a broadcast-nested-loop and explode at scale) but a union + one window
+    pass — tag both inputs, sort each key's rows by time within one shuffle
+    partition, and carry the latest right payload forward with
+    ``last(ignorenulls=True)``.  Cost is exactly one hash shuffle on the key
+    plus a per-partition sort: the same work a SortMergeJoin would do,
+    with no candidate-pair blowup, and skewed keys respond to the usual
+    salting/AQE treatment.
+
+    Ties: a right row sorts BEFORE a left row at equal time, so an exact
+    timestamp match is attached (DuckDB ``ASOF JOIN``'s >= semantics).
+    Right rows with duplicate (key, time) make the pick engine-dependent —
+    deduplicate the right side first for deterministic output.
+
+    ``how='inner'`` drops left rows with no match; ``'left'`` keeps them
+    with null payload.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    t = "__t"
+    side = "__is_left"
+    lefted = left.select(
+        F.col(on).alias(on),
+        F.col(left_time).cast("timestamp").alias(t),
+        F.lit(1).alias(side),
+        F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_payload],
+    )
+    righted = right.select(
+        F.col(on).alias(on),
+        F.col(right_time).cast("timestamp").alias(t),
+        F.lit(0).alias(side),
+        F.lit(None).cast(lefted.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    )
+    order = [F.col(t).asc(), F.col(side).asc()] if direction == "backward" else [
+        F.col(t).desc(), F.col(side).asc()
+    ]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lefted.unionByName(righted).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in right_payload
+        ],
+    ).filter(F.col(side) == 1)
+    out = carried.select(
+        "__l.*",
+        *[F.col(f"__m_{c}").alias(f"r_{c}") for c in right_payload],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"r_{right_payload[0]}").isNotNull())
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    low_seconds: int,
+    high_seconds: int,
+) -> DataFrame:
+    """Banded range join (beyond reference scope): pair each left row with
+    every right row of the same key whose time lies in
+    ``[left_time + low_seconds, left_time + high_seconds]``.
+
+    Spark-first shape: a raw ``t BETWEEN ...`` theta-join degenerates to a
+    nested-loop; instead both sides are bucketed on time (bucket width =
+    interval span), the left side duplicates into each bucket its window
+    overlaps (at most 2 rows when the bucket equals the span), and the
+    equi-join on (key, bucket) is followed by the exact range filter.
+    Shuffle volume is ~2x the inputs instead of |keys| x |pairs| probes —
+    the standard interval-join strategy (cf. Flink's interval join).
+
+    Returns left columns + the matching right row's time and payload
+    prefixed ``r_``; compose aggregations on top.
+    """
+    span = (high_seconds - low_seconds) * 1_000_000
+    if span <= 0:
+        raise ValueError("high_seconds must exceed low_seconds")
+    low_us = low_seconds * 1_000_000
+    high_us = high_seconds * 1_000_000
+    # microsecond epoch arithmetic: cast("long") would truncate to whole
+    # seconds and disagree with interval comparisons at the window edges.
+    le = left.select(
+        "*", F.unix_micros(F.col(left_time).cast("timestamp")).alias("__lt")
+    )
+    ri = right.select(
+        F.col(on).alias("__rk"),
+        F.unix_micros(F.col(right_time).cast("timestamp")).alias("__rt"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (on, right_time)],
+    ).withColumn("__rbucket", F.floor(F.col("__rt") / span))
+    exploded = le.withColumn(
+        "__lbucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__lt") + low_us) / span),
+                F.floor((F.col("__lt") + high_us) / span),
+            )
+        ),
+    )
+    joined = exploded.join(
+        ri,
+        (exploded[on] == ri["__rk"]) & (exploded["__lbucket"] == ri["__rbucket"]),
+    ).filter(
+        (F.col("__rt") >= F.col("__lt") + low_us)
+        & (F.col("__rt") <= F.col("__lt") + high_us)
+    )
+    return joined.drop("__lt", "__rt", "__rk", "__lbucket", "__rbucket")

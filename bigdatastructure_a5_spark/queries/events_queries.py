@@ -135,3 +135,102 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "join_asof_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, ts, MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           v.view_event_id, v.ts AS view_ts
+    FROM clicks c ASOF JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    tags=("ext:events", "ext:asof"),
+)
+def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent from the reference AND from Spark's built-ins —
+    SURVEY.md §2.3): attribute each click to the user's latest
+    prior-or-simultaneous view.  Implemented as union + carry-forward
+    window (operators.joins.asof_join), one shuffle on user_id, no
+    inequality-join explosion; the DuckDB oracle is a literal ASOF JOIN.
+    The view side is deduplicated per (user_id, ts) so the pick at equal
+    timestamps is engine-independent."""
+    from bigdatastructure_a5_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    return asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["view_event_id", "ts"],
+        how="inner",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_view_event_id").alias("view_event_id"),
+        F.col("r_ts").alias("view_ts"),
+    )
+
+
+@query(
+    "join_range_error_context",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts, COUNT(*) AS n_recent_clicks
+    FROM e JOIN c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 14400 SECOND
+     AND c.ts <= e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+    tags=("ext:events", "ext:range-join"),
+)
+def join_range_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (absent from the reference; a raw theta-join in
+    Spark degenerates to nested-loop): for each error event, how many
+    clicks the same user made in the preceding four hours.  The operator
+    buckets both sides on time (bucket = window span) and equi-joins on
+    (user, bucket) before the exact microsecond-precision range filter —
+    shuffle ~2x input instead of a pair explosion."""
+    from bigdatastructure_a5_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    paired = range_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        low_seconds=-14400,
+        high_seconds=0,
+    )
+    return paired.groupBy("event_id", "user_id", "ts").agg(
+        F.count(F.lit(1)).alias("n_recent_clicks")
+    )
