@@ -44,3 +44,46 @@ def test_aggregate_is_partial_then_final(spark, sf_dir):
 def test_topk_avoids_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sort_limit_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_has_no_nested_loop(spark, sf_dir):
+    """The as-of join must compile to window-over-union — ONE shuffle on the
+    key — never to the BroadcastNestedLoop/Cartesian a naive inequality
+    join produces (which explodes at scale)."""
+    plan = _plan(spark, sf_dir, "join_asof_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The banded range join must execute as an equi-join on (key, bucket)
+    with the exact range as a post-filter — no nested-loop pair explosion."""
+    plan = _plan(spark, sf_dir, "join_range_error_context")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_simhash_fingerprints_have_no_exchange(spark, sf_dir):
+    """Map-side simhash: the fingerprint computation is a pure projection.
+    (The full near-pair query still shuffles for the candidate self-join;
+    this guards the fingerprint stage itself.)"""
+    from bigdatastructure_a5_spark.catalog import load_table
+    from bigdatastructure_a5_spark.operators.dedup import simhash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        simhash64(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only allowed exchange is the ensure_min_partitions round-robin
+    # spread of a one-split source — never a hash/range (aggregation) one
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "HashAggregate" not in plan
