@@ -87,3 +87,14 @@ def test_simhash_fingerprints_have_no_exchange(spark, sf_dir):
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_composite_query_composes_all_guarantees(spark, sf_dir):
+    """One plan must show all the per-operator physical properties at once:
+    pushed filters, broadcast dimension, partial aggregation, and top-k
+    without a global sort."""
+    plan = _plan(spark, sf_dir, "composite_shipping_priority")
+    assert "PushedFilters: [" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
