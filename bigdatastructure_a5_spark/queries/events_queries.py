@@ -234,3 +234,51 @@ def join_range_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.groupBy("event_id", "user_id", "ts").agg(
         F.count(F.lit(1)).alias("n_recent_clicks")
     )
+
+
+@query(
+    "events_streaming_rollup",
+    # the SAME oracle a batch rollup would use: Structured Streaming with
+    # AvailableNow over a finite source must produce exactly the batch
+    # answer (deterministic aggregates only — count + exact decimal sum).
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour_ts,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+    tags=("ext:streaming",),
+)
+def events_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL Structured Streaming execution in the correctness gate: read
+    the events fixture as a file-source stream, run a watermarked tumbling
+    1-hour rollup, drive it to completion with Trigger.AvailableNow into a
+    memory sink, and hash-match the result against the batch SQL oracle.
+    Proves stream==batch for the deterministic aggregates (count, exact
+    decimal sum); the approx_count_distinct variant lives in
+    streaming/events.hourly_rollup_stream and is pytest-compared instead."""
+    from bigdatastructure_a5_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    rolled = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(spark, rolled, name="events_streaming_rollup_sink")

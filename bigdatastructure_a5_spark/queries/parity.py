@@ -490,3 +490,32 @@ def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_l_quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_l_extendedprice
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ext:skew",),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.salted_agg) on a
+    3-group key — the worst reduce-side skew shape: 600k rows land on 3
+    reducers unsalted.  Salting spreads each group over 16 sub-keys before
+    the final combine; the result is EXACTLY the plain GROUP BY (decimal
+    sums are associative), which the oracle hash-checks.  AQE splits skewed
+    joins but not aggregations — this is the aggregation-side tool."""
+    from bigdatastructure_a5_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li, ["l_returnflag"], ["l_quantity", "l_extendedprice"], salt=16
+    )
