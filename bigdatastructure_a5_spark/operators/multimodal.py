@@ -134,3 +134,37 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "kind",
         F.posexplode(offsets).alias("frame_no", "byte_offset"),
     )
+
+
+def resize_media(
+    df: DataFrame, target_width: int, target_height: int = 1
+) -> DataFrame:
+    """'Resize' on the opaque payload — the bytes-in/bytes-out mapInPandas
+    shape (decode_media is bytes-in/features-out; this one must RETURN a
+    payload, which is the expensive half of a real thumbnailing pipeline).
+
+    Stub semantics (deterministic, library-free): the payload is tiled or
+    truncated to exactly ``target_width * target_height`` bytes, and the
+    metadata columns are rewritten to the new dimensions.  A real cluster
+    swaps the inner function for Pillow's ``resize``; the Spark contract —
+    Arrow batching, schema preservation, metadata consistency — is what is
+    exercised here.
+    """
+    target = target_width * target_height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def fit(p):
+                b = bytes(p) if p is not None else b""
+                if not b:
+                    return b"\x00" * target
+                reps = -(-target // len(b))  # ceil division
+                return (b * reps)[:target]
+
+            out = pdf.copy()
+            out["payload"] = [fit(p) for p in pdf["payload"]]
+            out["width"] = target_width
+            out["height"] = target_height
+            yield out
+
+    return df.mapInPandas(batches, schema=MEDIA_SCHEMA)

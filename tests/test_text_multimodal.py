@@ -103,3 +103,26 @@ def test_frame_sample_offsets(spark):
     rows = frame_sample(df, every_n_bytes=64).collect()
     assert [r.byte_offset for r in rows] == [0, 64, 128, 192]
     assert [r.frame_no for r in rows] == [0, 1, 2, 3]
+
+
+def test_resize_media_contract(spark):
+    """Bytes-in/bytes-out mapInPandas: exact target payload size, metadata
+    rewritten, schema preserved, deterministic tiling."""
+    from bigdatastructure_a5_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_from_documents,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "a longer payload than the target size")],
+        ["doc_id", "text"],
+    )
+    media = media_from_documents(docs)
+    out = resize_media(media, target_width=8, target_height=2)
+    assert out.schema == MEDIA_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert all(len(r.payload) == 16 for r in rows.values())
+    assert rows[1].payload == (b"abc" * 6)[:16]  # deterministic tiling
+    assert rows[2].payload == b"\x00" * 16       # empty payload -> zero fill
+    assert rows[3].width == 8 and rows[3].height == 2
