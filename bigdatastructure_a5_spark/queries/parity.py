@@ -519,3 +519,34 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg(
         li, ["l_returnflag"], ["l_quantity", "l_extendedprice"], salt=16
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT l_orderkey, l_partkey, p_brand, l_quantity
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 25
+    """,
+    tags=("ext:skew",),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-dimension join (operators/skew.salted_join): the fact
+    side spreads over 16 sub-keys, the filtered dimension replicates x16 —
+    the manual fallback for skew so extreme that even AQE's split
+    partitions overwhelm a task.  Salting must be result-invariant: the
+    oracle hash-checks it against the plain join."""
+    from bigdatastructure_a5_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    out = salted_join(li, part, key="p_partkey", salt=16)
+    return out.select(
+        "l_orderkey",
+        F.col("p_partkey").alias("l_partkey"),
+        "p_brand",
+        "l_quantity",
+    )

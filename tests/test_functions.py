@@ -138,3 +138,20 @@ def test_lang_scores_two_stage_matches_inline(spark):
     assert staged == inline
     assert staged[1] == "en" and staged[2] == "es" and staged[3] == "de"
     assert staged[4] == "fr" and staged[5] == "und"
+
+
+def test_approx_aggregates_error_bounds(spark, sf_dir):
+    """Approximate aggregates (absent from the reference, §2.4 'not
+    present'): approx_count_distinct within its default 5% rsd on a real
+    column, approx quantiles within the requested relative error."""
+    from bigdatastructure_a5_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = orders.select(F.countDistinct("o_custkey")).first()[0]
+    approx = orders.select(F.approx_count_distinct("o_custkey")).first()[0]
+    assert abs(approx - exact) / exact < 0.05 * 3  # 3 sigma of default rsd
+
+    med = orders.approxQuantile("o_totalprice", [0.5], 0.01)[0]
+    n = orders.count()
+    below = orders.filter(F.col("o_totalprice") <= med).count()
+    assert abs(below / n - 0.5) <= 0.02  # rank error bounded by rel. error
