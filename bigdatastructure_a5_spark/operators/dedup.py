@@ -31,7 +31,8 @@ def shingle_sets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, shingles: array<bigint> DISTINCT xxhash64'd word n-grams).
-    Documents shorter than n words have empty sets and cannot match anything.
+    Documents shorter than n words are dropped (their shingle set would be
+    empty — they cannot match anything).
 
     Two deliberate representation choices, both for the 100 TB case:
 

@@ -108,20 +108,25 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction}")
     t = "__t"
     side = "__is_left"
+    # The right payload travels as ONE struct: it is non-null exactly when
+    # the row came from the right side, so a single last(ignorenulls) always
+    # carries all columns from the SAME right row.  Per-column carries would
+    # mix rows whenever a matched row holds a null in one payload column.
+    righted = right.select(
+        F.col(on).alias(on),
+        F.col(right_time).cast("timestamp").alias(t),
+        F.lit(0).alias(side),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("__l")).schema["__l"].dataType
+        ).alias("__l"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("__r"),
+    )
     lefted = left.select(
         F.col(on).alias(on),
         F.col(left_time).cast("timestamp").alias(t),
         F.lit(1).alias(side),
         F.struct(*left.columns).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in right_payload],
-    )
-    righted = right.select(
-        F.col(on).alias(on),
-        F.col(right_time).cast("timestamp").alias(t),
-        F.lit(0).alias(side),
-        F.lit(None).cast(lefted.schema["__l"].dataType).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(righted.schema["__r"].dataType).alias("__r"),
     )
     order = [F.col(t).asc(), F.col(side).asc()] if direction == "backward" else [
         F.col(t).desc(), F.col(side).asc()
@@ -131,19 +136,20 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = lefted.unionByName(righted).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in right_payload
-        ],
-    ).filter(F.col(side) == 1)
+    carried = (
+        lefted.unionByName(righted)
+        .select("*", F.last("__r", ignorenulls=True).over(w).alias("__m"))
+        .filter(F.col(side) == 1)
+    )
     out = carried.select(
         "__l.*",
-        *[F.col(f"__m_{c}").alias(f"r_{c}") for c in right_payload],
+        *[F.col(f"__m.{c}").alias(f"r_{c}") for c in right_payload],
     )
     if how == "inner":
-        out = out.filter(F.col(f"r_{right_payload[0]}").isNotNull())
+        out = carried.filter(F.col("__m").isNotNull()).select(
+            "__l.*",
+            *[F.col(f"__m.{c}").alias(f"r_{c}") for c in right_payload],
+        )
     return out
 
 

@@ -104,3 +104,21 @@ def test_range_join_bounds_and_bucket_crossing(spark):
     out = range_join(left, right, on="k", left_time="t", right_time="t",
                      low_seconds=-300, high_seconds=0)
     assert {r.r_rid for r in out.collect()} == {201, 202, 203}
+
+
+def test_asof_null_payload_column_does_not_mix_rows(spark):
+    """A matched right row carrying a NULL in one payload column must NOT
+    have that column backfilled from an older right row — the whole payload
+    comes from the single as-of row (struct carry, not per-column carry)."""
+    left = spark.createDataFrame([(1, 1, _ts(20))], ["lid", "k", "t"])
+    right = spark.createDataFrame(
+        [(100, "old", 1, _ts(5)), (101, None, 1, _ts(10))],
+        ["rid", "note", "k", "t"],
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_payload=["rid", "note"], how="inner",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].r_rid == 101
+    assert out[0].r_note is None  # NOT "old"
