@@ -98,3 +98,57 @@ def test_streaming_dedup_drops_replayed_events(spark, sf_dir):
     got = spark.table("dedup_test").count()
     expected = load_table(spark, sf_dir, "events").count()
     assert got == expected
+
+
+def test_stream_stream_interval_join_equals_batch_range_join(spark, sf_dir):
+    """Stream-stream interval join (both sides watermarked, symmetric state)
+    over the finite fixture must produce exactly the batch range_join
+    pairs — AvailableNow delivers no late data, so eviction never drops a
+    row that batch would keep."""
+    from bigdatastructure_a5_spark.catalog import load_table
+    from bigdatastructure_a5_spark.operators.joins import range_join
+    from bigdatastructure_a5_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from bigdatastructure_a5_spark.streaming.joins import stream_interval_join
+
+    ev_s = read_events_stream(spark, sf_dir)
+    errors_s = ev_s.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks_s = ev_s.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts"), F.col("event_id").alias("click_id")
+    )
+    joined = stream_interval_join(
+        errors_s, clicks_s, on="user_id", low_seconds=-14400, high_seconds=0
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_result")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.r_click_id)
+        for r in spark.table("interval_join_result").collect()
+    }
+
+    ev_b = load_table(spark, sf_dir, "events")
+    errors_b = ev_b.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks_b = ev_b.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    expected = {
+        (r.event_id, r.r_click_id)
+        for r in range_join(
+            errors_b, clicks_b, on="user_id", left_time="ts", right_time="ts",
+            low_seconds=-14400, high_seconds=0,
+        ).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
