@@ -282,3 +282,56 @@ def events_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(spark, rolled, name="events_streaming_rollup_sink")
+
+
+@query(
+    "events_streaming_interval_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    c AS (
+      SELECT user_id, ts AS r_ts, event_id AS r_click_id
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts, c.r_ts, c.r_click_id
+    FROM e JOIN c
+      ON e.user_id = c.user_id
+     AND c.r_ts >= e.ts - INTERVAL 14400 SECOND
+     AND c.r_ts <= e.ts
+    """,
+    tags=("ext:streaming", "ext:range-join"),
+)
+def events_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND real Structured Streaming execution in the gate: a
+    stream-stream interval join (both sides watermarked, symmetric
+    stateful join, state bounded by watermark + interval) driven with
+    AvailableNow and hash-matched against the plain inequality-join SQL.
+    Emits the raw (error, click) pairs; join_range_error_context is the
+    aggregated batch twin."""
+    from bigdatastructure_a5_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from bigdatastructure_a5_spark.streaming.joins import stream_interval_join
+
+    ev = read_events_stream(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = stream_interval_join(
+        errors, clicks, on="user_id", low_seconds=-14400, high_seconds=0
+    )
+    q = (
+        joined.select("event_id", "user_id", "ts", "r_ts", "r_click_id")
+        .writeStream.format("memory")
+        .queryName("events_streaming_interval_join_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("events_streaming_interval_join_sink")
