@@ -325,13 +325,9 @@ def events_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     joined = stream_interval_join(
         errors, clicks, on="user_id", low_seconds=-14400, high_seconds=0
     )
-    q = (
-        joined.select("event_id", "user_id", "ts", "r_ts", "r_click_id")
-        .writeStream.format("memory")
-        .queryName("events_streaming_interval_join_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return run_stream_to_memory(
+        spark,
+        joined.select("event_id", "user_id", "ts", "r_ts", "r_click_id"),
+        name="events_streaming_interval_join_sink",
+        output_mode="append",
     )
-    q.awaitTermination()
-    return spark.table("events_streaming_interval_join_sink")

@@ -74,19 +74,36 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
 
 
 def run_stream_to_memory(
-    spark: SparkSession, streaming_df: DataFrame, name: str = "stream_result"
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    name: str = "stream_result",
+    output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion with AvailableNow into a
-    memory sink; returns the result table.  Complete output mode so windowed
-    aggregates are all emitted even without watermark expiry."""
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    memory sink; returns the result table.  Complete output mode (default)
+    so windowed aggregates are all emitted even without watermark expiry;
+    use ``append`` for stream-stream joins.
+
+    A streaming query pins its state-store layout to
+    ``spark.sql.shuffle.partitions`` AT START, and every state partition
+    pays provider/checkpoint setup per run — on a fixture-sized input, 200
+    vanilla partitions are pure overhead (measured ~2x the whole query).
+    The conf is scoped to the start() call and restored; a production job
+    sizes it to its real key cardinality instead."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 
