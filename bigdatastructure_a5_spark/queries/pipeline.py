@@ -450,3 +450,97 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, _query_vector(spark, sf_dir, 0), k=10, n_centroids=16, n_probe=4
     )
+
+
+_QUALITY_EXPR_SQL = """
+           CASE WHEN LENGTH(text) >= 120 AND LENGTH(text) <= 20000
+                THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         + CASE WHEN CAST(LEN(LIST_DISTINCT(w)) AS DOUBLE) / CAST(LEN(w) AS DOUBLE) >= 0.5
+                THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         + CASE WHEN CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(LEN(w) AS DOUBLE) BETWEEN 3.0 AND 12.0
+                THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         + CASE WHEN sc_en + sc_es + sc_de + sc_fr >= 2
+                THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+"""
+
+
+@query(
+    "pipeline_curation",
+    oracle=_LANG_SCORES_SQL
+    + f"""
+    , q AS (
+      SELECT doc_id, text, w, sc_en, sc_es, sc_de, sc_fr,
+             {_QUALITY_EXPR_SQL} AS quality
+      FROM s
+    ),
+    f AS (
+      SELECT doc_id, w, quality FROM q
+      WHERE quality >= 0.5
+        AND sc_en > 0 AND sc_en >= sc_es AND sc_en >= sc_de AND sc_en >= sc_fr
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 RANGE(1, GREATEST(LEN(w) - 1, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               )
+             ) AS s
+      FROM f
+    ),
+    ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh WHERE LEN(s) > 0),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, LEN(s) AS n FROM sh WHERE LEN(s) > 0),
+    dropped AS (
+      SELECT DISTINCT id_b FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+    )
+    SELECT doc_id, CAST(LEN(w) AS BIGINT) AS n_tokens, quality
+    FROM f WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    """,
+    tags=("ext:dedup", "ext:text", "capstone"),
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: the full training-data curation flow in one oracle-checked
+    query — quality scoring -> language ID -> near-duplicate removal ->
+    per-document stats, i.e. what this engine exists to run at 100 TB.
+
+    Stages (each individually gated elsewhere, here composed):
+    1. score every document (text_quality's exact-IEEE composite) and
+       language-ID it (two-stage marker counts, text_langid);
+    2. keep quality >= 0.5 English documents;
+    3. among survivors, drop every document having a near-duplicate with a
+       smaller id (word-trigram Jaccard >= 0.8 via the inverted-index join
+       — provably equal to the minhash-LSH pipeline per the dedup tests);
+    4. emit (doc_id, n_tokens, quality) for the curated corpus.
+
+    One shuffle for the dedup join, one for the anti-join; scoring and
+    filtering are pure map work."""
+    from bigdatastructure_a5_spark.operators.text import (
+        lang_id_from_scores,
+        quality_score,
+        with_lang_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_lang_scores(docs, "text").select(
+        "doc_id",
+        "text",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        lang_id_from_scores().alias("detected_lang"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("detected_lang") == "en")
+    )
+    pairs = jaccard_pairs(shingle_sets(kept, "doc_id", "text", 3), threshold=0.8)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return kept.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "quality"
+    )
