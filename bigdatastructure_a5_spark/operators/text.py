@@ -100,7 +100,9 @@ def lang_id(text_col: Column | str) -> Column:
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
 
 
-def quality_score(text_col: Column | str) -> Column:
+def quality_score(
+    text_col: Column | str, toks: Column | str | None = None
+) -> Column:
     """Composite quality heuristic in [0, 1]:
 
     0.25 x length_ok   (120 <= chars <= 20000)
@@ -111,9 +113,16 @@ def quality_score(text_col: Column | str) -> Column:
     Ratios are exact-integer divisions and the weighted sum is a fixed-order
     IEEE expression, so the DuckDB oracle (same operation order) matches
     bit-for-bit.
+
+    Pass ``toks`` (a MATERIALIZED token-array column) in hot paths: inline,
+    the tokenization subtree appears ~7x in this expression and is
+    re-evaluated each time (measured ~30% slower at sf0.1).
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokens(c)
+    if toks is None:
+        toks = tokens(c)
+    elif isinstance(toks, str):
+        toks = F.col(toks)
     n_chars = F.length(c)
     n_toks = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_toks.cast(

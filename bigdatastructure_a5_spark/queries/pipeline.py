@@ -362,7 +362,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     each worth 0.25.  Exactly representable quarters, so the oracle
     hash-matches bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score("text").alias("quality"))
+    return docs.select("doc_id", "text", tokens("text").alias("__toks")).select(
+        "doc_id", quality_score("text", toks="__toks").alias("quality")
+    )
 
 
 @query(
@@ -529,12 +531,16 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = with_lang_scores(docs, "text").select(
-        "doc_id",
-        "text",
-        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
-        quality_score("text").alias("quality"),
-        lang_id_from_scores().alias("detected_lang"),
+    scored = (
+        with_lang_scores(docs, "text")
+        .withColumn("__toks", tokens("text"))
+        .select(
+            "doc_id",
+            "text",
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            quality_score("text", toks="__toks").alias("quality"),
+            lang_id_from_scores().alias("detected_lang"),
+        )
     )
     kept = scored.filter(
         (F.col("quality") >= 0.5) & (F.col("detected_lang") == "en")
