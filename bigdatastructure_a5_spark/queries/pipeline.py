@@ -530,7 +530,11 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_lang_scores,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from bigdatastructure_a5_spark.session import ensure_min_partitions
+
+    # one-split source: spread BEFORE the scoring map (quality + langid are
+    # the heavy per-row work) so it uses the whole pool
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     scored = (
         with_lang_scores(docs, "text")
         .withColumn("__toks", tokens("text"))
@@ -542,9 +546,11 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             lang_id_from_scores().alias("detected_lang"),
         )
     )
+    # kept feeds the dedup join AND the final anti-join; persist so the
+    # scoring pass runs once, not once per consumer
     kept = scored.filter(
         (F.col("quality") >= 0.5) & (F.col("detected_lang") == "en")
-    )
+    ).persist()
     pairs = jaccard_pairs(shingle_sets(kept, "doc_id", "text", 3), threshold=0.8)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return kept.join(dropped, "doc_id", "left_anti").select(
