@@ -36,10 +36,25 @@ REGISTRY: dict[str, QueryDef] = {}
 
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
-    """Decorator registering a (spark, sf_dir) -> DataFrame builder."""
+    """Decorator registering a (spark, sf_dir) -> DataFrame builder.
+
+    Builders are wrapped so the package is shipped to Python workers first
+    (``session.ensure_workers_can_import``): the driver harness may create
+    the SparkSession from ANY working directory, and pandas-UDF closures
+    unpickle module references on the worker side."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QueryDef(fn, oracle, (fn.__doc__ or "").strip(), tags)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from bigdatastructure_a5_spark.session import (
+                ensure_workers_can_import,
+            )
+
+            ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QueryDef(wrapped, oracle, (fn.__doc__ or "").strip(), tags)
         return fn
 
     return deco

@@ -60,6 +60,41 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_PYFILES_SENT: set[int] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Make this package importable by Python WORKER processes regardless of
+    the driver's working directory.
+
+    The driver fixes its own ``sys.path`` (bench.py / __spark_entry__.py
+    insert the repo dir), but pickled pandas-UDF closures reference module
+    globals that the *worker* interpreter must re-import — and workers only
+    inherit the JVM's environment and cwd.  Launched from outside the repo,
+    every mapInPandas query dies with ModuleNotFoundError.  ``addPyFile``
+    with a zip of the package distributes it to workers (and appends it to
+    their sys.path) no matter where the session was created; once per
+    SparkContext.
+    """
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PYFILES_SENT:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.mkdtemp(prefix="bds_pyfiles_")) / (
+        pkg_dir.name + ".zip"
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+    sc.addPyFile(str(zip_path))
+    _PYFILES_SENT.add(key)
+
+
 def ensure_min_partitions(df, n: int | None = None):
     """Repartition ``df`` up to the session's parallelism if it is narrower.
 
