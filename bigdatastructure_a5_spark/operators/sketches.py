@@ -1,0 +1,88 @@
+"""Bounded-memory frequency sketches: Count-Min (Cormode & Muthukrishnan
+2005).
+
+Beyond reference scope (the brief's 'novel sketch' custom-operator class).
+The 100 TB story: exact per-key counts need state proportional to the key
+cardinality; a Count-Min sketch is ``depth x width`` cells NO MATTER the
+input — the sketch build is a map-side partial aggregation whose shuffle
+carries at most ``depth x width`` rows per partition, and estimation joins
+a broadcast-sized table.  Guarantees: estimate >= true count always
+(one-sided error); estimate <= true + eN with probability 1 - (1/2)^depth
+for e = e/width.
+
+Cross-engine determinism: the row/cell hash is the first 8 hex chars of
+md5 parsed as an integer — Spark ``conv(substring(md5(..),1,8),16,10)``
+and DuckDB ``CAST('0x' || SUBSTR(MD5(..),1,8) AS BIGINT)`` produce the
+same 32-bit value, so the sketch (and every estimate) hash-matches the
+SQL oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(key: Column, d: int, width: int) -> Column:
+    """Depth-``d`` cell index for ``key`` (stringified): 32-bit md5 prefix
+    mod width — identical arithmetic in DuckDB for the oracle."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(d)), F.lit(":"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def countmin_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build the sketch: (d, cell, cnt) with exactly one row per touched
+    cell (<= depth x width rows total, any input size)."""
+    key = F.col(key_col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cell(key, d, width).alias("cell")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dc")
+    ).select("dc.d", "dc.cell")
+    return cells.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimate each key's frequency: min over depths of its cell counts.
+    The sketch is tiny -> broadcast join; missing cells cannot occur for
+    keys that appeared (their cells were counted)."""
+    key = F.col(key_col)
+    kc = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cell(key, d, width).alias("cell")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dc"),
+    ).select(key_col, "dc.d", "dc.cell")
+    return (
+        kc.join(F.broadcast(sketch), ["d", "cell"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )

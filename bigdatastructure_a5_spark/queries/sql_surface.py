@@ -234,3 +234,59 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return a.intersect(b)
+
+
+@query(
+    "sketch_countmin_topk",
+    oracle="""
+    WITH ds AS (SELECT UNNEST([0,1,2,3]) AS d),
+    cells AS (
+      SELECT d,
+             CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(d AS VARCHAR), ':',
+                  CAST(o_custkey AS VARCHAR))), 1, 8)) AS BIGINT) % 1024 AS cell
+      FROM orders, ds
+    ),
+    sketch AS (SELECT d, cell, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT o_custkey FROM orders),
+    kc AS (
+      SELECT o_custkey, d,
+             CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(d AS VARCHAR), ':',
+                  CAST(o_custkey AS VARCHAR))), 1, 8)) AS BIGINT) % 1024 AS cell
+      FROM keys, ds
+    ),
+    est AS (
+      SELECT o_custkey, MIN(cnt) AS est
+      FROM kc JOIN sketch USING (d, cell) GROUP BY 1
+    ),
+    exact AS (SELECT o_custkey, COUNT(*) AS exact_cnt FROM orders GROUP BY 1)
+    SELECT o_custkey, est, exact_cnt
+    FROM est JOIN exact USING (o_custkey)
+    ORDER BY est DESC, o_custkey
+    LIMIT 20
+    """,
+    tags=("ext:sketch",),
+)
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (bounded-memory frequency estimation, beyond
+    reference scope): build a 4x1024 sketch of order counts per customer,
+    estimate every customer's frequency from it, and return the top 20 by
+    estimate with the exact count alongside.  The md5-prefix hash makes
+    the whole sketch deterministic cross-engine, so even the ESTIMATES
+    hash-match the DuckDB oracle — and est >= exact_cnt always (one-sided
+    CMS error), which the test asserts."""
+    from bigdatastructure_a5_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = countmin_build(orders, "o_custkey", depth=4, width=1024)
+    keys = orders.select("o_custkey").distinct()
+    est = countmin_estimate(sketch, keys, "o_custkey", depth=4, width=1024)
+    exact = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "o_custkey")
+        .orderBy(F.col("est").desc(), F.col("o_custkey"))
+        .limit(20)
+        .select("o_custkey", "est", "exact_cnt")
+    )

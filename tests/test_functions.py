@@ -155,3 +155,29 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
     n = orders.count()
     below = orders.filter(F.col("o_totalprice") <= med).count()
     assert abs(below / n - 0.5) <= 0.02  # rank error bounded by rel. error
+
+
+def test_countmin_sketch_guarantees(spark, sf_dir):
+    """CMS one-sided error: est >= exact for EVERY key; with width >> NDV
+    collisions are rare, so the mean overestimate stays small."""
+    from pyspark.sql import functions as F2
+
+    from bigdatastructure_a5_spark.catalog import load_table
+    from bigdatastructure_a5_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = countmin_build(orders, "o_custkey", depth=4, width=1024)
+    assert sketch.count() <= 4 * 1024  # bounded state, any input size
+    keys = orders.select("o_custkey").distinct()
+    est = countmin_estimate(sketch, keys, "o_custkey", depth=4, width=1024)
+    exact = orders.groupBy("o_custkey").agg(F2.count(F2.lit(1)).alias("exact_cnt"))
+    joined = est.join(exact, "o_custkey")
+    assert joined.filter(F2.col("est") < F2.col("exact_cnt")).count() == 0
+    row = joined.select(
+        F2.avg(F2.col("est") - F2.col("exact_cnt")).alias("mean_over"),
+        F2.avg("exact_cnt").alias("mean_exact"),
+    ).first()
+    assert row.mean_over <= max(1.0, 0.5 * row.mean_exact)
