@@ -73,3 +73,18 @@ def word_shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
 def md5_fingerprint(col: Column | str) -> Column:
     """Stable content fingerprint of the normalized text."""
     return F.md5(normalized_text(col))
+
+
+def md5_hash60(col: Column | str) -> Column:
+    """Cross-engine-deterministic 60-bit hash: the first 15 hex chars of the
+    md5 digest parsed as a BIGINT.
+
+    Spark ``conv(substring(md5(x), 1, 15), 16, 10)`` and DuckDB
+    ``CAST('0x' || SUBSTR(MD5(x), 1, 15) AS BIGINT)`` produce the same
+    non-negative 60-bit value (15 hex chars < 2^60 < 2^63, no sign issues),
+    so hash-derived operators (simhash fingerprints, sketch cells) can be
+    checked against a SQL oracle bit-for-bit.  Same trick as
+    ``operators/sketches.py`` (32-bit variant), widened for fingerprint use.
+    """
+    c = _as_col(col)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")

@@ -251,16 +251,34 @@ def near_duplicates_minhash(
 
 
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: str = "md5",
 ) -> DataFrame:
     """(id, simhash: bigint) — Charikar sign-random-projection over token
     hashes: bit b of the fingerprint is the sign of sum over tokens of
-    (bit b of xxhash64(token) ? +1 : -1), i.e. 1 iff more than half the
+    (bit b of hash(token) ? +1 : -1), i.e. 1 iff more than half the
     token occurrences have bit b set.  Near-duplicates differ in few bits
     (small Hamming distance).
 
+    ``token_hash``:
+
+    - ``"md5"`` (default): 60-bit md5-prefix hash (functions.hashing.
+      md5_hash60) — identical arithmetic in DuckDB, so the fingerprints
+      (and the near-pair query built on them) are oracle-checkable
+      bit-for-bit.  Bits 60-63 are always 0; every downstream consumer
+      (Hamming, chunking) works unchanged.
+    - ``"xxhash64"``: full 64 bits via the fastest JVM hash — the pure
+      throughput choice when cross-engine checkability isn't needed.
+
+    Rows whose token array is null or empty (null text, whitespace-only
+    after normalization never occurs — split yields ['']) are DROPPED:
+    an all-empty projection would collapse to fingerprint 0 and pair
+    every such doc with every other at Hamming 0.
+
     Computed ENTIRELY map-side: materialize the per-row token-hash array
-    (a column, so the 64 bit-count expressions share it), then per bit
+    (a column, so the per-bit count expressions share it), then per bit
     ``size(filter(hs, h -> (h>>b)&1 = 1)) * 2 > size(hs)``.  The obvious
     alternative — explode tokens and groupBy(id) with 64 conditional sums
     — computes the same thing (verified identical at sf0.1) but ships
@@ -268,12 +286,19 @@ def simhash64(
     this formulation is a pure projection: zero shuffle at any scale, and
     the operator runs at scan speed on a partitioned 100 TB corpus.
     """
-    from bigdatastructure_a5_spark.functions.hashing import tokens
+    from bigdatastructure_a5_spark.functions.hashing import md5_hash60, tokens
+
+    if token_hash == "md5":
+        nbits, hash_one = 60, md5_hash60
+    elif token_hash == "xxhash64":
+        nbits, hash_one = 64, F.xxhash64
+    else:
+        raise ValueError(f"token_hash must be 'md5' or 'xxhash64', got {token_hash!r}")
 
     hs = F.col("__hs")
     n = F.size(hs)
     fingerprint = None
-    for b in range(64):
+    for b in range(nbits):
         cb = F.size(
             F.filter(hs, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
         )
@@ -285,7 +310,8 @@ def simhash64(
     return (
         ensure_min_partitions(df)
         .select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
-        .select("id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__hs"))
+        .filter(F.size("__toks") > 0)
+        .select("id", F.transform("__toks", lambda t: hash_one(t)).alias("__hs"))
         .select("id", fingerprint.alias("simhash"))
     )
 
