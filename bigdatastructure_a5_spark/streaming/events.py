@@ -20,35 +20,56 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-#: events.parquet physical schema — ts is INT64 TIMESTAMP(NANOS), which Spark
-#: must read as long (see catalog._read_parquet_nanos_safe for the batch path)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),  # epoch nanos
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
+
+def _events_raw_schema(ts_is_nanos: bool) -> StructType:
+    """events.parquet physical schema.  ``ts`` is declared to match the file's
+    actual parquet type: INT64 TIMESTAMP(NANOS) must be read as long (Spark has
+    no nanos type), TIMESTAMP(MICROS) reads natively as TimestampType.  The
+    batch path does the same detection (catalog._read_parquet_nanos_safe)."""
+    ts_type = LongType() if ts_is_nanos else TimestampType()
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", ts_type, True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+
+
+#: legacy alias (64-bit nanos variant) kept for external callers
+EVENTS_RAW_SCHEMA = _events_raw_schema(ts_is_nanos=True)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events fixture (one file = one microbatch
-    under AvailableNow).  Converts epoch-nanos with integer division, same
-    as the batch reader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    under AvailableNow).
+
+    The fixture's ``ts`` physical type has changed across driver versions
+    (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)); hardcoding either corrupts the
+    other (micros DIV 1000 lands every event in January 1970).  So the footer
+    is inspected upfront — exactly like the batch reader
+    (catalog._read_parquet_nanos_safe) — and the schema + conversion branch on
+    the real type."""
+    from ..catalog import _nanos_columns, table_path
+
+    ts_is_nanos = "ts" in _nanos_columns(table_path(sf_dir, "events"))
     # the file source wants a DIRECTORY; select just the events file by glob
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = (
+        spark.readStream.schema(_events_raw_schema(ts_is_nanos))
         .option("pathGlobFilter", "events.parquet")
         .format("parquet")
-        .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = reader.load(sf_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return reader.load(sf_dir)
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

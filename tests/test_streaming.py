@@ -13,12 +13,22 @@ from bigdatastructure_a5_spark.streaming.events import (
 )
 
 
+def _assert_sane_years(rows, attr):
+    """Unit-safety gate: a wrong epoch-unit conversion (nanos vs micros)
+    lands timestamps in 1970 or ~52000 AD.  Pin the fixture's real era so a
+    fixture-format change can never silently pass again (VERDICT r2 §wrong#1)."""
+    years = {getattr(r, attr).year for r in rows if getattr(r, attr) is not None}
+    assert years, "no timestamps to sanity-check"
+    assert all(2000 <= y <= 2100 for y in years), f"epoch-unit bug: years={sorted(years)[:5]}"
+
+
 def test_streaming_hourly_rollup_matches_batch(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     assert stream.isStreaming
     result = run_stream_to_memory(
         spark, hourly_rollup_stream(stream), name="hourly_test"
     )
+    _assert_sane_years(result.collect(), "hour_ts")
 
     batch = (
         load_table(spark, sf_dir, "events")
