@@ -107,7 +107,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    tracker: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing >= 1 LSH band.
 
@@ -133,8 +136,11 @@ def lsh_candidate_pairs(
     ).select("id", "bk.band", "bk.bhash")
     # The self-join evaluates its child once PER SIDE — without a persist
     # the whole shingle -> minhash -> banding subtree (the expensive
-    # 64-min aggregation) runs twice.
+    # 64-min aggregation) runs twice.  The caller releases it via
+    # session.materialize_release(tracker) once the result is computed.
     banded = banded.persist()
+    if tracker is not None:
+        tracker.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -152,6 +158,8 @@ def jaccard_pairs(
     shingled: DataFrame,
     threshold: float,
     candidates: DataFrame | None = None,
+    tracker: list | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity pairs (id_a, id_b, jaccard >= threshold).
 
@@ -160,6 +168,16 @@ def jaccard_pairs(
     pair it with LSH candidates instead).  With ``candidates``: verification
     only of those pairs.  Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — exact integer
     counts, one deterministic double division.
+
+    ``df_cap`` (inverted-index path only) is the scale guard against hot
+    shingles: a shingle present in d documents contributes d² join rows, so
+    one boilerplate trigram shared by 1M docs means 10¹² rows from a single
+    key.  With a cap, shingles whose document frequency exceeds it are
+    removed from the shingle space entirely — the index, the intersection
+    counts AND the set sizes — i.e. Jaccard is computed exactly over the
+    capped vocabulary (the standard stop-shingle approximation; boilerplate
+    shingles carry no near-dup signal anyway).  Deterministic, so a capped
+    oracle is expressible; the registered gate queries run uncapped.
     """
     # shingle_sets emits only non-empty sets; no size filter needed (and a
     # size-on-computed-array predicate is pathological — see shingle_sets).
@@ -200,8 +218,24 @@ def jaccard_pairs(
     # cache-encode in a single task.  Same calls at 100 TB, just
     # StorageLevel.DISK_ONLY or a checkpoint.
     nonempty = ensure_min_partitions(nonempty).persist()
+    if tracker is not None:
+        tracker.append(nonempty)
     sizes = nonempty.select("id", F.size("shingles").alias("n"))
     exploded = nonempty.select("id", F.explode("shingles").alias("g"))
+    if df_cap is not None:
+        # hot-shingle set: tiny by construction (only keys with df > cap),
+        # so broadcast the anti-join — no extra shuffle of the index.
+        hot = (
+            exploded.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("g")
+        )
+        exploded = exploded.join(F.broadcast(hot), "g", "left_anti")
+        exploded = exploded.persist()
+        if tracker is not None:
+            tracker.append(exploded)
+        sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(
@@ -237,6 +271,7 @@ def near_duplicates_minhash(
     num_hashes: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    tracker: list | None = None,
 ) -> DataFrame:
     """Full scalable pipeline: shingle -> minhash -> LSH bucket-join ->
     exact-Jaccard verification of candidates only."""
@@ -245,9 +280,11 @@ def near_duplicates_minhash(
     shingled = ensure_min_partitions(
         shingle_sets(df, id_col, text_col, shingle_n)
     ).persist()
+    if tracker is not None:
+        tracker.append(shingled)
     sigs = minhash_signatures(shingled, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
-    return jaccard_pairs(shingled, threshold, candidates=cands)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, tracker=tracker)
+    return jaccard_pairs(shingled, threshold, candidates=cands, tracker=tracker)
 
 
 def simhash64(
@@ -272,10 +309,11 @@ def simhash64(
     - ``"xxhash64"``: full 64 bits via the fastest JVM hash — the pure
       throughput choice when cross-engine checkability isn't needed.
 
-    Rows whose token array is null or empty (null text, whitespace-only
-    after normalization never occurs — split yields ['']) are DROPPED:
-    an all-empty projection would collapse to fingerprint 0 and pair
-    every such doc with every other at Hamming 0.
+    Only rows with a NULL token array (null text) are dropped.  Empty /
+    whitespace-only text normalizes to the one-token array [''] and is
+    kept: all such docs share the fingerprint of hash('') and pair
+    mutually at Hamming 0 — legitimately, since they are identical
+    (empty) content.
 
     Computed ENTIRELY map-side: materialize the per-row token-hash array
     (a column, so the per-bit count expressions share it), then per bit
@@ -317,17 +355,29 @@ def simhash64(
 
 
 def hamming64(a: Column, b: Column) -> Column:
-    """Hamming distance between two 64-bit fingerprints (popcount of XOR)."""
+    """Hamming distance between two fingerprints (popcount of XOR).  Works
+    for any width <= 64; with the default 60-bit md5 fingerprints the top
+    4 bits are always 0 and never contribute."""
     x = a.bitwiseXOR(b)
     return F.bit_count(x)
 
 
 def simhash_near_pairs(
-    fingerprints: DataFrame, max_hamming: int = 3, chunks: int = 4
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    tracker: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming <= max_hamming) via the chunk trick: two prints
-    within Hamming d must share an identical 16-bit chunk when d < chunks
-    (pigeonhole) -> candidate join on chunk equality, verify popcount."""
+    within Hamming d must share an identical chunk when d < chunks
+    (pigeonhole) -> candidate join on chunk equality, verify popcount.
+
+    With 60-bit md5 fingerprints and chunks=4, the top 16-bit chunk only
+    carries 12 meaningful bits (bits 60-63 are always 0), so its buckets
+    collide ~16x more often than the full-width chunks — recall is
+    unaffected (pigeonhole still holds), only candidate volume grows
+    slightly.  Pass chunks=5 (12-bit chunks, max_hamming <= 4) if that
+    volume ever matters."""
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = fingerprints.select(
@@ -350,6 +400,8 @@ def simhash_near_pairs(
     # Self-join: persist so the fingerprint subtree (explode + 64
     # conditional sums) is computed once, not once per side.
     chunked = chunked.persist()
+    if tracker is not None:
+        tracker.append(chunked)
     a, b = chunked.alias("a"), chunked.alias("b")
     return (
         a.join(

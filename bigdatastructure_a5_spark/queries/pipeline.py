@@ -148,8 +148,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (subquadratic when no shingle is super-common); finds the corpus's
     planted duplicates.  Integer intersection/union counts -> one
     deterministic double division, so the oracle hash-matches."""
+    from bigdatastructure_a5_spark.session import materialize_release
+
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(shingle_sets(docs, "doc_id", "text", 3), threshold=0.8)
+    tracked: list = []
+    pairs = jaccard_pairs(
+        shingle_sets(docs, "doc_id", "text", 3), threshold=0.8, tracker=tracked
+    )
+    return materialize_release(pairs, tracked)
 
 
 @query(
@@ -183,21 +189,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable near-dup pipeline: shingle -> 64 minhashes -> 16x4 LSH bands
     -> bucket-join candidates -> exact-Jaccard verify >= 0.8; returns the
     same pairs as the exact inverted-index query (see oracle comment)."""
+    from bigdatastructure_a5_spark.session import materialize_release
+
     docs = load_table(spark, sf_dir, "documents")
-    return near_duplicates_minhash(
-        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16
+    tracked: list = []
+    pairs = near_duplicates_minhash(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16,
+        tracker=tracked,
     )
+    return materialize_release(pairs, tracked)
 
 
-@query("dedup_simhash", oracle=None, tags=("ext:dedup",))
+#: DuckDB twin of operators.dedup.simhash64 with the md5_hash60 token hash:
+#: bit b of the fingerprint = majority vote of token-hash bit b.  The md5
+#: prefix arithmetic is identical in both engines (functions/hashing.py:78),
+#: so fingerprints — and the pairs built on them — are checkable bit-for-bit.
+#: The oracle verifies with an EXACT all-pairs Hamming join; the Spark side's
+#: chunk-candidate join is provably equivalent for d <= 3 with 4 chunks
+#: (pigeonhole: two prints within Hamming 3 share >= 1 identical chunk).
+_SIMHASH_BIT_TERMS = " + ".join(
+    f"(CASE WHEN LEN(LIST_FILTER(hs, h -> (h >> {b}) & 1 = 1)) * 2 > LEN(hs)"
+    f" THEN CAST(1 AS BIGINT) << {b} ELSE CAST(0 AS BIGINT) END)"
+    for b in range(60)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(STRING_SPLIT({_NORM_SQL}, ' '),
+                            tok -> CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS BIGINT)) AS hs
+      FROM documents WHERE text IS NOT NULL
+    ),
+    fp AS (SELECT doc_id, {_SIMHASH_BIT_TERMS} AS f FROM t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(BIT_COUNT(XOR(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.f, b.f)) <= 3
+    """,
+    tags=("ext:dedup",),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit sign-projection fingerprints, chunk
+    """SimHash near-dup pairs: 60-bit sign-projection fingerprints
+    (md5-prefix token hash — identical arithmetic in DuckDB, which is what
+    makes this hash-family operator oracle-checkable bit-for-bit), chunk
     candidates (pigeonhole guarantees recall for d < 4 chunks), Hamming <= 3
     verify.  On the fixtures the planted duplicates sit at Hamming 0-3 while
     random pairs start at ~5 (measured) — a clean separation."""
+    from bigdatastructure_a5_spark.session import materialize_release
+
     docs = load_table(spark, sf_dir, "documents")
     prints = simhash64(docs, "doc_id", "text")
-    return simhash_near_pairs(prints, max_hamming=3, chunks=4)
+    tracked: list = []
+    pairs = simhash_near_pairs(prints, max_hamming=3, chunks=4, tracker=tracked)
+    return materialize_release(pairs, tracked)
 
 
 @query(
@@ -548,11 +595,17 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # kept feeds the dedup join AND the final anti-join; persist so the
     # scoring pass runs once, not once per consumer
+    from bigdatastructure_a5_spark.session import materialize_release
+
     kept = scored.filter(
         (F.col("quality") >= 0.5) & (F.col("detected_lang") == "en")
     ).persist()
-    pairs = jaccard_pairs(shingle_sets(kept, "doc_id", "text", 3), threshold=0.8)
+    tracked: list = [kept]
+    pairs = jaccard_pairs(
+        shingle_sets(kept, "doc_id", "text", 3), threshold=0.8, tracker=tracked
+    )
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return kept.join(dropped, "doc_id", "left_anti").select(
+    curated = kept.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "n_tokens", "quality"
     )
+    return materialize_release(curated, tracked)

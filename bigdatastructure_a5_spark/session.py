@@ -95,6 +95,34 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     _PYFILES_SENT.add(key)
 
 
+def materialize_release(result, tracked):
+    """Materialize ``result`` into its own (small) cache, then unpersist the
+    ``tracked`` intermediates.
+
+    Multi-pass operators (minhash LSH, inverted-index jaccard, simhash)
+    persist large intermediates so self-joins don't recompute the expensive
+    subtree per side.  Left persisted, those blocks ACCUMULATE across a
+    long session — the driver runs 50+ queries on one SparkContext, and
+    r2's bench showed a 5.8x spike on dedup_ngram_jaccard consistent with
+    cached shingle sets evicting each other under memory pressure.  The
+    contract here: the operator's final result is persisted and computed
+    eagerly (one count(), which does exactly the work the caller's collect
+    would have done), the big intermediates are dropped immediately, and
+    the caller's later action hits the small result cache.
+
+    ``tracked`` is the list the operator appended its persisted frames to;
+    a no-op when empty.
+    """
+    if not tracked:
+        return result
+    result = result.persist()
+    result.count()
+    for df in tracked:
+        df.unpersist(blocking=False)
+    tracked.clear()
+    return result
+
+
 def ensure_min_partitions(df, n: int | None = None):
     """Repartition ``df`` up to the session's parallelism if it is narrower.
 

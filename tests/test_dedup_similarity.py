@@ -106,6 +106,35 @@ def test_simhash_catches_planted_duplicates(docs, shingled, exact_dup_rows):
     assert len(found & planted) >= len(planted) * 0.4
 
 
+def test_jaccard_df_cap_drops_hot_shingles_keeps_dups(spark):
+    """The document-frequency cap removes boilerplate shingles from the
+    index (killing their quadratic posting lists) while true near-dup pairs
+    survive: two near-identical docs still match on their non-boilerplate
+    shingles."""
+    boiler = "all rights reserved contact us for more"
+    a = "alpha beta gamma delta epsilon zeta eta theta " + boiler
+    b = "alpha beta gamma delta epsilon zeta eta iota " + boiler
+    rows = [(1, a), (2, b)] + [
+        (i, f"doc number {i} unique words here {boiler}") for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = shingle_sets(df, "doc_id", "text", 3)
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(sh, threshold=0.1).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(sh, threshold=0.1, df_cap=10).collect()
+    }
+    # uncapped, the boilerplate (in every doc) pairs unrelated docs
+    assert any(p != (1, 2) for p in uncapped)
+    # capped (df > 10 shingles dropped), only the true near-dup remains —
+    # matched on its distinctive shingles, which the cap never touches
+    assert set(capped) == {(1, 2)}
+    assert (1, 2) in uncapped
+
+
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     qv = list(
