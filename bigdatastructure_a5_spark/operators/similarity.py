@@ -53,59 +53,91 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidate_margin: float = 1e-9,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold (embedding near-dup detection).
 
-    Two stages, because the naive per-pair expression fold is interpreted
-    (nested higher-order functions leave whole-stage codegen — measured
-    ~2 min for 2M pairs):
+    Fully distributed block-pair scheme — nothing is collected to the
+    driver and nothing is broadcast, so the corpus size is bounded by the
+    cluster, not driver memory:
 
-    1. **Candidates** via vectorized BLAS: mapInPandas over batches of one
-       side with the other side broadcast as a normalized matrix; one
-       ``A @ B.T`` per batch scores millions of pairs in milliseconds.
-       The threshold is relaxed by ``candidate_margin`` (>> BLAS rounding
+    1. **Blocking**: each vector gets a deterministic block id
+       ``pmod(xxhash64(id), n_blocks)``; each block is packed into one row
+       (ids + vectors).  Exact all-pairs is inherently O(n²) work; the
+       block grid distributes that work as n_blocks*(n_blocks+1)/2
+       independent tasks, each an (n/B)x(n/B) tile — the classic
+       block-partitioned GEMM decomposition.  Every unordered pair lands
+       in EXACTLY one tile (the (bid_min, bid_max) one), so coverage is
+       exhaustive by construction, not probabilistic.
+    2. **Candidates** via vectorized BLAS inside each tile: one
+       ``A @ B.T`` per tile scores all its pairs in milliseconds.  The
+       threshold is relaxed by ``candidate_margin`` (>> BLAS rounding
        error ~1e-13) so no true pair can be lost to float reordering.
-    2. **Exact refine**: only the surviving candidates get the sequential
+    3. **Exact refine**: only the surviving candidates get the sequential
        double-precision fold (bit-identical to the DuckDB oracle), and the
        final filter applies the exact threshold to the exact value.
 
-    At 100 TB the broadcast side becomes an LSH/IVF-bucketed block join
-    (see ann_lsh_topk); the two-stage exact-refine shape stays the same.
+    Scale shape: shuffle volume is B copies of the corpus (each block
+    joins B tile rows); work per tile is (n/B)² dot products.  Pick
+    B ~ sqrt(2 * parallelism) for full occupancy.  The B×B tile join is a
+    metadata-level nested-loop over B rows per side — the quadratic term
+    lives inside the tiles, never in a row-level cross join.  At extreme
+    scale, LSH-bucket the corpus first (dedup.lsh_candidate_pairs shape)
+    and feed the surviving bucket tiles through the same tile scorer.
     """
-    rows = embeddings.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    bmat = mat / norms[:, None]
-    sc = embeddings.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(bmat)
-    relaxed = threshold - candidate_margin
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    def candidate_batches(it):
+    relaxed = threshold - candidate_margin
+    packed = (
+        embeddings.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("bid"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+            ).alias("iv"),
+        )
+        .groupBy("bid")
+        .agg(F.collect_list("iv").alias("members"))
+    )
+    tiles = (
+        packed.select(
+            F.col("bid").alias("bid_x"), F.col("members").alias("mx")
+        )
+        .join(
+            packed.select(
+                F.col("bid").alias("bid_y"), F.col("members").alias("my")
+            ),
+            F.col("bid_x") <= F.col("bid_y"),
+        )
+        # spread the B(B+1)/2 tile rows across the executor pool — the
+        # packed join otherwise leaves them on a handful of partitions
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def score_tiles(it):
         import pandas as pd
 
         for pdf in it:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a = np.stack(pdf[vec_col].to_numpy())
-            a = a.astype(np.float64)
-            an = np.linalg.norm(a, axis=1)
-            an[an == 0] = 1.0
-            scores = (a / an[:, None]) @ b_mat.value.T
-            ii, jj = np.nonzero(scores >= relaxed)
-            left, right = a_ids[ii], b_ids.value[jj]
-            keep = left < right
-            yield pd.DataFrame({"id_a": left[keep], "id_b": right[keep]})
-
-    from pyspark.sql.types import LongType, StructField, StructType
+            for _, row in pdf.iterrows():
+                x_ids = np.array([m["id"] for m in row["mx"]], dtype=np.int64)
+                y_ids = np.array([m["id"] for m in row["my"]], dtype=np.int64)
+                x = np.stack([np.asarray(m["v"], dtype=np.float64) for m in row["mx"]])
+                y = np.stack([np.asarray(m["v"], dtype=np.float64) for m in row["my"]])
+                xn = np.linalg.norm(x, axis=1)
+                yn = np.linalg.norm(y, axis=1)
+                xn[xn == 0] = 1.0
+                yn[yn == 0] = 1.0
+                scores = (x / xn[:, None]) @ (y / yn[:, None]).T
+                ii, jj = np.nonzero(scores >= relaxed)
+                left, right = x_ids[ii], y_ids[jj]
+                keep = left != right
+                lo = np.minimum(left[keep], right[keep])
+                hi = np.maximum(left[keep], right[keep])
+                yield pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates()
 
     cand_schema = StructType(
         [StructField("id_a", LongType()), StructField("id_b", LongType())]
     )
-    cands = embeddings.select(id_col, vec_col).mapInPandas(
-        candidate_batches, schema=cand_schema
-    )
+    cands = tiles.mapInPandas(score_tiles, schema=cand_schema)
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
@@ -124,23 +156,49 @@ def cosine_pairs(
     )
 
 
-def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
-    """Fixed-seed Gaussian hyperplanes — reproducible, data-independent."""
-    return np.random.RandomState(seed).randn(n_planes, dim)
+def rademacher_signs(
+    n_tables: int, n_planes: int, dim: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic ±1 (Rademacher) hyperplane family, derived from md5 of
+    "(seed:table:plane:dim)" — sign-random-projection LSH with Rademacher
+    entries has the same collision-probability guarantee as Gaussian planes
+    (Charikar 2002; Achlioptas 2001 for ±1 projections).
+
+    The md5 derivation (not numpy RandomState) is deliberate: the whole
+    plane family is reproducible from four integers by ANY engine or
+    language, which is what lets the LSH query be checked bit-for-bit
+    against a DuckDB oracle carrying the same ±1 literals.
+    """
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if hashlib.md5(f"{seed}:{t}:{p}:{d}".encode()).digest()[0] & 1
+                else -1.0
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
 
 
-def lsh_bucket(
-    df: DataFrame, vec_col: str, planes: np.ndarray
-) -> F.Column:
-    """Sign-projection bucket id: bit p = (v . plane_p) >= 0 packed into a
-    BIGINT.  Pure expressions: each dot product is a zip_with/aggregate fold
-    against a literal array."""
+def lsh_bucket_expr(vec_col, table_signs: list[list[float]]) -> F.Column:
+    """One table's bucket id as a pure Catalyst expression: bit p =
+    (v · plane_p >= 0), packed into a BIGINT.  Each dot product is a
+    zip_with/aggregate left fold against the ±1 literal array — double
+    precision, array-order accumulation, so the value is bit-stable and
+    reproducible by the oracle's identical left-fold."""
+    from bigdatastructure_a5_spark.functions.vectors import _as_col
+
     bucket = None
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(w)) for w in plane])
+    for p, srow in enumerate(table_signs):
+        lit_plane = F.array(*[F.lit(w) for w in srow])
         dot = F.aggregate(
             F.zip_with(
-                F.col(vec_col), lit_plane, lambda x, w: x.cast("double") * w
+                _as_col(vec_col), lit_plane, lambda x, w: x.cast("double") * w
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -151,6 +209,59 @@ def lsh_bucket(
         term = F.shiftleft(bit, p)
         bucket = term if bucket is None else bucket + term
     return bucket
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    signs: list[list[list[float]]],
+    vec_col: str = "embedding",
+    prefix: str = "bucket_",
+) -> DataFrame:
+    """Add one bucket column per LSH table.  THIS is the write-time step at
+    100 TB: materialize the bucket columns once when the corpus is written
+    (they are plain expression columns — sources/denormalize write paths
+    can carry them like any projection), and every later query prunes with
+    bucket-equality predicates against a literal — no per-query scan-side
+    Python, no recomputation of the plane family."""
+    for t, table in enumerate(signs):
+        df = df.withColumn(f"{prefix}{t}", lsh_bucket_expr(vec_col, table))
+    return df
+
+
+def _py_fold_dot(vec, weights) -> float:
+    """Driver-side replica of lsh_bucket_expr's dot fold: same left-to-right
+    double accumulation, so the query point's bucket bits are bit-identical
+    to the executor-computed (and oracle-computed) ones."""
+    acc = 0.0
+    for x, w in zip(vec, weights):
+        acc += float(x) * w
+    return acc
+
+
+def py_bucket(vec, table_signs: list[list[float]]) -> int:
+    b = 0
+    for p, srow in enumerate(table_signs):
+        if _py_fold_dot(vec, srow) >= 0:
+            b |= 1 << p
+    return b
+
+
+def py_cosine(a, b) -> float:
+    """Driver-side replica of functions.vectors.cosine_similarity (same
+    sequential folds, same single divide) — bit-identical to the executor
+    expression and to DuckDB's list_cosine_similarity."""
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na += float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
 
 
 def ann_lsh_topk(
@@ -167,45 +278,24 @@ def ann_lsh_topk(
     query in ANY of ``n_tables`` independent hash tables (the classic
     multi-table trade: recall 1-(1-p_match^planes)^tables).
 
-    With p=4 planes x L=8 tables and a true neighbour at cosine ~0.4 (the
-    fixtures are near-random, a worst case), expected recall is ~0.75 while
-    scoring a fraction of the corpus; with realistically clustered data
-    (neighbour cosine >= 0.9) the same config reaches ~1.0 recall scanning
-    a few percent.  At 100 TB the bucket ids are materialized as columns at
-    write time (one pass), so a query prunes on L equality predicates
-    before any scoring — this function computes them on the fly for
-    self-containedness.
+    Plan shape: bucket columns are Catalyst expressions (write-time columns
+    in production — see with_lsh_buckets), the query's buckets are literals
+    computed driver-side with identical arithmetic, so candidate pruning is
+    a JVM-side OR-of-equalities filter followed by scan-speed scoring +
+    TakeOrderedAndProject.  ZERO Python stages — the previous design paid a
+    full mapInPandas corpus scan per query.
     """
-    dim = len(query_vec)
-    # stack every table's planes into one (tables*planes, dim) matrix: ONE
-    # matmul per Arrow batch computes all bucket bits (the expression-fold
-    # version pays tables*planes interpreted folds per row — measured slow)
-    all_planes = np.vstack(
-        [_hyperplanes(n_planes, dim, seed + t) for t in range(n_tables)]
-    )
-    qdots = all_planes @ np.asarray(query_vec, dtype=np.float64)
-    qbits = (qdots >= 0).reshape(n_tables, n_planes)
-    sc = embeddings.sparkSession.sparkContext
-    b_planes = sc.broadcast(all_planes)
-    b_qbits = sc.broadcast(qbits)
-
-    def bucket_match(it):
-        import pandas as pd
-
-        for pdf in it:
-            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (a @ b_planes.value.T >= 0).reshape(
-                len(pdf), n_tables, n_planes
-            )
-            match = (bits == b_qbits.value[None, :, :]).all(axis=2).any(axis=1)
-            yield pdf[match]
-
-    candidates = embeddings.select(id_col, vec_col).mapInPandas(
-        bucket_match, schema=embeddings.select(id_col, vec_col).schema
-    )
+    signs = rademacher_signs(n_tables, n_planes, len(query_vec), seed)
+    qb = [py_bucket(query_vec, table) for table in signs]
+    bucketed = with_lsh_buckets(embeddings, signs, vec_col)
+    cond = None
+    for t in range(n_tables):
+        c = F.col(f"bucket_{t}") == F.lit(qb[t])
+        cond = c if cond is None else (cond | c)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
-        candidates.select(
+        bucketed.filter(cond)
+        .select(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), q).alias("cosine"),
         )
@@ -242,6 +332,63 @@ def fit_centroids_sample(
     return cent
 
 
+def seed_point_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``n_centroids`` lowest-id corpus
+    vectors ARE the centroids (k-means with seeding only, zero Lloyd
+    rounds).  Cells are Voronoi regions of real data points — a legitimate
+    IVF codebook (FAISS supports arbitrary user codebooks) whose virtue
+    here is cross-engine checkability: "the 16 lowest ids" is expressible
+    in SQL, while a Lloyd fixed point is not.  The collect is n_centroids
+    rows of codebook METADATA (like the query vector), not corpus data."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_cell_expr(vec_col, centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """Nearest-centroid cell id as a pure Catalyst expression: argmax over
+    the codebook of cosine(v, centroid), ties to the smallest cid.
+
+    Implemented as array_max over struct(cos, -cid) — struct comparison is
+    lexicographic, so the max is (highest cosine, then smallest cid) with
+    no window or shuffle; one projection per row.  Like the LSH buckets,
+    this is a write-time column in production (with_ivf_cells)."""
+    from bigdatastructure_a5_spark.functions.vectors import _as_col
+
+    entries = []
+    for cid, cvec in centroids:
+        c_lit = F.array(*[F.lit(float(x)) for x in cvec])
+        entries.append(
+            F.struct(
+                cosine_similarity(_as_col(vec_col), c_lit).alias("cos"),
+                F.lit(-cid).cast("bigint").alias("negcid"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return (-best["negcid"]).cast("int")
+
+
+def with_ivf_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Materialize the IVF cell id as a column — the write-time step: at
+    100 TB the corpus is written partitioned/sorted by cell so a probe
+    query prunes to n_probe partitions before any scoring."""
+    return df.withColumn(cell_col, ivf_cell_expr(vec_col, centroids))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -251,38 +398,50 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroid_mode: str = "seed_points",
 ) -> DataFrame:
-    """IVF approximate top-k: assign vectors to their nearest centroid cell
-    (distributed, one matmul per Arrow batch against the broadcast
-    codebook), probe the ``n_probe`` cells nearest the query, score only
+    """IVF approximate top-k: assign vectors to their nearest codebook cell
+    (a Catalyst argmax projection — see ivf_cell_expr), probe the
+    ``n_probe`` cells whose centroids are nearest the query, score only
     those exactly.
 
-    Scale shape: the cell id is a write-time column in production (one
-    pass), queries prune to n_probe/n_centroids of the corpus; recall is
-    tunable via n_probe.  Complements the hyperplane-LSH variant (data-
-    dependent cells vs data-independent planes).
+    ``centroid_mode``:
+
+    - ``"seed_points"`` (default): deterministic lowest-id codebook
+      (seed_point_centroids) — SQL-expressible, so the whole query is
+      oracle-checkable bit-for-bit.  Probe selection uses the driver-side
+      cosine replica (py_cosine), bit-identical to the executor/oracle
+      arithmetic.
+    - ``"lloyd"``: sample-fit Lloyd codebook (fit_centroids_sample) — the
+      production-quality quantizer; same plan shape, not SQL-checkable.
+
+    Plan shape either way: ONE scan with a per-row argmax projection +
+    IN-filter + scan-speed scoring + TakeOrderedAndProject.  ZERO Python
+    stages — the previous design paid a mapInPandas pass over the full
+    corpus per query.  Complements the hyperplane-LSH variant
+    (data-dependent cells vs data-independent planes).
     """
-    cent = fit_centroids_sample(embeddings, n_centroids, vec_col=vec_col, seed=seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probe_cells = np.argsort(-(cent @ qn))[:n_probe].tolist()
-    sc = embeddings.sparkSession.sparkContext
-    b_cent = sc.broadcast(cent)
-    probe_set = set(probe_cells)
+    if centroid_mode == "seed_points":
+        cents = seed_point_centroids(embeddings, n_centroids, id_col, vec_col)
+    elif centroid_mode == "lloyd":
+        mat = fit_centroids_sample(
+            embeddings, n_centroids, vec_col=vec_col, seed=seed
+        )
+        cents = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    else:
+        raise ValueError(f"unknown centroid_mode {centroid_mode!r}")
 
-    def in_probed_cells(it):
-        for pdf in it:
-            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            a /= np.maximum(np.linalg.norm(a, axis=1), 1e-12)[:, None]
-            cells = np.argmax(a @ b_cent.value.T, axis=1)
-            yield pdf[np.isin(cells, list(probe_set))]
-
-    candidates = embeddings.select(id_col, vec_col).mapInPandas(
-        in_probed_cells, schema=embeddings.select(id_col, vec_col).schema
+    ranked = sorted(
+        ((py_cosine(query_vec, cvec), cid) for cid, cvec in cents),
+        key=lambda t: (-t[0], t[1]),
     )
+    probe = [cid for _, cid in ranked[:n_probe]]
+
+    celled = with_ivf_cells(embeddings, cents, vec_col, "__cell")
     q_lit = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
-        candidates.select(
+        celled.filter(F.col("__cell").isin(probe))
+        .select(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), q_lit).alias("cosine"),
         )

@@ -297,12 +297,53 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _query_vector(spark, sf_dir, 0), k=10)
 
 
-@query("sim_ann_lsh", oracle=None, tags=("ext:similarity",))
+def _lsh_oracle_sql(n_planes: int = 4, n_tables: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of ann_lsh_topk: the SAME md5-derived ±1 plane family
+    (operators.similarity.rademacher_signs), with each dot product written
+    as the identical left-associated chain of ± emb[i] terms — x*(+1.0)
+    adds and x*(-1.0) subtracts bit-exactly in IEEE, so bucket bits,
+    candidate sets and the final top-10 match the Spark plan bit-for-bit.
+    The fixtures' embedding dim is 64 at every SF (TESTDATA.md)."""
+    from bigdatastructure_a5_spark.operators.similarity import rademacher_signs
+
+    signs = rademacher_signs(n_tables, n_planes, dim, seed)
+
+    def dot_chain(srow: list[float]) -> str:
+        expr = "0.0"
+        for i, w in enumerate(srow, start=1):
+            expr = f"({expr} {'+' if w > 0 else '-'} emb[{i}])"
+        return expr
+
+    buckets = []
+    for t, table in enumerate(signs):
+        terms = " + ".join(
+            f"(CASE WHEN {dot_chain(srow)} >= 0 THEN CAST({1 << p} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for p, srow in enumerate(table)
+        )
+        buckets.append(f"{terms} AS b{t}")
+    or_conds = " OR ".join(f"v.b{t} = q.b{t}" for t in range(n_tables))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    b AS (SELECT vec_id, emb, {', '.join(buckets)} FROM e),
+    q AS (SELECT * FROM b WHERE vec_id = 0)
+    SELECT v.vec_id, LIST_COSINE_SIMILARITY(v.emb, q.emb) AS cosine
+    FROM b v, q
+    WHERE v.vec_id <> 0 AND ({or_conds})
+    ORDER BY cosine DESC, v.vec_id
+    LIMIT 10
+    """
+
+
+@query("sim_ann_lsh", oracle=_lsh_oracle_sql(), tags=("ext:similarity",))
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via multi-table hyperplane LSH (4 planes x 8
     tables): score only vectors bucket-matching the query in >= 1 table.
-    Recall vs brute force is measured in tests; not SQL-expressible (seeded
-    hyperplane family), hence rows-only check."""
+    The plane family is md5-derived ±1 (Rademacher), identical arithmetic
+    in the DuckDB oracle, so the approximate result itself is checked
+    bit-for-bit; recall vs brute force is additionally measured in tests.
+    Bucket ids are plain expression columns (write-time columns at scale);
+    candidate pruning is a JVM-side OR-of-equalities — no Python stage."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return ann_lsh_topk(
         emb, _query_vector(spark, sf_dir, 0), k=10, n_planes=4, n_tables=8
@@ -486,13 +527,50 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).select("media_id", "kind", "n_bytes")
 
 
-@query("sim_ann_ivf", oracle=None, tags=("ext:similarity",))
+@query(
+    "sim_ann_ivf",
+    # DuckDB twin of ivf_topk(centroid_mode="seed_points"): codebook = the 16
+    # lowest-id corpus vectors; cell = argmax cosine (ties to smallest cid)
+    # via a window; probe = the 4 cells nearest the query.  Cosines on both
+    # engines are the same sequential fold (proven bit-identical by the
+    # neardup/bruteforce oracles), so assignment, probe set and top-10 match
+    # exactly.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT 16),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM cent, q
+      ORDER BY LIST_COSINE_SIMILARITY(cemb, qv) DESC, cid
+      LIMIT 4
+    ),
+    scored AS (
+      SELECT e.vec_id, e.emb, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY LIST_COSINE_SIMILARITY(e.emb, c.cemb) DESC, c.cid
+             ) AS rn
+      FROM e CROSS JOIN cent c
+    )
+    SELECT s.vec_id, LIST_COSINE_SIMILARITY(s.emb, q.qv) AS cosine
+    FROM scored s, q
+    WHERE s.rn = 1 AND s.cid IN (SELECT cid FROM probe)
+    ORDER BY cosine DESC, s.vec_id
+    LIMIT 10
+    """,
+    tags=("ext:similarity",),
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: sample-fit coarse quantizer (16 cells, seeded
-    Lloyd), distributed cell assignment, probe the 4 cells nearest the
-    query, exact cosine on ~4/16 of the corpus.  Data-dependent complement
-    to the hyperplane-LSH variant; recall measured in tests; probabilistic
-    by construction, hence rows-only check."""
+    """IVF approximate top-10: deterministic seed-point codebook (16 cells =
+    the 16 lowest-id vectors), cell assignment as a Catalyst argmax
+    projection, probe the 4 cells nearest the query, exact cosine on the
+    probed ~4/16 of the corpus.  Data-dependent complement to the
+    hyperplane-LSH variant; oracle-checked bit-for-bit (the deterministic
+    codebook is what makes that possible — see ivf_topk for the Lloyd
+    production mode); recall additionally measured in tests."""
     from bigdatastructure_a5_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
