@@ -69,31 +69,55 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_fingerprint",
     oracle=f"""
-    SELECT doc_id, MD5({_NORM_SQL}) AS fingerprint
+    SELECT doc_id,
+           MD5({_NORM_SQL}) AS fingerprint,
+           LIST_REDUCE(
+             LIST_PREPEND(
+               CAST(0 AS BIGINT),
+               LIST_TRANSFORM(STRING_SPLIT({_NORM_SQL}, ''), c -> CAST(ASCII(c) AS BIGINT))
+             ),
+             (a, b) -> (a * 131 + b) % 2147483647
+           ) AS rolling_fp
     FROM documents
     """,
     tags=("ext:text",),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stable per-document content fingerprint (md5 of normalized text) —
-    identical hex on every engine, so even the hash itself is oracle-checked."""
+    """Both per-document content fingerprints in one pass: md5 of the
+    normalized text (order-insensitive-of-position content hash, identical
+    hex on every engine) and the order-sensitive polynomial rolling hash
+    (streaming-friendly char-level fold, bit-identical via DuckDB
+    list_reduce).  One scan, two projections — cheaper than two queries,
+    and both hashes stay oracle-checked."""
+    from bigdatastructure_a5_spark.operators.text import rolling_fingerprint
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", md5_fingerprint("text").alias("fingerprint"))
+    return docs.select(
+        "doc_id",
+        md5_fingerprint("text").alias("fingerprint"),
+        rolling_fingerprint("text").alias("rolling_fp"),
+    )
 
 
 @query(
     "text_stats",
-    oracle=f"""
+    oracle=rf"""
     SELECT doc_id,
            LENGTH(text) AS n_chars,
            LEN(STRING_SPLIT({_NORM_SQL}, ' ')) AS n_tokens,
-           LEN(LIST_DISTINCT(STRING_SPLIT({_NORM_SQL}, ' '))) AS n_distinct_tokens
+           LEN(LIST_DISTINCT(STRING_SPLIT({_NORM_SQL}, ' '))) AS n_distinct_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS n_bpe_tokens
     FROM documents
     """,
     tags=("ext:text",),
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics — the quality-scoring raw features."""
+    """Per-document token statistics — the quality-scoring raw features,
+    plus the LLM token-budget proxy (count of BPE-pretokenizer pieces:
+    word spans and single punctuation marks).  One scan covers both the
+    whitespace and BPE-ish counting the pipeline needs."""
+    from bigdatastructure_a5_spark.operators.text import bpe_token_count
+
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     return docs.select(
@@ -101,6 +125,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
     )
 
 
@@ -452,47 +477,6 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "text", tokens("text").alias("__toks")).select(
         "doc_id", quality_score("text", toks="__toks").alias("quality")
-    )
-
-
-@query(
-    "text_token_bpe",
-    oracle=r"""
-    SELECT doc_id,
-           LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS n_bpe_tokens
-    FROM documents
-    """,
-    tags=("ext:text",),
-)
-def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LLM token-budget proxy: count of BPE-pretokenizer pieces (word spans
-    plus single punctuation marks)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
-
-
-@query(
-    "text_rolling_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           LIST_REDUCE(
-             LIST_PREPEND(
-               CAST(0 AS BIGINT),
-               LIST_TRANSFORM(STRING_SPLIT({_NORM_SQL}, ''), c -> CAST(ASCII(c) AS BIGINT))
-             ),
-             (a, b) -> (a * 131 + b) % 2147483647
-           ) AS fingerprint
-    FROM documents
-    """,
-    tags=("ext:text",),
-)
-def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive polynomial rolling hash per document (streaming-
-    friendly, unlike the order-insensitive-of-position md5): char-level
-    fold, bit-identical across engines (oracle via DuckDB list_reduce)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", rolling_fingerprint("text").alias("fingerprint")
     )
 
 
