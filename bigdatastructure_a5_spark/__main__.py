@@ -1,0 +1,85 @@
+"""Reference-format CLI: run the challenge pipeline from the reference's
+own JSON files.
+
+    python -m bigdatastructure_a5_spark \
+        --schema  .../challenge/schema.json \
+        --stats   .../challenge/stats.json \
+        --denorm  .../challenge/denormalizations.json \
+        --queries .../challenge/queries.json \
+        --out out/challenge [--scale 0.02]
+
+Mirrors `/root/reference/challenge/run.py:30-45` (same four inputs, same
+outputs: leaderboard.md, results.csv, per-query plan JSON) with one
+fundamental difference: the reference SIMULATES costs from the stats; this
+engine GENERATES a corpus matching the stats (sources/generator.py, scaled
+by --scale), materializes every denormalization variant as real parquet,
+executes every query on Spark, and prices the MEASURED bytes with the
+reference's cost constants.  Same leaderboard question, answered with an
+executed plan instead of a model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+from bigdatastructure_a5_spark.plans.workload import run_workload
+from bigdatastructure_a5_spark.session import get_spark
+from bigdatastructure_a5_spark.sources.generator import (
+    extract_equality_literals,
+    generate_tables,
+)
+from bigdatastructure_a5_spark.sources.json_config import (
+    load_denormalizations,
+    load_flat_schema,
+    load_queries,
+    load_query_frequencies,
+    load_stats,
+)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m bigdatastructure_a5_spark",
+        description="Data-model selection challenge over real Spark execution",
+    )
+    p.add_argument("--schema", required=True, help="flat schema JSON (S3)")
+    p.add_argument("--stats", required=True, help="cluster+collection stats JSON (S4)")
+    p.add_argument("--denorm", required=True, help="denormalization candidates JSON (S5)")
+    p.add_argument("--queries", required=True, help="workload queries JSON (S6)")
+    p.add_argument("--out", default="out/challenge", help="report directory")
+    p.add_argument(
+        "--scale",
+        type=float,
+        default=0.02,
+        help="corpus scale vs the stats' document counts (1.0 = full size)",
+    )
+    args = p.parse_args(argv)
+
+    schema = load_flat_schema(args.schema)
+    cluster, stats = load_stats(args.stats)
+    queries = load_queries(args.queries, defaults=load_query_frequencies(args.stats))
+    denorms = load_denormalizations(args.denorm, schema=schema)
+    literals = extract_equality_literals([q.sql for q in queries])
+
+    spark = get_spark("challenge-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = generate_tables(spark, schema, stats, scale=args.scale, literals=literals)
+    for name, df in base.items():
+        df.createOrReplaceTempView(name)
+
+    print(
+        f"cluster: {cluster.nb_servers} modeled servers | "
+        f"{len(base)} collections @ scale {args.scale} | "
+        f"{len(denorms)} layouts x {len(queries)} queries"
+    )
+    with tempfile.TemporaryDirectory(prefix="variants_") as storage:
+        report = run_workload(spark, base, denorms, queries, storage, args.out)
+    print(report.to_text())
+    print(f"\nwrote results.csv / leaderboard.md / report.json -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,25 +33,70 @@ class QuerySpec:
     frequency: float = 1.0
 
 
-def load_queries(path: str | Path) -> list[QuerySpec]:
-    """``{"queries": [{"id", "sql", "frequency"}, ...]}`` (S6)."""
+def load_queries(
+    path: str | Path, defaults: dict[str, float] | None = None
+) -> list[QuerySpec]:
+    """``{"queries": [{"id", "sql", "frequency"}, ...]}`` (S6).
+
+    ``defaults`` supplies per-id frequencies when a query omits one — the
+    reference takes these from stats.json's ``query_frequencies``
+    (`challenge/run.py:22-27`).  Trailing semicolons are stripped (the
+    reference files carry them; ``spark.sql`` wants a single statement).
+    """
     data = json.loads(Path(path).read_text())
     items = data["queries"] if isinstance(data, dict) else data
+    defaults = defaults or {}
     return [
-        QuerySpec(q["id"], q["sql"], float(q.get("frequency", 1.0))) for q in items
+        QuerySpec(
+            q["id"],
+            q["sql"].strip().rstrip(";"),
+            float(q.get("frequency", defaults.get(q["id"], 1.0))),
+        )
+        for q in items
     ]
 
 
+def load_query_frequencies(stats_path: str | Path) -> dict[str, float]:
+    """stats.json's ``query_frequencies`` block (`challenge/run.py:22-27`
+    default weights), absent -> {}."""
+    data = json.loads(Path(stats_path).read_text())
+    return {k: float(v) for k, v in data.get("query_frequencies", {}).items()}
+
+
+def infer_join_keys(
+    schema: dict[str, dict], target: str, source: str
+) -> tuple[str, str]:
+    """The (target_key, source_key) pair for an embed, inferred from a flat
+    schema the way the reference does (`challenge/loader.py:109-146`): the
+    shared field that is a primary key of either side (the FK convention in
+    the reference's schemas, e.g. Product.IDP appearing in OrderLine), else
+    any shared field name."""
+    t_fields = set(schema.get(target, {}).get("fields", {}))
+    s_fields = set(schema.get(source, {}).get("fields", {}))
+    shared = t_fields & s_fields
+    if not shared:
+        raise ValueError(f"no shared field between {target} and {source}")
+    for side in (source, target):
+        pk = schema.get(side, {}).get("primary_key")
+        if pk in shared:
+            return pk, pk
+    k = sorted(shared)[0]
+    return k, k
+
+
 def load_denormalizations(
-    path: str | Path, key_map: dict[tuple[str, str], tuple[str, str]]
+    path: str | Path,
+    key_map: dict[tuple[str, str], tuple[str, str]] | None = None,
+    schema: dict[str, dict] | None = None,
 ) -> list[DenormalizationSpec]:
     """``{"denormalizations": [{id, description, collections: {name:
-    {sharding_key, indexes}}, embeds: [{source, target, path,
-    cardinality}]}]}`` (S5, reference `challenge/loader.py:79-106`).
+    {sharding_key, indexes}}, embeds: [{from, to, path, cardinality}]}]}``
+    (S5, reference `challenge/loader.py:79-106`; ``source``/``target`` are
+    accepted as synonyms of the reference's ``from``/``to``).
 
-    ``key_map`` supplies the join-key pair per (target, source) — the
-    reference infers it from its flat schema's shared field names; real
-    tables need it explicit.
+    The embed join-key pair per (target, source) comes from ``key_map``
+    when given, else is inferred from ``schema`` (load_flat_schema shape)
+    like the reference infers it from shared field names.
     """
     data = json.loads(Path(path).read_text())
     items = data["denormalizations"] if isinstance(data, dict) else data
@@ -67,11 +112,21 @@ def load_denormalizations(
         )
         embeds = []
         for e in d.get("embeds", ()):
-            tk, sk = key_map[(e["target"], e["source"])]
+            source = e.get("source", e.get("from"))
+            target = e.get("target", e.get("to"))
+            if key_map is not None and (target, source) in key_map:
+                tk, sk = key_map[(target, source)]
+            elif schema is not None:
+                tk, sk = infer_join_keys(schema, target, source)
+            else:
+                raise ValueError(
+                    f"embed {source}->{target}: need key_map or schema to "
+                    "determine join keys"
+                )
             embeds.append(
                 EmbedSpec(
-                    source=e["source"],
-                    target=e["target"],
+                    source=source,
+                    target=target,
                     path=e["path"],
                     cardinality=e["cardinality"],
                     target_key=tk,
