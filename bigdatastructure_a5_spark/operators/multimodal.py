@@ -59,29 +59,70 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def real_decode(payload: bytes, kind: str):  # pragma: no cover - stub
-    """The codec boundary.  Wire Pillow/torchaudio/pyav here on a cluster
-    with media libs installed."""
+def _byte_features(data: bytes, n_bytes: int) -> dict:
+    """Deterministic features over a byte string: sha1 prefix + a quantized
+    collision-mass entropy proxy (integer arithmetic only, reproducible on
+    any platform).  ``n_bytes`` is reported separately so decoders can
+    report the PAYLOAD size while featurizing decoded content."""
+    n = len(data)
+    counts: dict[int, int] = {}
+    for b in data:
+        counts[b] = counts.get(b, 0) + 1
+    coll = sum(c * c for c in counts.values())
+    return {
+        "n_bytes": n_bytes,
+        "sha1_prefix": hashlib.sha1(data).hexdigest()[:12],
+        "byte_entropy_q": (coll * 1000) // (n * n) if n else -1,
+    }
+
+
+def fake_decode(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in for a decoder: features over the RAW payload
+    bytes — reproducible everywhere, no codec libraries."""
+    return _byte_features(payload, len(payload))
+
+
+def pillow_decode(payload: bytes, kind: str) -> dict:
+    """Real image decode via Pillow (when installed): features over the
+    DECODED grayscale pixels rather than the compressed payload.  Same
+    output contract as fake_decode, so the two are drop-in swappable at the
+    decode_media call site."""
+    import io
+
+    from PIL import Image  # gated import: raises where Pillow is absent
+
+    if kind != "image":
+        raise NotImplementedError(f"pillow_decode handles images, not {kind}")
+    img = Image.open(io.BytesIO(payload))
+    pixels = img.convert("L").tobytes()
+    return _byte_features(pixels, len(payload))
+
+
+def real_decode(payload: bytes, kind: str) -> dict:
+    """The codec boundary: Pillow for images when importable; audio/video
+    codecs (torchaudio/pyav) are not shipped in this container and stay
+    stubbed.  Use ``best_decoder()`` to pick this or the deterministic
+    fallback at runtime."""
+    if kind == "image":
+        return pillow_decode(payload, kind)
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
+        f"no codec for kind={kind!r} in this environment; "
         "use fake_decode (deterministic byte-level features) instead"
     )
 
 
-def fake_decode(payload: bytes, kind: str) -> dict:
-    """Deterministic stand-in for a decoder: byte-level features that are
-    reproducible everywhere (sha1 prefix + a quantized byte-entropy proxy)."""
-    n = len(payload)
-    counts: dict[int, int] = {}
-    for b in payload:
-        counts[b] = counts.get(b, 0) + 1
-    # quantized collision mass (entropy proxy), integer arithmetic only
-    coll = sum(c * c for c in counts.values())
-    return {
-        "n_bytes": n,
-        "sha1_prefix": hashlib.sha1(payload).hexdigest()[:12],
-        "byte_entropy_q": (coll * 1000) // (n * n) if n else -1,
-    }
+def best_decoder(kind: str = "image"):
+    """Runtime codec selection: the real (Pillow) decoder when the library
+    imports, else the deterministic byte-feature fallback.  Tests pin
+    fake_decode explicitly so results stay environment-independent."""
+    if kind == "image":
+        try:
+            import PIL  # noqa: F401
+
+            return real_decode
+        except ImportError:
+            return fake_decode
+    return fake_decode
 
 
 def decode_media(df: DataFrame, decoder=fake_decode) -> DataFrame:

@@ -194,3 +194,54 @@ def test_stats_and_flat_schema_loaders(tmp_path):
     flat = load_flat_schema(tmp_path / "schema.json")
     assert flat["Product"]["primary_key"] == "IDP"
     assert flat["Product"]["fields"]["brand"]["avg_size"] == 40
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join (enabled in session.py) must actually fire on a skewed
+    shuffle join: one key holding ~95% of a padded fact table makes one
+    shuffle partition dwarf the median, and the executed adaptive plan must
+    show the skew=true sort-merge join (r1/r2 advice item: prove the
+    runtime mitigation, not just the salting operators)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        # force a sort-merge join and lower the skew thresholds so the
+        # fixture-sized hot partition (a few MiB) counts as skewed
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+
+        fact = spark.range(120_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), 97))
+            .alias("k"),
+            F.rpad(F.col("id").cast("string"), 96, "x").alias("pad"),
+        )
+        dim = spark.range(97).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        # keep the pad column through the join so the shuffled hot
+        # partition is actually megabytes (column pruning would otherwise
+        # shrink it below the skew threshold)
+        joined = fact.join(dim, "k").select("k", "pad", "v")
+        # execute THIS dataframe's plan (count() would plan a separate
+        # aggregate query and leave this one's adaptive plan unfinalized)
+        n = len(joined.collect())
+        assert n == 120_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

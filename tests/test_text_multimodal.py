@@ -88,9 +88,24 @@ def test_decode_media_batches_and_features(spark, sf_dir):
     assert got.byte_entropy_q == expected["byte_entropy_q"]
 
 
-def test_real_decode_is_explicitly_stubbed():
+def test_real_decode_boundary_fails_loudly_without_codecs():
+    """real_decode must not silently fall back: images need Pillow
+    (ImportError where absent), audio/video codecs are stubbed everywhere
+    in this container (NotImplementedError)."""
     try:
-        real_decode(b"\xff\xd8", "image")
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        try:
+            real_decode(b"\xff\xd8", "image")
+            raise AssertionError("expected ImportError without Pillow")
+        except ImportError:
+            pass
+    try:
+        real_decode(b"\x00", "video")
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError as e:
         assert "codec" in str(e)
@@ -126,3 +141,41 @@ def test_resize_media_contract(spark):
     assert rows[1].payload == (b"abc" * 6)[:16]  # deterministic tiling
     assert rows[2].payload == b"\x00" * 16       # empty payload -> zero fill
     assert rows[3].width == 8 and rows[3].height == 2
+
+
+def test_best_decoder_selects_by_environment():
+    """The codec boundary is runtime-selected: Pillow-backed real_decode
+    when the library imports, the deterministic byte-feature fallback
+    otherwise.  Both sides of the branch share the feature contract."""
+    from bigdatastructure_a5_spark.operators.multimodal import (
+        best_decoder,
+        fake_decode,
+        real_decode,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    dec = best_decoder("image")
+    if has_pil:
+        assert dec is real_decode
+        # 1x1 grayscale PNG, decoded features over pixels
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (2, 2), color=7).save(buf, format="PNG")
+        out = dec(buf.getvalue(), "image")
+        assert out["n_bytes"] == len(buf.getvalue())
+        assert out["byte_entropy_q"] == 1000  # 4 identical pixels
+    else:
+        assert dec is fake_decode
+    # audio/video stay stubbed in every environment without codecs
+    assert best_decoder("video") is fake_decode
+    payload = b"abcabc"
+    assert fake_decode(payload, "image")["n_bytes"] == 6
