@@ -222,10 +222,19 @@ def with_lsh_buckets(
     (they are plain expression columns — sources/denormalize write paths
     can carry them like any projection), and every later query prunes with
     bucket-equality predicates against a literal — no per-query scan-side
-    Python, no recomputation of the plane family."""
-    for t, table in enumerate(signs):
-        df = df.withColumn(f"{prefix}{t}", lsh_bucket_expr(vec_col, table))
-    return df
+    Python, no recomputation of the plane family.
+
+    One ``select`` for all tables: a ``withColumn`` loop would re-analyze
+    the plan per table, and these expression trees are large (tables x
+    planes x dim literal terms) — measured ~2s of pure Catalyst analysis
+    saved at 8x4x64."""
+    return df.select(
+        "*",
+        *[
+            lsh_bucket_expr(vec_col, table).alias(f"{prefix}{t}")
+            for t, table in enumerate(signs)
+        ],
+    )
 
 
 def _py_fold_dot(vec, weights) -> float:
@@ -285,9 +294,14 @@ def ann_lsh_topk(
     TakeOrderedAndProject.  ZERO Python stages — the previous design paid a
     full mapInPandas corpus scan per query.
     """
+    from bigdatastructure_a5_spark.session import ensure_min_partitions
+
     signs = rademacher_signs(n_tables, n_planes, len(query_vec), seed)
     qb = [py_bucket(query_vec, table) for table in signs]
-    bucketed = with_lsh_buckets(embeddings, signs, vec_col)
+    # a one-file corpus arrives as one split; spread so the per-row bucket
+    # expressions use the whole pool (a no-op on an already-wide corpus,
+    # and moot in production where the buckets are write-time columns)
+    bucketed = with_lsh_buckets(ensure_min_partitions(embeddings), signs, vec_col)
     cond = None
     for t in range(n_tables):
         c = F.col(f"bucket_{t}") == F.lit(qb[t])
@@ -399,6 +413,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     centroid_mode: str = "seed_points",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign vectors to their nearest codebook cell
     (a Catalyst argmax projection — see ivf_cell_expr), probe the
@@ -421,7 +436,9 @@ def ivf_topk(
     corpus per query.  Complements the hyperplane-LSH variant
     (data-dependent cells vs data-independent planes).
     """
-    if centroid_mode == "seed_points":
+    if centroids is not None:
+        cents = centroids  # pre-fetched codebook (caller saved a scan job)
+    elif centroid_mode == "seed_points":
         cents = seed_point_centroids(embeddings, n_centroids, id_col, vec_col)
     elif centroid_mode == "lloyd":
         mat = fit_centroids_sample(
@@ -437,7 +454,10 @@ def ivf_topk(
     )
     probe = [cid for _, cid in ranked[:n_probe]]
 
-    celled = with_ivf_cells(embeddings, cents, vec_col, "__cell")
+    from bigdatastructure_a5_spark.session import ensure_min_partitions
+
+    # spread a one-split corpus before the 16-cosine argmax projection
+    celled = with_ivf_cells(ensure_min_partitions(embeddings), cents, vec_col, "__cell")
     q_lit = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         celled.filter(F.col("__cell").isin(probe))

@@ -557,10 +557,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     production mode); recall additionally measured in tests."""
     from bigdatastructure_a5_spark.operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    return ivf_topk(
-        emb, _query_vector(spark, sf_dir, 0), k=10, n_centroids=16, n_probe=4
-    )
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    # one scan job fetches the query vector AND the 16-seed codebook (the
+    # 17 lowest ids, with vec_id 0 the query) instead of two
+    head = emb_all.orderBy("vec_id").limit(17).collect()
+    if head and head[0].vec_id == 0:
+        qv = [float(x) for x in head[0].embedding]
+        cents = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in head[1:]]
+    else:  # fixture without vec 0: fall back to separate fetches
+        qv, cents = _query_vector(spark, sf_dir, 0), None
+    emb = emb_all.filter(F.col("vec_id") != 0)
+    return ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=4, centroids=cents)
 
 
 _QUALITY_EXPR_SQL = """
