@@ -237,6 +237,77 @@ def with_lsh_buckets(
     )
 
 
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    tracker: list | None = None,
+) -> DataFrame:
+    """SUBQUADRATIC embedding near-dup pairs: LSH-bucket candidates, exact
+    refine — the 100 TB complement to the exact tiled ``cosine_pairs``.
+
+    cosine_pairs is exhaustive but inherently O(n²) work; at some corpus
+    size no tiling saves that.  This variant generates candidates with the
+    same Rademacher-plane buckets the ANN path uses (pairs sharing a
+    bucket in >= 1 of ``n_tables`` tables — an equi-join on (table,
+    bucket), never a cross join), then exact-scores only candidates with
+    the bit-stable sequential fold.  Recall < 1 by construction (the SRP
+    collision curve: p_pair = 1-(1-(1-θ/π)^planes)^tables, measured in
+    tests); precision = 1 because every emitted pair is exactly verified.
+    In production the bucket columns come from write time
+    (with_lsh_buckets), making candidate generation a shuffle on 16-byte
+    keys over pre-computed columns.
+    """
+    from bigdatastructure_a5_spark.session import ensure_min_partitions
+
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, cosine double"
+        )
+    signs = rademacher_signs(n_tables, n_planes, len(first[0]), seed)
+    bucketed = with_lsh_buckets(ensure_min_partitions(embeddings), signs, vec_col)
+    melted = bucketed.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("b")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "tb.t", "tb.b")
+    melted = melted.persist()
+    if tracker is not None:
+        tracker.append(melted)
+    a, b = melted.alias("a"), melted.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _py_fold_dot(vec, weights) -> float:
     """Driver-side replica of lsh_bucket_expr's dot fold: same left-to-right
     double accumulation, so the query point's bucket bits are bit-identical

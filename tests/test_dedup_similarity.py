@@ -179,3 +179,59 @@ def test_ivf_recall_and_pruning(spark, sf_dir):
     c1 = fit_centroids_sample(emb, 16)
     c2 = fit_centroids_sample(emb, 16)
     assert (c1 == c2).all()
+
+
+def test_ann_write_time_cells_enable_partition_pruning(spark, sf_dir, tmp_path):
+    """The production ANN shape: IVF cell ids materialized at WRITE time as
+    a partition column, so a probe query prunes to n_probe/n_centroids of
+    the corpus at the source — PartitionFilters in the scan, no Python, no
+    full read.  (The registered queries compute cells on the fly for
+    self-containedness; this pins the write-time claim.)"""
+    from pyspark.sql import functions as F
+
+    from bigdatastructure_a5_spark.operators.similarity import (
+        seed_point_centroids,
+        with_ivf_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    cents = seed_point_centroids(emb, 16)
+    path = str(tmp_path / "emb_celled")
+    with_ivf_cells(emb, cents, "embedding", "ivf_cell").write.partitionBy(
+        "ivf_cell"
+    ).parquet(path)
+
+    celled = spark.read.parquet(path)
+    probe = [1, 3, 5, 7]
+    probed = celled.filter(F.col("ivf_cell").isin(probe))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan, plan[:1500]
+    got_cells = {r.ivf_cell for r in probed.select("ivf_cell").distinct().collect()}
+    assert got_cells <= set(probe) and got_cells
+    # pruned read returns exactly the probed cells' rows
+    full = {r.vec_id for r in celled.filter(F.col("ivf_cell").isin(probe)).collect()}
+    assert len(full) == probed.count() > 0
+
+
+def test_cosine_pairs_lsh_subset_of_exact_with_recall(spark, sf_dir):
+    """The subquadratic LSH variant must have perfect precision (every
+    emitted pair is exactly verified, so it is a SUBSET of the exact tiled
+    result with identical cosines) and useful recall on the fixture's
+    planted near-dups."""
+    from bigdatastructure_a5_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs(emb, threshold=0.45).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_lsh(emb, threshold=0.45).collect()
+    }
+    assert set(approx) <= set(exact)
+    for p, c in approx.items():
+        assert c == exact[p]  # bit-identical exact refine
+    assert len(exact) > 0
+    recall = len(approx) / len(exact)
+    assert recall >= 0.4, (recall, sorted(exact), sorted(approx))
