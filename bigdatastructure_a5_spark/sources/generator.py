@@ -87,10 +87,12 @@ def generate_tables(
                 col = (F.pmod(h, F.lit(100000)) / F.lit(100.0))
             else:
                 bucket = F.pmod(h, F.lit(ndv))
-                val = F.rpad(
-                    F.concat(F.lit(f"{fname}_"), bucket.cast("string")),
-                    avg,
-                    "x",
+                raw = F.concat(F.lit(f"{fname}_"), bucket.cast("string"))
+                # pad up to avg_size for byte realism, but never TRUNCATE —
+                # rpad's cut would collapse distinct buckets into one value
+                # when avg_size is smaller than the generated string
+                val = F.when(F.length(raw) >= avg, raw).otherwise(
+                    F.rpad(raw, avg, "x")
                 )
                 if fname in literals:
                     val = F.when(bucket == 0, F.lit(literals[fname])).otherwise(val)
