@@ -309,11 +309,13 @@ def simhash64(
     - ``"xxhash64"``: full 64 bits via the fastest JVM hash — the pure
       throughput choice when cross-engine checkability isn't needed.
 
-    Only rows with a NULL token array (null text) are dropped.  Empty /
-    whitespace-only text normalizes to the one-token array [''] and is
-    kept: all such docs share the fingerprint of hash('') and pair
-    mutually at Hamming 0 — legitimately, since they are identical
-    (empty) content.
+    Rows with a NULL token array (null text) AND rows whose text is
+    empty/whitespace-only (normalizes to the one-token array ['']) are
+    DROPPED.  The latter all share fingerprint hash(''): k such docs
+    would form one Hamming-0 bucket and the candidate self-join would
+    materialize k² rows from that single key — at corpus scale an
+    unbounded quadratic blowup for pairs that carry no near-dup signal
+    (exact dedup already groups empty docs in O(k)).
 
     Computed ENTIRELY map-side: materialize the per-row token-hash array
     (a column, so the per-bit count expressions share it), then per bit
@@ -348,7 +350,10 @@ def simhash64(
     return (
         ensure_min_partitions(df)
         .select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
-        .filter(F.size("__toks") > 0)
+        .filter(
+            (F.size("__toks") > 0)
+            & ~((F.size("__toks") == 1) & (F.element_at("__toks", 1) == ""))
+        )
         .select("id", F.transform("__toks", lambda t: hash_one(t)).alias("__hs"))
         .select("id", fingerprint.alias("simhash"))
     )

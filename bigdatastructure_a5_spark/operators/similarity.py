@@ -78,12 +78,16 @@ def cosine_pairs(
        final filter applies the exact threshold to the exact value.
 
     Scale shape: shuffle volume is B copies of the corpus (each block
-    joins B tile rows); work per tile is (n/B)² dot products.  Pick
-    B ~ sqrt(2 * parallelism) for full occupancy.  The B×B tile join is a
-    metadata-level nested-loop over B rows per side — the quadratic term
-    lives inside the tiles, never in a row-level cross join.  At extreme
-    scale, LSH-bucket the corpus first (dedup.lsh_candidate_pairs shape)
-    and feed the surviving bucket tiles through the same tile scorer.
+    joins B tile rows); work per tile is (n/B)² dot products.  Size
+    ``n_blocks`` to BOTH full occupancy (B(B+1)/2 >= parallelism) and
+    per-block memory: a block is one packed row, so it must fit an Arrow
+    batch/task heap (~corpus_bytes/B << 1 GB — raise B for bigger
+    corpora; the quadratic work total is unchanged).  The tile grid
+    itself is driven by a B(B+1)/2-row pair list joined with two plain
+    EQUI-joins against the packed blocks — no theta/nested-loop join, so
+    Spark never considers broadcasting the packed corpus.  At extreme
+    scale, LSH-bucket the corpus first (cosine_pairs_lsh) instead of
+    tiling the full grid.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -98,18 +102,28 @@ def cosine_pairs(
         .groupBy("bid")
         .agg(F.collect_list("iv").alias("members"))
     )
+    spark = embeddings.sparkSession
+    pair_grid = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "bid_x int, bid_y int",
+    )
     tiles = (
-        packed.select(
-            F.col("bid").alias("bid_x"), F.col("members").alias("mx")
+        F.broadcast(pair_grid)  # B(B+1)/2 rows of metadata, never data
+        .join(
+            packed.select(
+                F.col("bid").cast("int").alias("bid_x"),
+                F.col("members").alias("mx"),
+            ),
+            "bid_x",
         )
         .join(
             packed.select(
-                F.col("bid").alias("bid_y"), F.col("members").alias("my")
+                F.col("bid").cast("int").alias("bid_y"),
+                F.col("members").alias("my"),
             ),
-            F.col("bid_x") <= F.col("bid_y"),
+            "bid_y",
         )
-        # spread the B(B+1)/2 tile rows across the executor pool — the
-        # packed join otherwise leaves them on a handful of partitions
+        # spread the B(B+1)/2 tile rows across the executor pool
         .repartition(n_blocks * (n_blocks + 1) // 2)
     )
 
@@ -329,7 +343,10 @@ def py_bucket(vec, table_signs: list[list[float]]) -> int:
 def py_cosine(a, b) -> float:
     """Driver-side replica of functions.vectors.cosine_similarity (same
     sequential folds, same single divide) — bit-identical to the executor
-    expression and to DuckDB's list_cosine_similarity."""
+    expression and to DuckDB's list_cosine_similarity.  A zero vector
+    yields NaN on every engine (0/0); return it rather than raising so a
+    degenerate codebook entry ranks nowhere instead of crashing the
+    driver-side probe selection."""
     import math
 
     dot = 0.0
@@ -341,7 +358,10 @@ def py_cosine(a, b) -> float:
     nb = 0.0
     for y in b:
         nb += float(y) * float(y)
-    return dot / (math.sqrt(na) * math.sqrt(nb))
+    denom = math.sqrt(na) * math.sqrt(nb)
+    if denom == 0.0:
+        return float("nan")
+    return dot / denom
 
 
 def ann_lsh_topk(
@@ -519,9 +539,11 @@ def ivf_topk(
     else:
         raise ValueError(f"unknown centroid_mode {centroid_mode!r}")
 
+    scored = [(py_cosine(query_vec, cvec), cid) for cid, cvec in cents]
+    # degenerate (zero-vector) codebook entries score NaN — exclude them
+    # from probing rather than letting NaN poison the sort order
     ranked = sorted(
-        ((py_cosine(query_vec, cvec), cid) for cid, cvec in cents),
-        key=lambda t: (-t[0], t[1]),
+        ((c, cid) for c, cid in scored if c == c), key=lambda t: (-t[0], t[1])
     )
     probe = [cid for _, cid in ranked[:n_probe]]
 

@@ -89,8 +89,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming-friendly char-level fold, bit-identical via DuckDB
     list_reduce).  One scan, two projections — cheaper than two queries,
     and both hashes stay oracle-checked."""
-    from bigdatastructure_a5_spark.operators.text import rolling_fingerprint
-
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -116,8 +114,6 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the LLM token-budget proxy (count of BPE-pretokenizer pieces:
     word spans and single punctuation marks).  One scan covers both the
     whitespace and BPE-ish counting the pipeline needs."""
-    from bigdatastructure_a5_spark.operators.text import bpe_token_count
-
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     return docs.select(
@@ -246,7 +242,8 @@ _SIMHASH_BIT_TERMS = " + ".join(
       SELECT doc_id,
              LIST_TRANSFORM(STRING_SPLIT({_NORM_SQL}, ' '),
                             tok -> CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS BIGINT)) AS hs
-      FROM documents WHERE text IS NOT NULL
+      FROM documents
+      WHERE text IS NOT NULL AND {_NORM_SQL} <> ''
     ),
     fp AS (SELECT doc_id, {_SIMHASH_BIT_TERMS} AS f FROM t)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -296,7 +293,12 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
-    return list(emb.filter(F.col("vec_id") == vec_id).first().embedding)
+    row = emb.filter(F.col("vec_id") == vec_id).first()
+    if row is None:
+        raise ValueError(
+            f"embeddings fixture at {sf_dir} has no vec_id={vec_id} query vector"
+        )
+    return list(row.embedding)
 
 
 @query(
@@ -559,13 +561,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb_all = load_table(spark, sf_dir, "embeddings")
     # one scan job fetches the query vector AND the 16-seed codebook (the
-    # 17 lowest ids, with vec_id 0 the query) instead of two
+    # 17 lowest ids normally include vec_id 0, the query)
     head = emb_all.orderBy("vec_id").limit(17).collect()
-    if head and head[0].vec_id == 0:
-        qv = [float(x) for x in head[0].embedding]
-        cents = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in head[1:]]
-    else:  # fixture without vec 0: fall back to separate fetches
-        qv, cents = _query_vector(spark, sf_dir, 0), None
+    qv_row = next((r for r in head if r.vec_id == 0), None)
+    if qv_row is not None:
+        qv = [float(x) for x in qv_row.embedding]
+    else:  # raises with a clear message when the fixture lacks vector 0
+        qv = _query_vector(spark, sf_dir, 0)
+    non_query = [r for r in head if r.vec_id != 0]
+    cents = (
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in non_query[:16]]
+        if len(non_query) >= 16
+        else None  # tiny corpus: let ivf_topk fetch its own codebook
+    )
     emb = emb_all.filter(F.col("vec_id") != 0)
     return ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=4, centroids=cents)
 

@@ -33,13 +33,17 @@ from bigdatastructure_a5_spark.sources.json_config import CollectionStats
 _EQ_LITERAL = re.compile(r"(?:\w+\.)?(\w+)\s*=\s*'([^']*)'")
 
 
-def extract_equality_literals(sqls: list[str]) -> dict[str, str]:
-    """String literals used in equality predicates, per (unqualified) field
-    name — the values the generator must actually produce."""
-    out: dict[str, str] = {}
+def extract_equality_literals(sqls: list[str]) -> dict[str, list[str]]:
+    """ALL string literals used in equality predicates, per (unqualified)
+    field name — every one must exist in the generated data, so a workload
+    with `brand = 'apple'` in one query and `brand = 'samsung'` in another
+    gets both seeded (into buckets 0 and 1 respectively)."""
+    out: dict[str, list[str]] = {}
     for sql in sqls:
         for fld, lit in _EQ_LITERAL.findall(sql):
-            out.setdefault(fld, lit)
+            vals = out.setdefault(fld, [])
+            if lit not in vals:
+                vals.append(lit)
     return out
 
 
@@ -48,7 +52,7 @@ def generate_tables(
     schema: dict[str, dict],
     stats: dict[str, CollectionStats],
     scale: float = 1.0,
-    literals: dict[str, str] | None = None,
+    literals: dict[str, list[str]] | None = None,
     partitions: int | None = None,
 ) -> dict[str, DataFrame]:
     """One DataFrame per collection in ``schema`` (load_flat_schema shape),
@@ -56,16 +60,29 @@ def generate_tables(
 
     - the primary key is the row id (dense, unique — NDV = row count, as
       the reference's stats declare for every pk);
-    - integers draw uniformly from [0, ndv) via xxhash64 — a foreign key
-      whose NDV equals the parent's count therefore hits every parent
-      (referential integrity by construction);
-    - numbers are uniform doubles with two decimals;
+    - a field that is ANOTHER collection's primary key is a foreign key:
+      it draws uniformly from the parent's scaled row count, so every
+      value hits a parent (referential integrity survives scaling);
+    - any other field keeps its UNSCALED stats NDV (capped at the row
+      count): equality selectivity is 1/NDV in the reference's cost model
+      (`challenge/simulator.py`), and scaling the NDV down would inflate
+      every predicate's selectivity by 1/scale — only counts shrink with
+      scale, never selectivities;
+    - integers draw uniformly from [0, ndv); numbers are uniform doubles
+      with two decimals;
     - strings are ``field_<bucket>`` over ndv buckets, right-padded to the
       schema's avg_size so measured scan bytes track the reference's size
-      model; bucket 0 becomes the workload literal when one is seeded
-      (unpadded, so the predicate matches exactly).
+      model; workload literals are seeded into buckets 0, 1, ... (unpadded,
+      so the predicates match exactly at ~1/NDV each).
     """
     literals = literals or {}
+    # pk -> scaled row count of the collection owning it (FK detection)
+    pk_counts: dict[str, int] = {}
+    for name, cspec in schema.items():
+        cstats = stats.get(name, CollectionStats(0, {}, {}, {}, None))
+        pk = cspec.get("primary_key")
+        if pk:
+            pk_counts[pk] = max(1, int(cstats.nb_documents * scale))
     out: dict[str, DataFrame] = {}
     for name, cspec in schema.items():
         cstats = stats.get(name, CollectionStats(0, {}, {}, {}, None))
@@ -77,7 +94,12 @@ def generate_tables(
             ftype = fspec.get("type", "string")
             avg = max(1, int(fspec.get("avg_size", 8)))
             ndv_raw = (cstats.distinct_values or {}).get(fname)
-            ndv = max(1, int(ndv_raw * scale)) if ndv_raw else n
+            if fname != pk and fname in pk_counts:
+                ndv = pk_counts[fname]  # FK: track the parent's scaled count
+            elif ndv_raw:
+                ndv = max(1, min(int(ndv_raw), n))  # selectivity-preserving
+            else:
+                ndv = n
             h = F.xxhash64(F.lit(fname), F.col("id"))
             if fname == pk:
                 col = F.col("id")
@@ -94,8 +116,8 @@ def generate_tables(
                 val = F.when(F.length(raw) >= avg, raw).otherwise(
                     F.rpad(raw, avg, "x")
                 )
-                if fname in literals:
-                    val = F.when(bucket == 0, F.lit(literals[fname])).otherwise(val)
+                for i, lit in enumerate(literals.get(fname, ())[: ndv]):
+                    val = F.when(bucket == i, F.lit(lit)).otherwise(val)
                 col = val
             cols.append(col.alias(fname))
         out[name] = base.select(*cols)
