@@ -162,3 +162,83 @@ def test_stream_stream_interval_join_equals_batch_range_join(spark, sf_dir):
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark semantics enforced BEHAVIORALLY, not just present in the
+    plan: with a 2-hour watermark and append output, an event arriving a
+    full day late must not reopen its (already finalized) window — this is
+    the state bound that keeps a 100TB/day stream's store finite."""
+    from datetime import datetime, timedelta, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdatastructure_a5_spark.streaming.events import (
+        _events_raw_schema,
+        hourly_rollup_stream,
+    )
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base + timedelta(hours=r[1]) for r in rows],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(table, src / name)
+
+    import time as _time
+
+    # batch 1: one event per hour 0..11 -> watermark advances to 09:00;
+    # batch 2: hour 12 -> hour-0 window is emitted and its state evicted;
+    # batch 3: a day-late replay into hour 0 — below the watermark with no
+    # state left, it MUST be dropped (not aggregated, not re-emitted).
+    # One file per microbatch (maxFilesPerTrigger=1, mtime-ordered).
+    # NOTE: a late row that shares a batch with live pre-eviction state
+    # still merges (watermark is a lower-bound guarantee, drops are
+    # best-effort) — the separate batch is what makes the drop REQUIRED.
+    write_batch("0001.parquet", [(i, i, 1.0) for i in range(12)])
+    _time.sleep(1.1)
+    write_batch("0002.parquet", [(50, 12, 1.0)])
+    _time.sleep(1.1)
+    write_batch("0003.parquet", [(100, 0, 100.0)])
+
+    stream = (
+        spark.readStream.schema(_events_raw_schema(ts_is_nanos=False))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    rolled = hourly_rollup_stream(stream, watermark="2 hours")
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("late_data_test")
+        .outputMode("append")  # emit windows only once finalized
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, dropped  # exactly the day-late replay
+    got = {
+        r.hour_ts: r.sum_value for r in spark.table("late_data_test").collect()
+    }
+    hour0 = base.replace(tzinfo=None)
+    assert hour0 in got, sorted(got)
+    # the late 100.0 replay was dropped: hour 0 keeps only its on-time 1.0
+    assert got[hour0] == 1.0, got
