@@ -238,16 +238,57 @@ def with_lsh_buckets(
     bucket-equality predicates against a literal — no per-query scan-side
     Python, no recomputation of the plane family.
 
-    One ``select`` for all tables: a ``withColumn`` loop would re-analyze
-    the plan per table, and these expression trees are large (tables x
-    planes x dim literal terms) — measured ~2s of pure Catalyst analysis
-    saved at 8x4x64."""
-    return df.select(
-        "*",
-        *[
-            lsh_bucket_expr(vec_col, table).alias(f"{prefix}{t}")
-            for t, table in enumerate(signs)
-        ],
+    Two-stage one-pass formulation: stage 1 computes ALL tables' dot
+    products in a single fold against one (dim x tables*planes) literal
+    weight matrix (per vector element, its contribution to every plane is
+    added in element order — bit-identical to a per-plane sequential
+    fold, hence to the oracle); stage 2 packs sign bits into the bucket
+    columns from that shared dots column.  Catalyst's CollapseProject
+    keeps the stages separate (the dots column is referenced 4x per
+    bucket), so the fold runs once per row.  The per-plane alternative
+    (lsh_bucket_expr x tables) computes the same values but builds a
+    tables*planes-fold expression tree costing ~2s of Catalyst analysis
+    per fresh plan at 8x4x64."""
+    from bigdatastructure_a5_spark.functions.vectors import _as_col
+
+    n_tables = len(signs)
+    n_planes = len(signs[0])
+    dim = len(signs[0][0])
+    j_total = n_tables * n_planes
+    # W2[d][j]: plane j's weight at dimension d, j = t*n_planes + p
+    w2_lit = F.lit(
+        [
+            [signs[j // n_planes][j % n_planes][d] for j in range(j_total)]
+            for d in range(dim)
+        ]
+    )
+    contribs = F.transform(
+        _as_col(vec_col),
+        lambda x, i: F.transform(
+            F.element_at(w2_lit, (i + 1).cast("int")),
+            lambda w: x.cast("double") * w,
+        ),
+    )
+    dots = F.aggregate(
+        contribs,
+        F.array_repeat(F.lit(0.0), j_total),
+        lambda acc, arr: F.zip_with(acc, arr, lambda a, v: a + v),
+    )
+    staged = df.select("*", dots.alias("__lsh_dots"))
+
+    def bucket(t: int) -> F.Column:
+        b = None
+        for p in range(n_planes):
+            bit = F.when(
+                F.element_at(F.col("__lsh_dots"), t * n_planes + p + 1) >= 0,
+                F.lit(1).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            term = F.shiftleft(bit, p)
+            b = term if b is None else b + term
+        return b
+
+    return staged.select(
+        *df.columns, *[bucket(t).alias(f"{prefix}{t}") for t in range(n_tables)]
     )
 
 
@@ -338,6 +379,17 @@ def py_bucket(vec, table_signs: list[list[float]]) -> int:
         if _py_fold_dot(vec, srow) >= 0:
             b |= 1 << p
     return b
+
+
+def py_l2(a) -> float:
+    """Driver-side replica of functions.vectors.l2_norm (sequential
+    square-sum fold + sqrt) — bit-identical to the executor expression."""
+    import math
+
+    s = 0.0
+    for x in a:
+        s += float(x) * float(x)
+    return math.sqrt(s)
 
 
 def py_cosine(a, b) -> float:
@@ -490,8 +542,49 @@ def with_ivf_cells(
 ) -> DataFrame:
     """Materialize the IVF cell id as a column — the write-time step: at
     100 TB the corpus is written partitioned/sorted by cell so a probe
-    query prunes to n_probe partitions before any scoring."""
-    return df.withColumn(cell_col, ivf_cell_expr(vec_col, centroids))
+    query prunes to n_probe partitions before any scoring.
+
+    Same two-stage one-pass trick as with_lsh_buckets: all codebook dot
+    products in a single fold against one (dim x centroids) literal
+    matrix + one shared row-norm fold, then the argmax over
+    cos = dots[c] / (norm_v * |centroid_c|) — element order and operation
+    structure identical to per-centroid cosine_similarity folds, so cell
+    ids (and the oracle hash) are unchanged bit-for-bit.  Centroid norms
+    are Python-folded with the same sequential arithmetic (py_l2)."""
+    from bigdatastructure_a5_spark.functions.vectors import _as_col, l2_norm
+
+    n_cent = len(centroids)
+    dim = len(centroids[0][1])
+    w2_lit = F.lit(
+        [[centroids[j][1][d] for j in range(n_cent)] for d in range(dim)]
+    )
+    contribs = F.transform(
+        _as_col(vec_col),
+        lambda x, i: F.transform(
+            F.element_at(w2_lit, (i + 1).cast("int")),
+            lambda w: x.cast("double") * w,
+        ),
+    )
+    dots = F.aggregate(
+        contribs,
+        F.array_repeat(F.lit(0.0), n_cent),
+        lambda acc, arr: F.zip_with(acc, arr, lambda a, v: a + v),
+    )
+    staged = df.select(
+        "*", dots.alias("__ivf_dots"), l2_norm(vec_col).alias("__ivf_nv")
+    )
+    entries = [
+        F.struct(
+            (
+                F.element_at(F.col("__ivf_dots"), j + 1)
+                / (F.col("__ivf_nv") * F.lit(py_l2(cvec)))
+            ).alias("cos"),
+            F.lit(-cid).cast("bigint").alias("negcid"),
+        )
+        for j, (cid, cvec) in enumerate(centroids)
+    ]
+    cell = (-F.array_max(F.array(*entries))["negcid"]).cast("int")
+    return staged.select(*df.columns, cell.alias(cell_col))
 
 
 def ivf_topk(
