@@ -22,6 +22,37 @@ def _as_col(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _sql_double(v: float) -> str:
+    """Shortest round-trip decimal + D suffix: Catalyst's parser reads it back
+    to the bit-identical IEEE double (both sides use shortest-repr rules)."""
+    return repr(float(v)) + "D"
+
+
+def double_array_lit(values) -> Column:
+    """``array<double>`` literal built in ONE parser call.
+
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round-trip per element —
+    ~1.5s of driver time for a 64x32 matrix (measured), which dominated the
+    ANN queries' wall-clock as pure fixed cost.  A single ``F.expr`` over a
+    rendered SQL string is one round-trip; Catalyst parses and
+    constant-folds it to the same Literal in milliseconds."""
+    return F.expr("array(" + ",".join(_sql_double(v) for v in values) + ")")
+
+
+def double_matrix_lit(rows) -> Column:
+    """``array<array<double>>`` literal in one parser call (see
+    double_array_lit for why not nested ``F.lit``)."""
+    body = ",".join(
+        "array(" + ",".join(_sql_double(v) for v in row) + ")" for row in rows
+    )
+    return F.expr("array(" + body + ")")
+
+
+def long_array_lit(values) -> Column:
+    """``array<bigint>`` literal in one parser call."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
 def dot_product(a: Column | str, b: Column | str) -> Column:
     """Σ a[i]*b[i] in double precision, array-order accumulation."""
     prod = F.zip_with(_as_col(a), _as_col(b), lambda x, y: x.cast("double") * y.cast("double"))

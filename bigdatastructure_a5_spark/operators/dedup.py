@@ -347,7 +347,11 @@ def simhash64(
 
     # bit-b weight 2^b; b=63 is the sign bit, i.e. Long.MIN_VALUE — the
     # same value shiftleft(1L, 63) produced, so 64-bit prints are unchanged
-    weights = F.lit([(1 << b) if b < 63 else -(1 << 63) for b in range(nbits)])
+    from bigdatastructure_a5_spark.functions.vectors import long_array_lit
+
+    weights = long_array_lit(
+        [(1 << b) if b < 63 else -(1 << 63) for b in range(nbits)]
+    )
     hs = F.col("__hs")
     n = F.size(hs)
     counts = F.aggregate(

