@@ -55,8 +55,24 @@ def shingle_sets(
       the projection itself).  Consumers may assume every emitted set is
       non-empty.
     """
+    return shingle_sets_from_tokens(
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks")),
+        id_col="id",
+        toks_col="toks",
+        n=n,
+    )
+
+
+def shingle_sets_from_tokens(
+    df: DataFrame, id_col: str = "id", toks_col: str = "toks", n: int = 3
+) -> DataFrame:
+    """shingle_sets over an ALREADY-tokenIZED column — the fusion entry
+    point: a pipeline that materialized the token array for scoring (e.g.
+    pipeline_curation's n_tokens/quality stage) feeds it straight into
+    shingling instead of re-running the tokenizer regex over the text,
+    which is the single heaviest per-row map in the curation flow."""
     return (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+        df.select(F.col(id_col).alias("id"), F.col(toks_col).alias("toks"))
         .filter(F.size("toks") >= n)
         .select(
             "id",

@@ -42,7 +42,12 @@ def lang_scores(text_col: Column | str) -> dict[str, Column]:
     return {lang: _marker_count(toks, lang) for lang in STOPWORDS}
 
 
-def with_lang_scores(df, text_col: str = "text", prefix: str = "sc_"):
+def with_lang_scores(
+    df,
+    text_col: str = "text",
+    prefix: str = "sc_",
+    toks_col: str | None = None,
+):
     """Append one ``{prefix}{lang}`` marker-count column per language.
 
     Two projections on purpose: the token array is materialized first, and
@@ -50,7 +55,20 @@ def with_lang_scores(df, text_col: str = "text", prefix: str = "sc_"):
     CollapseProject leaves it materialized — each score column then scans
     the SAME array.  Composing ``lang_scores`` expressions inline instead
     re-tokenizes once per language (and once per duplicated branch of any
-    downstream when-chain)."""
+    downstream when-chain).
+
+    Pass ``toks_col`` naming an ALREADY-materialized token-array column to
+    score from it directly (no internal tokenize, the column is left in
+    place) — the fusion hook for pipelines that tokenize once and feed
+    scoring, stats and shingling from the same array."""
+    if toks_col is not None:
+        return df.select(
+            "*",
+            *[
+                _marker_count(F.col(toks_col), lang).alias(f"{prefix}{lang}")
+                for lang in STOPWORDS
+            ],
+        )
     toks_c = F.col("__toks")
     return (
         df.withColumn("__toks", tokens(text_col))
@@ -101,7 +119,9 @@ def lang_id(text_col: Column | str) -> Column:
 
 
 def quality_score(
-    text_col: Column | str, toks: Column | str | None = None
+    text_col: Column | str,
+    toks: Column | str | None = None,
+    stop_hits: Column | None = None,
 ) -> Column:
     """Composite quality heuristic in [0, 1]:
 
@@ -116,7 +136,11 @@ def quality_score(
 
     Pass ``toks`` (a MATERIALIZED token-array column) in hot paths: inline,
     the tokenization subtree appears ~7x in this expression and is
-    re-evaluated each time (measured ~30% slower at sf0.1).
+    re-evaluated each time (measured ~30% slower at sf0.1).  Pass
+    ``stop_hits`` (the sum of already-computed ``with_lang_scores``
+    marker-count columns) to skip re-filtering the token array four more
+    times for the stopwordy term — the counts are the same values by
+    construction.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     if toks is None:
@@ -131,10 +155,11 @@ def quality_score(
     mean_tok_len = (F.length(F.regexp_replace(c, r"\s+", ""))).cast(
         "double"
     ) / n_toks.cast("double")
-    any_stop = None
-    for lang in STOPWORDS:
-        cnt = _marker_count(toks, lang)
-        any_stop = cnt if any_stop is None else any_stop + cnt
+    any_stop = stop_hits
+    if any_stop is None:
+        for lang in STOPWORDS:
+            cnt = _marker_count(toks, lang)
+            any_stop = cnt if any_stop is None else any_stop + cnt
     return (
         F.when((n_chars >= 120) & (n_chars <= 20000), 0.25).otherwise(0.0)
         + F.when(distinct_ratio >= 0.5, 0.25).otherwise(0.0)

@@ -24,6 +24,7 @@ from bigdatastructure_a5_spark.operators.dedup import (
     jaccard_pairs,
     near_duplicates_minhash,
     shingle_sets,
+    shingle_sets_from_tokens,
     simhash64,
     simhash_near_pairs,
 )
@@ -659,19 +660,29 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-split source: spread BEFORE the scoring map (quality + langid are
     # the heavy per-row work) so it uses the whole pool
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    scored = (
-        with_lang_scores(docs, "text")
-        .withColumn("__toks", tokens("text"))
-        .select(
-            "doc_id",
-            "text",
-            F.size("__toks").cast("bigint").alias("n_tokens"),
-            quality_score("text", toks="__toks").alias("quality"),
-            lang_id_from_scores().alias("detected_lang"),
-        )
+    # ONE tokenizer pass feeds everything: lang scores (toks_col fusion),
+    # n_tokens, quality (with the marker counts reused via stop_hits — the
+    # same integer values by construction), and downstream shingling.
+    stop_sum = None
+    for lang in ("en", "es", "de", "fr"):
+        c = F.col(f"sc_{lang}")
+        stop_sum = c if stop_sum is None else stop_sum + c
+    scored = with_lang_scores(
+        docs.withColumn("__toks", tokens("text")), "text", toks_col="__toks"
+    ).select(
+        "doc_id",
+        F.col("__toks").alias("toks"),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        quality_score("text", toks="__toks", stop_hits=stop_sum).alias(
+            "quality"
+        ),
+        lang_id_from_scores().alias("detected_lang"),
     )
     # kept feeds the dedup join AND the final anti-join; persist so the
-    # scoring pass runs once, not once per consumer
+    # scoring pass runs once, not once per consumer.  The token ARRAY is
+    # kept in the cache instead of the raw text: shingling consumes it
+    # directly (shingle_sets_from_tokens), so the tokenizer regex — the
+    # heaviest per-row map in the flow — runs exactly once per document.
     from bigdatastructure_a5_spark.session import materialize_release
 
     kept = scored.filter(
@@ -679,9 +690,13 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     tracked: list = [kept]
     pairs = jaccard_pairs(
-        shingle_sets(kept, "doc_id", "text", 3), threshold=0.8, tracker=tracked
+        shingle_sets_from_tokens(kept, "doc_id", "toks", 3),
+        threshold=0.8,
+        tracker=tracked,
     )
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # no distinct: LEFT ANTI ignores duplicate keys, so deduplicating the
+    # dropped ids first would only add a shuffle
+    dropped = pairs.select(F.col("id_b").alias("doc_id"))
     curated = kept.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "n_tokens", "quality"
     )
