@@ -100,6 +100,7 @@ def run_stream_to_memory(
     name: str = "stream_result",
     output_mode: str = "complete",
     state_partitions: int = 8,
+    single_batch: bool = False,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion with AvailableNow into a
     memory sink; returns the result table.  Complete output mode (default)
@@ -111,17 +112,33 @@ def run_stream_to_memory(
     pays provider/checkpoint setup per run — on a fixture-sized input, 200
     vanilla partitions are pure overhead (measured ~2x the whole query).
     The conf is scoped to the start() call and restored; a production job
-    sizes it to its real key cardinality instead."""
+    sizes it to its real key cardinality instead.
+
+    ``single_batch`` uses Trigger.Once instead of AvailableNow: with a
+    stateful operator, AvailableNow always appends a data-less
+    watermark-finalize micro-batch after the data batch — needed when
+    results EMIT on watermark expiry (append-mode aggregates), pure
+    per-run overhead (~0.8s measured) for operators whose output is
+    complete after the data batch, like an inner stream-stream join.
+    Trigger.Once is soft-deprecated in favor of AvailableNow precisely
+    because it skips that finalize step; here that is the point — only
+    set it when the final watermark batch provably cannot emit rows."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
+        writer = (
             streaming_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
         )
+        if single_batch:
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", FutureWarning)
+                q = writer.trigger(once=True).start()
+        else:
+            q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
