@@ -153,12 +153,15 @@ def lsh_candidate_pairs(
     # The self-join evaluates its child once PER SIDE — without a persist
     # the whole shingle -> minhash -> banding subtree (the expensive
     # 64-min aggregation) runs twice.  The caller releases it via
-    # session.materialize_release(tracker) once the result is computed.
+    # session.materialize_release(tracker); standalone (no tracker) the
+    # function materializes its result and releases before returning.
+    own_tracker = tracker is None
+    if own_tracker:
+        tracker = []
     banded = banded.persist()
-    if tracker is not None:
-        tracker.append(banded)
+    tracker.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -168,6 +171,11 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if own_tracker:
+        from bigdatastructure_a5_spark.session import materialize_release
+
+        result = materialize_release(result, tracker)
+    return result
 
 
 def jaccard_pairs(
@@ -185,6 +193,12 @@ def jaccard_pairs(
     only of those pairs.  Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — exact integer
     counts, one deterministic double division.
 
+    Cache contract (also lsh_candidate_pairs, minhash_lsh_pairs,
+    simhash_near_pairs): self-join inputs are persisted; with a
+    ``tracker`` the caller releases them via session.materialize_release,
+    without one the function materializes its own result and releases
+    before returning — no persisted frame outlives the call either way.
+
     ``df_cap`` (inverted-index path only) is the scale guard against hot
     shingles: a shingle present in d documents contributes d² join rows, so
     one boilerplate trigram shared by 1M docs means 10¹² rows from a single
@@ -198,6 +212,9 @@ def jaccard_pairs(
     # shingle_sets emits only non-empty sets; no size filter needed (and a
     # size-on-computed-array predicate is pathological — see shingle_sets).
     nonempty = shingled
+    own_tracker = tracker is None
+    if own_tracker:
+        tracker = []
 
     if candidates is not None:
         # verification path: candidate pairs are few — join their shingle
@@ -234,8 +251,7 @@ def jaccard_pairs(
     # cache-encode in a single task.  Same calls at 100 TB, just
     # StorageLevel.DISK_ONLY or a checkpoint.
     nonempty = ensure_min_partitions(nonempty).persist()
-    if tracker is not None:
-        tracker.append(nonempty)
+    tracker.append(nonempty)
     sizes = nonempty.select("id", F.size("shingles").alias("n"))
     exploded = nonempty.select("id", F.explode("shingles").alias("g"))
     if df_cap is not None:
@@ -249,8 +265,7 @@ def jaccard_pairs(
         )
         exploded = exploded.join(F.broadcast(hot), "g", "left_anti")
         exploded = exploded.persist()
-        if tracker is not None:
-            tracker.append(exploded)
+        tracker.append(exploded)
         sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
@@ -264,7 +279,7 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    return (
+    result = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -277,6 +292,11 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if own_tracker:
+        from bigdatastructure_a5_spark.session import materialize_release
+
+        result = materialize_release(result, tracker)
+    return result
 
 
 def near_duplicates_minhash(
@@ -290,17 +310,26 @@ def near_duplicates_minhash(
     tracker: list | None = None,
 ) -> DataFrame:
     """Full scalable pipeline: shingle -> minhash -> LSH bucket-join ->
-    exact-Jaccard verification of candidates only."""
+    exact-Jaccard verification of candidates only.  Cache contract as
+    jaccard_pairs: pass ``tracker`` to release via materialize_release,
+    or omit it for an internal materialize-then-release."""
+    own_tracker = tracker is None
+    if own_tracker:
+        tracker = []
     # Consumed by both the signature branch and the verification joins;
     # one parallel shingling pass instead of three.
     shingled = ensure_min_partitions(
         shingle_sets(df, id_col, text_col, shingle_n)
     ).persist()
-    if tracker is not None:
-        tracker.append(shingled)
+    tracker.append(shingled)
     sigs = minhash_signatures(shingled, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, tracker=tracker)
-    return jaccard_pairs(shingled, threshold, candidates=cands, tracker=tracker)
+    result = jaccard_pairs(shingled, threshold, candidates=cands, tracker=tracker)
+    if own_tracker:
+        from bigdatastructure_a5_spark.session import materialize_release
+
+        result = materialize_release(result, tracker)
+    return result
 
 
 def simhash64(
@@ -447,12 +476,15 @@ def simhash_near_pairs(
         ).alias("ck"),
     ).select("id", "simhash", "ck.c", "ck.v")
     # Self-join: persist so the fingerprint subtree (explode + 64
-    # conditional sums) is computed once, not once per side.
+    # conditional sums) is computed once, not once per side.  Cache
+    # contract as jaccard_pairs (tracker or internal release).
+    own_tracker = tracker is None
+    if own_tracker:
+        tracker = []
     chunked = chunked.persist()
-    if tracker is not None:
-        tracker.append(chunked)
+    tracker.append(chunked)
     a, b = chunked.alias("a"), chunked.alias("b")
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.c") == F.col("b.c"))
@@ -467,3 +499,8 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if own_tracker:
+        from bigdatastructure_a5_spark.session import materialize_release
+
+        result = materialize_release(result, tracker)
+    return result

@@ -325,9 +325,21 @@ def cosine_pairs_lsh(
     In production the bucket columns come from write time
     (with_lsh_buckets), making candidate generation a shuffle on 16-byte
     keys over pre-computed columns.
-    """
-    from bigdatastructure_a5_spark.session import ensure_min_partitions
 
+    Cache contract: the melted bucket table is persisted for the
+    self-join.  With a ``tracker`` the CALLER releases it via
+    session.materialize_release; without one this function materializes
+    its own result and releases the cache before returning, so no
+    persisted frame outlives the call either way.
+    """
+    from bigdatastructure_a5_spark.session import (
+        ensure_min_partitions,
+        materialize_release,
+    )
+
+    own_tracker = tracker is None
+    if own_tracker:
+        tracker = []
     first = embeddings.select(vec_col).first()
     if first is None:
         return embeddings.sparkSession.createDataFrame(
@@ -364,12 +376,15 @@ def cosine_pairs_lsh(
     )
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
+    result = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    if own_tracker:
+        result = materialize_release(result, tracker)
+    return result
 
 
 def _py_fold_dot(vec, weights) -> float:

@@ -95,6 +95,15 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     _PYFILES_SENT.add(key)
 
 
+#: Most-recent materialize_release result caches, oldest first.  Result
+#: caches are small (final answers, not intermediates) but a long session
+#: running the full 50-query registry would still accumulate 50 of them;
+#: keeping the last few preserves the contract (the caller's next action
+#: hits the cache) while bounding session-lifetime cache growth.
+_RESULT_CACHES: list = []
+_RESULT_CACHE_LIMIT = 4
+
+
 def materialize_release(result, tracked):
     """Materialize ``result`` into its own (small) cache, then unpersist the
     ``tracked`` intermediates.
@@ -111,7 +120,9 @@ def materialize_release(result, tracked):
     the caller's later action hits the small result cache.
 
     ``tracked`` is the list the operator appended its persisted frames to;
-    a no-op when empty.
+    a no-op when empty.  Result caches themselves are kept in a bounded
+    most-recent window (``_RESULT_CACHE_LIMIT``) so a session running many
+    queries doesn't accumulate one leftover cache per query.
     """
     if not tracked:
         return result
@@ -120,6 +131,9 @@ def materialize_release(result, tracked):
     for df in tracked:
         df.unpersist(blocking=False)
     tracked.clear()
+    _RESULT_CACHES.append(result)
+    while len(_RESULT_CACHES) > _RESULT_CACHE_LIMIT:
+        _RESULT_CACHES.pop(0).unpersist(blocking=False)
     return result
 
 

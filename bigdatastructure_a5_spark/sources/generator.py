@@ -31,16 +31,26 @@ from bigdatastructure_a5_spark.sources.json_config import CollectionStats
 
 #: unqualified `field = 'literal'` equality, e.g. p.brand = 'apple'
 _EQ_LITERAL = re.compile(r"(?:\w+\.)?(\w+)\s*=\s*'([^']*)'")
+#: unqualified `field = 125` numeric equality (never matches a join
+#: condition — the right side must be digits, not an identifier)
+_EQ_NUMERIC = re.compile(r"(?:\w+\.)?(\w+)\s*=\s*(\d+)(?!\.?\w)")
 
 
 def extract_equality_literals(sqls: list[str]) -> dict[str, list[str]]:
-    """ALL string literals used in equality predicates, per (unqualified)
-    field name — every one must exist in the generated data, so a workload
-    with `brand = 'apple'` in one query and `brand = 'samsung'` in another
-    gets both seeded (into buckets 0 and 1 respectively)."""
+    """ALL literals used in equality predicates, per (unqualified) field
+    name — every one must exist in the generated data, so a workload with
+    `brand = 'apple'` in one query and `brand = 'samsung'` in another gets
+    both seeded (into buckets 0 and 1 respectively).  Numeric equality
+    literals (Q2-style ``ol.IDC = 125``) are extracted too and seeded into
+    the integer value space — without this they only match when NDV
+    capping happens to keep the value in range."""
     out: dict[str, list[str]] = {}
     for sql in sqls:
         for fld, lit in _EQ_LITERAL.findall(sql):
+            vals = out.setdefault(fld, [])
+            if lit not in vals:
+                vals.append(lit)
+        for fld, lit in _EQ_NUMERIC.findall(sql):
             vals = out.setdefault(fld, [])
             if lit not in vals:
                 vals.append(lit)
@@ -76,13 +86,22 @@ def generate_tables(
       so the predicates match exactly at ~1/NDV each).
     """
     literals = literals or {}
-    # pk -> scaled row count of the collection owning it (FK detection)
+    # pk -> (scaled row count, declared type) of the owning collection.
+    # FK values are generated from the PARENT's pk representation, never
+    # from the referencing field's declared type: a string-typed pk is
+    # emitted as CAST(id AS STRING), so its referencing fields must be
+    # string-cast row ids too — the type branch below would instead emit
+    # 'name_<bucket>' labels that join to nothing.
     pk_counts: dict[str, int] = {}
+    pk_types: dict[str, str] = {}
     for name, cspec in schema.items():
         cstats = stats.get(name, CollectionStats(0, {}, {}, {}, None))
         pk = cspec.get("primary_key")
         if pk:
             pk_counts[pk] = max(1, int(cstats.nb_documents * scale))
+            pk_types[pk] = (
+                cspec.get("fields", {}).get(pk, {}).get("type", "integer")
+            )
     out: dict[str, DataFrame] = {}
     for name, cspec in schema.items():
         cstats = stats.get(name, CollectionStats(0, {}, {}, {}, None))
@@ -101,10 +120,39 @@ def generate_tables(
             else:
                 ndv = n
             h = F.xxhash64(F.lit(fname), F.col("id"))
+            is_fk = fname != pk and fname in pk_counts
             if fname == pk:
                 col = F.col("id")
-            elif ftype == "integer":
+                if ftype not in ("integer", "number"):
+                    col = col.cast("string")
+            elif is_fk or ftype == "integer":
                 col = F.pmod(h, F.lit(ndv))
+                # seed workload numeric equality literals.  When the
+                # literal v is inside [0, ndv) the seed is a SWAP of the
+                # bucket values (bucket i -> v, bucket v -> i): uniformity
+                # and — for FKs — referential integrity are preserved
+                # exactly.  Out-of-range literals fall back to a plain
+                # overwrite of bucket i so the predicate still matches
+                # ~1/ndv of rows (documented skew; an FK loses integrity
+                # on that 1/ndv slice, which is still strictly better
+                # than the predicate matching nothing).
+                seeds = [
+                    int(s) for s in literals.get(fname, ()) if s.isdigit()
+                ][:ndv]
+                bucket = F.pmod(h, F.lit(ndv))
+                for i, v in enumerate(seeds):
+                    if v == i:
+                        continue
+                    if 0 <= v < ndv:
+                        col = (
+                            F.when(bucket == i, F.lit(v))
+                            .when(bucket == v, F.lit(i))
+                            .otherwise(col)
+                        )
+                    else:
+                        col = F.when(bucket == i, F.lit(v)).otherwise(col)
+                if is_fk and pk_types.get(fname) not in ("integer", "number"):
+                    col = col.cast("string")
             elif ftype == "number":
                 col = (F.pmod(h, F.lit(100000)) / F.lit(100.0))
             else:

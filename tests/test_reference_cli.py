@@ -77,3 +77,77 @@ def test_cli_sinks_written(cli_report):
     report_json = json.loads((out / "report.json").read_text())
     assert set(report_json["totals"]) == {"D1", "D2", "D3", "D4"}
     assert len(os.listdir(out / "plans")) == 8  # one plan JSON per (variant, query)
+
+
+def test_generator_seeds_numeric_equality_literals(spark):
+    """Q2-style integer predicates (ol.IDC = 125) must select ~1/NDV of
+    rows by construction, not by NDV capping luck: the literal is swapped
+    into the value space, preserving uniformity AND (for FKs) referential
+    integrity."""
+    from bigdatastructure_a5_spark.sources.generator import (
+        extract_equality_literals,
+        generate_tables,
+    )
+
+    schema = {
+        "Customer": {
+            "primary_key": "IDC",
+            "fields": {"IDC": {"type": "integer", "avg_size": 8}},
+        },
+        "OrderLine": {
+            "primary_key": "IDO",
+            "fields": {
+                "IDO": {"type": "integer", "avg_size": 8},
+                "IDC": {"type": "integer", "avg_size": 8},
+            },
+        },
+    }
+    from bigdatastructure_a5_spark.sources.json_config import CollectionStats
+
+    stats = {
+        "Customer": CollectionStats(200, {}, {}, {"IDC": 200}, None),
+        "OrderLine": CollectionStats(2000, {}, {}, {"IDC": 200}, None),
+    }
+    lits = extract_equality_literals(["SELECT * FROM ol WHERE ol.IDC = 125"])
+    assert lits == {"IDC": ["125"]}
+    tables = generate_tables(spark, schema, stats, scale=1.0, literals=lits)
+    ol = tables["OrderLine"]
+    n_match = ol.filter("IDC = 125").count()
+    # ~1/200 of 2000 rows — uniform hash wobble, never zero
+    assert 1 <= n_match <= 40
+    # swap preserves referential integrity: every FK value hits a parent
+    custs = tables["Customer"].select("IDC")
+    orphans = ol.join(custs, "IDC", "left_anti").count()
+    assert orphans == 0
+
+
+def test_generator_string_pk_fk_join(spark):
+    """A string-typed primary key must produce joinable FK values (the FK
+    draws from the parent's pk representation, not the field's declared
+    type)."""
+    from bigdatastructure_a5_spark.sources.generator import generate_tables
+    from bigdatastructure_a5_spark.sources.json_config import CollectionStats
+
+    schema = {
+        "Dim": {
+            "primary_key": "code",
+            "fields": {"code": {"type": "string", "avg_size": 8}},
+        },
+        "Fact": {
+            "primary_key": "fid",
+            "fields": {
+                "fid": {"type": "integer", "avg_size": 8},
+                "code": {"type": "string", "avg_size": 8},
+            },
+        },
+    }
+    stats = {
+        "Dim": CollectionStats(50, {}, {}, {"code": 50}, None),
+        "Fact": CollectionStats(500, {}, {}, {"code": 50}, None),
+    }
+    tables = generate_tables(spark, schema, stats, scale=1.0)
+    dim, fact = tables["Dim"], tables["Fact"]
+    assert dict(dim.dtypes)["code"] == "string"
+    assert dict(fact.dtypes)["code"] == "string"
+    assert fact.join(dim, "code", "left_anti").count() == 0
+    assert fact.join(dim, "code").count() == 500
