@@ -125,6 +125,49 @@ def best_decoder(kind: str = "image"):
     return fake_decode
 
 
+def fake_resize(payload: bytes, kind: str, width: int, height: int) -> bytes:
+    """Deterministic library-free 'resize': tile or truncate the payload to
+    exactly ``width * height`` bytes (zero-fill when empty)."""
+    target = width * height
+    b = payload or b""
+    if not b:
+        return b"\x00" * target
+    reps = -(-target // len(b))  # ceil division
+    return (b * reps)[:target]
+
+
+def pillow_resize(payload: bytes, kind: str, width: int, height: int) -> bytes:
+    """Real image resize via Pillow (when installed): decode, bilinear
+    resize to (width, height), re-encode as PNG (deterministic encoder
+    settings).  Same bytes-in/bytes-out contract as fake_resize, so the
+    two are drop-in swappable at the resize_media call site."""
+    import io
+
+    from PIL import Image  # gated import: raises where Pillow is absent
+
+    if kind != "image":
+        raise NotImplementedError(f"pillow_resize handles images, not {kind}")
+    img = Image.open(io.BytesIO(payload))
+    out = io.BytesIO()
+    img.resize((width, height), Image.BILINEAR).save(out, format="PNG")
+    return out.getvalue()
+
+
+def best_resizer(kind: str = "image"):
+    """Runtime codec selection for the resize path, mirroring
+    best_decoder: Pillow-backed real resize when the library imports, the
+    deterministic tiling fallback otherwise.  Tests pin fake_resize
+    explicitly so results stay environment-independent."""
+    if kind == "image":
+        try:
+            import PIL  # noqa: F401
+
+            return pillow_resize
+        except ImportError:
+            return fake_resize
+    return fake_resize
+
+
 def decode_media(df: DataFrame, decoder=fake_decode) -> DataFrame:
     """mapInPandas decode: Arrow batches in, small typed feature rows out.
 
@@ -178,32 +221,36 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
 
 def resize_media(
-    df: DataFrame, target_width: int, target_height: int = 1
+    df: DataFrame,
+    target_width: int,
+    target_height: int = 1,
+    resizer=fake_resize,
 ) -> DataFrame:
     """'Resize' on the opaque payload — the bytes-in/bytes-out mapInPandas
     shape (decode_media is bytes-in/features-out; this one must RETURN a
     payload, which is the expensive half of a real thumbnailing pipeline).
 
-    Stub semantics (deterministic, library-free): the payload is tiled or
-    truncated to exactly ``target_width * target_height`` bytes, and the
-    metadata columns are rewritten to the new dimensions.  A real cluster
-    swaps the inner function for Pillow's ``resize``; the Spark contract —
-    Arrow batching, schema preservation, metadata consistency — is what is
-    exercised here.
+    ``resizer`` is the codec boundary, same shape as decode_media's
+    ``decoder``: the default fake_resize tiles or truncates the payload to
+    exactly ``target_width * target_height`` bytes (deterministic,
+    library-free); pass ``best_resizer()`` to use Pillow's real
+    decode-resize-encode where the library is installed.  Either way the
+    Spark contract — Arrow batching, schema preservation, metadata
+    consistency — is identical.
     """
-    target = target_width * target_height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            def fit(p):
-                b = bytes(p) if p is not None else b""
-                if not b:
-                    return b"\x00" * target
-                reps = -(-target // len(b))  # ceil division
-                return (b * reps)[:target]
-
             out = pdf.copy()
-            out["payload"] = [fit(p) for p in pdf["payload"]]
+            out["payload"] = [
+                resizer(
+                    bytes(p) if p is not None else b"",
+                    k,
+                    target_width,
+                    target_height,
+                )
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
             out["width"] = target_width
             out["height"] = target_height
             yield out

@@ -179,3 +179,46 @@ def test_best_decoder_selects_by_environment():
     assert best_decoder("video") is fake_decode
     payload = b"abcabc"
     assert fake_decode(payload, "image")["n_bytes"] == 6
+
+
+def test_best_resizer_bytes_to_bytes_contract(spark):
+    """The resize codec boundary mirrors the decode one: Pillow-backed
+    decode-resize-encode where the library imports (output decodes back to
+    the target dimensions), deterministic tiling fallback otherwise."""
+    from bigdatastructure_a5_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        best_resizer,
+        fake_resize,
+        pillow_resize,
+        resize_media,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    rz = best_resizer("image")
+    assert best_resizer("video") is fake_resize
+    if not has_pil:
+        assert rz is fake_resize
+        return
+
+    assert rz is pillow_resize
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), color=7).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), 16, 16, None, None)], MEDIA_SCHEMA
+    )
+    out = resize_media(df, target_width=4, target_height=3, resizer=rz)
+    assert out.schema == MEDIA_SCHEMA
+    row = out.collect()[0]
+    resized = Image.open(io.BytesIO(bytes(row.payload)))
+    assert resized.size == (4, 3)
+    assert (row.width, row.height) == (4, 3)
