@@ -239,7 +239,9 @@ def with_lsh_buckets(
     (they are plain expression columns — sources/denormalize write paths
     can carry them like any projection), and every later query prunes with
     bucket-equality predicates against a literal — no per-query scan-side
-    Python, no recomputation of the plane family.
+    Python, no recomputation of the plane family.  Size the plane count to
+    the corpus (~log2(n) - 5; see cosine_pairs_lsh's sizing rule) — bucket
+    cardinality is 2^planes per table and must stay ahead of n.
 
     Two-stage one-pass formulation: stage 1 computes ALL tables' dot
     products in a single fold against one (dim x tables*planes) literal
@@ -325,6 +327,16 @@ def cosine_pairs_lsh(
     In production the bucket columns come from write time
     (with_lsh_buckets), making candidate generation a shuffle on 16-byte
     keys over pre-computed columns.
+
+    SIZING RULE (measured, EXPERIMENTS.md §4): a table has 2^n_planes
+    buckets, so ``n_planes`` must track log2(corpus) — about
+    ``log2(n) - 5`` keeps ~2^5 vectors per bucket and the candidate
+    count linear in n.  The default 4 is sized for the <=5k-row gate
+    fixtures; left at 4 on a 10x corpus the 16-bucket tables saturate
+    and the self-join degrades toward all-pairs (candidates/vec grew
+    102 -> 4114 in the measurement).  More planes also lower per-table
+    recall (p^planes), so production raises ``n_tables`` alongside —
+    the standard (planes, tables) co-sizing of SRP LSH.
 
     Cache contract: the melted bucket table is persisted for the
     self-join.  With a ``tracker`` the CALLER releases it via
