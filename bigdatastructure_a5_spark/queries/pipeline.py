@@ -695,8 +695,11 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracker=tracked,
     )
     # no distinct: LEFT ANTI ignores duplicate keys, so deduplicating the
-    # dropped ids first would only add a shuffle
-    dropped = pairs.select(F.col("id_b").alias("doc_id"))
+    # dropped ids first would only add a shuffle.  Broadcast: the dropped
+    # set is the near-duplicate ids — a vanishing fraction of the corpus
+    # (it passed a 0.8-Jaccard gate), so shipping it to every executor
+    # beats shuffling the whole curated corpus into a sort-merge join.
+    dropped = F.broadcast(pairs.select(F.col("id_b").alias("doc_id")))
     curated = kept.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "n_tokens", "quality"
     )

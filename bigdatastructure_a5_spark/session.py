@@ -137,16 +137,46 @@ def materialize_release(result, tracked):
     return result
 
 
+#: Widening grain: one task per this many estimated input bytes.  Small on
+#: purpose — the stages that widen (tokenize/shingle/minhash/LSH) amplify
+#: their input 10-50x in CPU and intermediate size, so a 64 KiB slice of raw
+#: text is real work.  The estimate only decides how far to WIDEN a narrow
+#: input; wide inputs (the 100 TB case) are untouched, and the count is
+#: always clamped to the session parallelism.
+_WIDEN_BYTES_PER_TASK = 64 * 1024
+_WIDEN_FLOOR = 4
+
+
 def ensure_min_partitions(df, n: int | None = None):
-    """Repartition ``df`` up to the session's parallelism if it is narrower.
+    """Repartition ``df`` up to a size-proportional task count if narrower.
 
     A small parquet table arrives as one split, so every narrow stage —
     including the columnar encoding done by ``persist()`` — runs in a single
     task.  Multi-pass pipelines (minhash, inverted-index joins) repartition
-    first so compute and cache-build use the whole executor pool.  A no-op
-    when the input is already wide (the 100 TB case: thousands of splits).
+    first so compute and cache-build parallelize.  The target scales with
+    the optimizer's size estimate (one task per ``_WIDEN_BYTES_PER_TASK``,
+    clamped to [``_WIDEN_FLOOR``, session parallelism]): blanket-widening a
+    500 KiB table to 32 tasks costs more in per-task scheduling than the
+    parallelism buys, and when the estimate is unavailable (or the unknown
+    sentinel ~2^63) the clamp falls back to full parallelism.  A no-op when
+    the input is already wide (the 100 TB case: thousands of splits).
+    Explicit ``n`` overrides the heuristic.
     """
-    target = n or df.sparkSession.sparkContext.defaultParallelism
+    par = df.sparkSession.sparkContext.defaultParallelism
+    target = n
+    if target is None:
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # estimate unavailable -> old full-width behavior
+            size = None
+        if size is None:
+            target = par
+        else:
+            target = max(
+                _WIDEN_FLOOR, min(par, -(-size // _WIDEN_BYTES_PER_TASK))
+            )
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

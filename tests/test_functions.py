@@ -102,11 +102,18 @@ def test_shingle_sets_hashes_and_drops_short_docs(spark):
 def test_ensure_min_partitions(spark):
     from bigdatastructure_a5_spark.session import ensure_min_partitions
 
+    from bigdatastructure_a5_spark.session import _WIDEN_FLOOR
+
+    # tiny input: widened to a size-proportional count, not blanket full
+    # parallelism — 100 longs deserve the floor, not 32 tasks.
     narrow = spark.range(100).coalesce(1)
     widened = ensure_min_partitions(narrow)
-    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    got = widened.rdd.getNumPartitions()
+    assert _WIDEN_FLOOR <= got <= spark.sparkContext.defaultParallelism
     already_wide = spark.range(100).repartition(64)
     assert ensure_min_partitions(already_wide) is already_wide  # no-op
+    # explicit n overrides the size heuristic
+    assert ensure_min_partitions(narrow, 7).rdd.getNumPartitions() == 7
 
 
 def test_lang_scores_two_stage_matches_inline(spark):
