@@ -44,6 +44,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def local_table_path(sf_dir: str, name: str) -> str | None:
+    """The table's path IF it is a plain local file, else None.
+
+    Gate for driver-side metadata fetches (a query vector, a 16-row
+    codebook): when the corpus sits on the driver's own filesystem, a
+    pyarrow point-read costs ~10 ms where the equivalent Spark job pays
+    ~300 ms of scheduling for the same handful of rows.  Any non-local
+    URI (s3://, hdfs://, ...) returns None and the caller keeps the
+    distributed fetch."""
+    p = table_path(sf_dir, name)
+    return p if os.path.isfile(p) else None
+
+
 def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet, tolerating TIMESTAMP(NANOS) columns Spark 4 rejects.
 

@@ -461,6 +461,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors sharing an LSH bucket with the
     query in ANY of ``n_tables`` independent hash tables (the classic
@@ -472,14 +473,23 @@ def ann_lsh_topk(
     a JVM-side OR-of-equalities filter followed by scan-speed scoring +
     TakeOrderedAndProject.  ZERO Python stages — the previous design paid a
     full mapInPandas corpus scan per query.
+
+    Pass ``bucketed`` (a corpus already carrying bucket_0..bucket_{T-1}
+    columns from with_lsh_buckets with the SAME family parameters — e.g. a
+    temp view holding the analyzed plan, or write-time columns read
+    straight off parquet) to skip re-deriving the bucket projection; this
+    is the per-query production path, where the one-time bucket
+    computation is amortized across every ANN lookup.
     """
     signs = rademacher_signs(n_tables, n_planes, len(query_vec), seed)
     qb = [py_bucket(query_vec, table) for table in signs]
-    # deliberately NO repartition: a production corpus is already wide (and
-    # carries write-time bucket columns); on a one-split test corpus the
-    # round-robin exchange + AQE stage costs ~2.5s — far more than the
-    # single-task projection it would parallelize (measured r4)
-    bucketed = with_lsh_buckets(embeddings, signs, vec_col)
+    if bucketed is None:
+        # deliberately NO repartition: a production corpus is already wide
+        # (and carries write-time bucket columns); on a one-split test
+        # corpus the round-robin exchange + AQE stage costs ~2.5s — far
+        # more than the single-task projection it would parallelize
+        # (measured r4)
+        bucketed = with_lsh_buckets(embeddings, signs, vec_col)
     cond = None
     for t in range(n_tables):
         c = F.col(f"bucket_{t}") == F.lit(qb[t])
