@@ -46,10 +46,110 @@ def audit_plan(plan: str) -> dict[str, object]:
     }
 
 
+def bucketed_layout_section(spark, sf_dir: str) -> list[str]:
+    """Audit rows for the sharded-layout contrast (VERDICT r3 item 4): the
+    same logical queries as ``agg_on_orderkey`` / ``join_equi_inner`` on
+    BOTH layouts — plain parquet (shuffles on the key) and a bucketed
+    ``write_variant`` layout (zero Exchange) — the physical realization of
+    the reference's sharded/unsharded Q6/Q7 contrast
+    (`query_simulator/aggregate.py:218-236`)."""
+    from pyspark.sql import functions as F
+
+    from bigdatastructure_a5_spark.catalog import load_table
+    from bigdatastructure_a5_spark.operators.denormalize import (
+        CollectionSpec,
+        DenormalizationSpec,
+        write_variant,
+    )
+
+    spec = DenormalizationSpec(
+        id="AUDIT",
+        description="normalized layout, fact tables sharded on orderkey",
+        collections=(
+            CollectionSpec("lineitem", sharding_key="l_orderkey"),
+            CollectionSpec("orders", sharding_key="o_orderkey"),
+        ),
+        embeds=(),
+    )
+    base = {
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+        "orders": load_table(spark, sf_dir, "orders"),
+    }
+    tables = write_variant(spark, base, spec, buckets=8, table_prefix="audit_")
+    b_li = spark.table(tables["lineitem"])
+    b_o = spark.table(tables["orders"])
+
+    def cases(li, o):
+        return {
+            "agg on shard key (agg_on_orderkey)": li.groupBy(
+                "l_orderkey"
+            ).agg(F.count(F.lit(1)).alias("n")),
+            "fact-x-fact join on shard key (join_equi_inner)": li.join(
+                o, li.l_orderkey == o.o_orderkey
+            ).select("l_orderkey", "o_totalprice"),
+            "agg OFF shard key (reference Q7 contrast)": li.groupBy(
+                "l_partkey"
+            ).agg(F.count(F.lit(1)).alias("n")),
+        }
+
+    # disable broadcast so the join contrast shows shuffle vs co-located
+    # SMJ (at audit scale everything fits the broadcast threshold)
+    for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        spark.conf.set(k, "-1")
+    rows = []
+    try:
+        for layout, (li, o) in (
+            ("parquet (unsharded)", (base["lineitem"], base["orders"])),
+            ("bucketed write_variant (sharded)", (b_li, b_o)),
+        ):
+            for case, df in cases(li, o).items():
+                df.write.mode("overwrite").format("noop").save()
+                qe = df._jdf.queryExecution()
+                mode = (
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+                a = audit_plan(qe.explainString(mode))
+                rows.append(
+                    f"| {case} | {layout} | {a['exchanges']} | {a['smj']} |"
+                )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return [
+        "",
+        "## Bucketed (sharded) layout contrast",
+        "",
+        "Same logical queries on the plain-parquet layout vs a "
+        "`write_variant` layout bucketed on the sharding key (8 buckets, "
+        "broadcast disabled to expose the join's shuffle behavior).  "
+        "Bucketing is the engine's shard placement: on-key operations run "
+        "shuffle-free (reference Q6 sharded), off-key operations still pay "
+        "the exchange (reference Q7).",
+        "",
+        "| case | layout | exchanges | sort-merge joins |",
+        "| --- | --- | --- | --- |",
+        *rows,
+    ]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     _load_all()
-    spark = get_spark("plan-audit")
+    import tempfile
+
+    spark = get_spark(
+        "plan-audit",
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="audit_wh_")
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     lines = [
         "# PLAN_AUDIT — physical-plan properties per registry query",
@@ -79,6 +179,7 @@ def main() -> None:
             f"{qm.scanned_bytes / 2**20:.2f} | {qm.shuffle_bytes / 2**20:.3f} | "
             f"{int(qm.output_rows)} |"
         )
+    lines.extend(bucketed_layout_section(spark, sf_dir))
     out = Path(__file__).resolve().parent.parent / "PLAN_AUDIT.md"
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}")
