@@ -1,0 +1,91 @@
+"""Bench variance: repeat every registry query N times and record spread.
+
+The driver's bench (bench.py) reports min-of-2 wall-clock per query; on a
+shared box that min still wobbles run-to-run (observed ±20% on identical
+code).  This tool quantifies that wobble so a reviewer can tell noise from
+a regression: R reps per query (cache cleared before each), reporting min,
+median, max and the sample standard deviation, then rewrites the
+"Bench variance" section of EXPERIMENTS.md.
+
+Usage: python tools/bench_variance.py [sf_dir] [reps]
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
+from bigdatastructure_a5_spark.session import get_spark
+
+SECTION = "## 5. Bench variance"
+
+
+def measure(sf_dir: str, reps: int) -> dict[str, list[float]]:
+    _load_all()
+    spark = get_spark("bench-variance")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(sf_dir + "/region.parquet").count()  # JVM warmup
+    out: dict[str, list[float]] = {}
+    for name, qd in sorted(REGISTRY.items()):
+        ts = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = qd.builder(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            ts.append(time.perf_counter() - t0)
+        out[name] = ts
+    return out
+
+
+def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
+    lines = [
+        SECTION,
+        "",
+        f"`tools/bench_variance.py {sf_dir} {reps}`: every registry query "
+        f"run {reps}x in one session (cache cleared per rep, first rep "
+        "carries fresh-plan analysis + codegen).  The driver's bench "
+        "records min-of-2; the spread below is the yardstick for reading "
+        "a BENCH_r{N} delta — a change inside ~2 sigma of these numbers "
+        "is box noise, not a code regression.",
+        "",
+        "| query | min s | median s | max s | stddev s |",
+        "| --- | --- | --- | --- | --- |",
+    ]
+    total_min = total_med = 0.0
+    for name, ts in sorted(times.items()):
+        mn, md, mx = min(ts), statistics.median(ts), max(ts)
+        sd = statistics.stdev(ts) if len(ts) > 1 else 0.0
+        total_min += mn
+        total_med += md
+        lines.append(
+            f"| {name} | {mn:.3f} | {md:.3f} | {mx:.3f} | {sd:.3f} |"
+        )
+    lines += [
+        f"| **total** | **{total_min:.2f}** | **{total_med:.2f}** |  |  |",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    section = render(measure(sf_dir, reps), sf_dir, reps)
+    path = Path(__file__).resolve().parent.parent / "EXPERIMENTS.md"
+    text = path.read_text()
+    if SECTION in text:
+        head = text.split(SECTION)[0].rstrip() + "\n"
+    else:
+        head = text.rstrip() + "\n"
+    path.write_text(head + "\n" + section + "\n")
+    print(f"updated {path}")
+
+
+if __name__ == "__main__":
+    main()
