@@ -646,6 +646,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark job; non-local: the same 17-row fetch as a keyed scan.
     path = local_table_path(sf_dir, "embeddings")
     if path is not None:
+        from types import SimpleNamespace
+
         import pyarrow.parquet as pq
 
         ids = pq.read_table(path, columns=["vec_id"]).column("vec_id")
@@ -654,7 +656,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             path, filters=[("vec_id", "in", cut)]
         ).sort_by("vec_id")
         head = [
-            type("R", (), {"vec_id": i, "embedding": e})
+            SimpleNamespace(vec_id=i, embedding=e)
             for i, e in zip(
                 t.column("vec_id").to_pylist(),
                 t.column("embedding").to_pylist(),

@@ -235,3 +235,29 @@ def test_cosine_pairs_lsh_subset_of_exact_with_recall(spark, sf_dir):
     assert len(exact) > 0
     recall = len(approx) / len(exact)
     assert recall >= 0.4, (recall, sorted(exact), sorted(approx))
+
+
+def test_ann_view_share_is_plan_only_and_stable(spark, sf_dir):
+    """The session temp view behind sim_ann_lsh/sim_ann_ivf shares the
+    ANALYZED plan, not data: repeated builds reuse the view, results are
+    identical, and the view is never a cached relation (every run still
+    scans parquet)."""
+    from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    for name, prefix in (
+        ("sim_ann_lsh", "lsh_bucketed_"),
+        ("sim_ann_ivf", "ivf_celled_"),
+    ):
+        first = REGISTRY[name].builder(spark, sf_dir).collect()
+        views = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith(prefix)
+        ]
+        assert views, f"{name} should have registered a {prefix}* temp view"
+        # plan share only — the view must NOT pin data in the cache
+        for v in views:
+            assert not spark.catalog.isCached(v)
+        second = REGISTRY[name].builder(spark, sf_dir).collect()
+        assert first == second
