@@ -99,10 +99,12 @@ def pillow_decode(payload: bytes, kind: str) -> dict:
 
 
 def real_decode(payload: bytes, kind: str) -> dict:
-    """The codec boundary: Pillow for images when importable; audio/video
-    codecs (torchaudio/pyav) are not shipped in this container and stay
-    stubbed.  Use ``best_decoder()`` to pick this or the deterministic
-    fallback at runtime."""
+    """The LOUD codec boundary: Pillow for images when importable;
+    audio/video codecs (torchaudio/pyav) are not shipped in this container
+    and stay stubbed — asking for a real decode of those kinds raises
+    rather than silently featurizing compressed bytes.  For mixed-kind
+    media tables use ``best_decoder()``, whose per-row dispatcher falls
+    back deterministically instead of killing the task."""
     if kind == "image":
         return pillow_decode(payload, kind)
     raise NotImplementedError(
@@ -111,15 +113,27 @@ def real_decode(payload: bytes, kind: str) -> dict:
     )
 
 
+def dispatch_decode(payload: bytes, kind: str) -> dict:
+    """Per-row codec selection for mixed-kind tables: the real codec for
+    kinds this environment supports, the deterministic fallback for the
+    rest — one audio/video row in a batch must not kill the task.  The
+    loud variant is real_decode."""
+    if kind == "image":
+        return pillow_decode(payload, kind)
+    return fake_decode(payload, kind)
+
+
 def best_decoder(kind: str = "image"):
-    """Runtime codec selection: the real (Pillow) decoder when the library
-    imports, else the deterministic byte-feature fallback.  Tests pin
-    fake_decode explicitly so results stay environment-independent."""
+    """Runtime codec selection: the per-row dispatcher (real codec where
+    supported, deterministic fallback elsewhere) when the real library
+    imports, else the deterministic byte-feature fallback for everything.
+    Safe on mixed-kind tables either way.  Tests pin fake_decode
+    explicitly so results stay environment-independent."""
     if kind == "image":
         try:
             import PIL  # noqa: F401
 
-            return real_decode
+            return dispatch_decode
         except ImportError:
             return fake_decode
     return fake_decode
@@ -162,10 +176,20 @@ def best_resizer(kind: str = "image"):
         try:
             import PIL  # noqa: F401
 
-            return pillow_resize
+            return dispatch_resize
         except ImportError:
             return fake_resize
     return fake_resize
+
+
+def dispatch_resize(payload: bytes, kind: str, width: int, height: int) -> bytes:
+    """Per-row resize dispatcher, mirroring dispatch_decode: Pillow for
+    image rows, the deterministic tiling fallback for kinds this
+    environment has no codec for — one non-image row in a batch must not
+    kill the task."""
+    if kind == "image":
+        return pillow_resize(payload, kind, width, height)
+    return fake_resize(payload, kind, width, height)
 
 
 def decode_media(df: DataFrame, decoder=fake_decode) -> DataFrame:

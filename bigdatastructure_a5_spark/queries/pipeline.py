@@ -385,6 +385,43 @@ def _lsh_oracle_sql(n_planes: int = 4, n_tables: int = 8, dim: int = 64, seed: i
     """
 
 
+def _topk_cosine_sql(
+    spark: SparkSession, view: str, qv: list[float], where: str, k: int = 10
+) -> DataFrame:
+    """Shared rendered-SQL probe+score tail for the ANN queries: exact
+    cosine over the rows ``where`` selects from ``view``, deterministic
+    ties, top-``k``.  One spark.sql call instead of ~40 Column-API py4j
+    round-trips.
+
+    Arithmetic parity with functions.vectors.cosine_similarity: dot and
+    corpus-norm are the same zip_with/transform+aggregate folds; the QUERY
+    vector's norm is folded driver-side over the same values in the same
+    sequential order (IEEE-identical, and constant per query — HOFs never
+    constant-fold in Catalyst, so inlining it also saves per-row work)."""
+    import math
+
+    from bigdatastructure_a5_spark.functions.vectors import _sql_double
+
+    q_sql = "array(" + ",".join(_sql_double(v) for v in qv) + ")"
+    nq = 0.0
+    for x in qv:
+        nq += float(x) * float(x)
+    return spark.sql(f"""
+        SELECT vec_id,
+               aggregate(zip_with(`embedding`, {q_sql},
+                                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+               / (SQRT(aggregate(transform(`embedding`,
+                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+                  * {_sql_double(math.sqrt(nq))}) AS cosine
+        FROM {view}
+        WHERE {where}
+        ORDER BY cosine DESC, vec_id
+        LIMIT {k}
+    """)
+
+
 @query("sim_ann_lsh", oracle=_lsh_oracle_sql(), tags=("ext:similarity",))
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via multi-table hyperplane LSH (4 planes x 8
@@ -397,11 +434,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     from bigdatastructure_a5_spark.operators.similarity import (
+        py_bucket,
         rademacher_signs,
         with_lsh_buckets,
     )
 
     qv = _query_vector(spark, sf_dir, 0)
+    signs = rademacher_signs(8, 4, len(qv), 42)
     # Session-shared ANALYZED plan for the bucketed corpus: the bucket
     # projection embeds the (dim x tables*planes) plane matrix as a
     # literal, and re-parsing + re-analyzing that tree was ~0.3s of fixed
@@ -417,42 +456,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") != 0
         )
-        signs = rademacher_signs(8, 4, len(qv), 42)
         with_lsh_buckets(emb, signs, "embedding").createOrReplaceTempView(view)
-    # Rendered-SQL twin of ann_lsh_topk(bucketed=view): one spark.sql call
-    # instead of ~40 Column-API py4j round-trips.  Arithmetic parity: dot
-    # and corpus-norm are the same zip_with/transform+aggregate folds
-    # cosine_similarity builds; the QUERY vector's norm is a driver-side
-    # sequential fold over the same values in the same order (IEEE-
-    # identical, and constant per query — HOFs never constant-fold in
-    # Catalyst, so inlining it also saves per-row work).
-    import math
-
-    from bigdatastructure_a5_spark.functions.vectors import _sql_double
-    from bigdatastructure_a5_spark.operators.similarity import py_bucket
-
-    signs = rademacher_signs(8, 4, len(qv), 42)
     qb = [py_bucket(qv, table) for table in signs]
-    q_sql = "array(" + ",".join(_sql_double(v) for v in qv) + ")"
-    nq = 0.0
-    for x in qv:
-        nq += float(x) * float(x)
-    norm_q = math.sqrt(nq)
     cond = " OR ".join(f"bucket_{t} = {qb[t]}L" for t in range(8))
-    return spark.sql(f"""
-        SELECT vec_id,
-               aggregate(zip_with(`embedding`, {q_sql},
-                                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-               / (SQRT(aggregate(transform(`embedding`,
-                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
-                  * {_sql_double(norm_q)}) AS cosine
-        FROM {view}
-        WHERE {cond}
-        ORDER BY cosine DESC, vec_id
-        LIMIT 10
-    """)
+    return _topk_cosine_sql(spark, view, qv, cond)
 
 
 # ---------------------------------------------------------------------------
@@ -684,16 +691,18 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (write-time cell columns in production), and the probe+score tail is
     # one spark.sql call.  No data is cached.
     import hashlib
-    import math
 
-    from bigdatastructure_a5_spark.functions.vectors import _sql_double
     from bigdatastructure_a5_spark.operators.similarity import (
         py_cosine,
         with_ivf_cells,
     )
 
+    # the codebook is DATA-derived (17 lowest ids), so it belongs in the
+    # key: a fixture regenerated mid-session must get a fresh celled view,
+    # not stale __cell literals inconsistent with the new probe list
+    # (sim_ann_lsh's key can omit this — its plane family is seed-derived)
     key = hashlib.md5(
-        f"{sf_dir}|ivf|cent=16|seed_points|dim={len(qv)}".encode()
+        f"{sf_dir}|ivf|seed_points|dim={len(qv)}|{cents!r}".encode()
     ).hexdigest()[:12]
     view = f"ivf_celled_{key}"
     if not spark.catalog.tableExists(view):
@@ -705,24 +714,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((c, cid) for c, cid in scored if c == c), key=lambda t: (-t[0], t[1])
     )
     probe = ", ".join(str(cid) for _, cid in ranked[:4])
-    q_sql = "array(" + ",".join(_sql_double(v) for v in qv) + ")"
-    nq = 0.0
-    for x in qv:
-        nq += float(x) * float(x)
-    return spark.sql(f"""
-        SELECT vec_id,
-               aggregate(zip_with(`embedding`, {q_sql},
-                                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-               / (SQRT(aggregate(transform(`embedding`,
-                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
-                  * {_sql_double(math.sqrt(nq))}) AS cosine
-        FROM {view}
-        WHERE __cell IN ({probe})
-        ORDER BY cosine DESC, vec_id
-        LIMIT 10
-    """)
+    return _topk_cosine_sql(spark, view, qv, f"__cell IN ({probe})")
 
 
 _QUALITY_EXPR_SQL = """
@@ -810,7 +802,7 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_tokens, quality (with the marker counts reused via stop_hits — the
     # same integer values by construction), and downstream shingling.
     stop_sum = None
-    for lang in ("en", "es", "de", "fr"):
+    for lang in STOPWORDS:  # the lexicon defines the sc_* column set
         c = F.col(f"sc_{lang}")
         stop_sum = c if stop_sum is None else stop_sum + c
     scored = with_lang_scores(

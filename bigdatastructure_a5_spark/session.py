@@ -174,8 +174,12 @@ def ensure_min_partitions(df, n: int | None = None):
         if size is None:
             target = par
         else:
-            target = max(
-                _WIDEN_FLOOR, min(par, -(-size // _WIDEN_BYTES_PER_TASK))
+            # floor first, parallelism clamp last: the target must never
+            # exceed the session's cores (a 2-core session widening to the
+            # 4-task floor would recreate the oversubscription this
+            # heuristic exists to avoid)
+            target = min(
+                par, max(_WIDEN_FLOOR, -(-size // _WIDEN_BYTES_PER_TASK))
             )
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -136,21 +136,41 @@ def generate_tables(
                 # ~1/ndv of rows (documented skew; an FK loses integrity
                 # on that 1/ndv slice, which is still strictly better
                 # than the predicate matching nothing).
-                seeds = [
-                    int(s) for s in literals.get(fname, ()) if s.isdigit()
-                ][:ndv]
+                seeds: list[int] = []
+                for s in literals.get(fname, ()):
+                    if s.isdigit() and int(s) not in seeds:
+                        seeds.append(int(s))
                 bucket = F.pmod(h, F.lit(ndv))
-                for i, v in enumerate(seeds):
-                    if v == i:
-                        continue
+                # Compose ALL seeds into ONE bucket->value mapping before
+                # rendering: chaining independent whens over the raw
+                # bucket lets a later literal's swap shadow an earlier
+                # literal's target bucket (two literals on one field could
+                # erase the first from the data entirely).  In-range
+                # literals are placed by swapping with the bucket that
+                # currently holds the value, so the mapping stays a
+                # permutation; each bucket appears as exactly one when
+                # branch, so branch order cannot shadow.
+                perm: dict[int, int] = {}
+
+                def _holder(v: int) -> int:
+                    for b, val in perm.items():
+                        if val == v:
+                            return b
+                    return v  # still at its identity bucket
+
+                for i, v in enumerate(seeds[:ndv]):
                     if 0 <= v < ndv:
-                        col = (
-                            F.when(bucket == i, F.lit(v))
-                            .when(bucket == v, F.lit(i))
-                            .otherwise(col)
-                        )
+                        j = _holder(v)
+                        if j == i:
+                            continue
+                        perm[i], perm[j] = v, perm.get(i, i)
                     else:
-                        col = F.when(bucket == i, F.lit(v)).otherwise(col)
+                        # out-of-range literal: plain overwrite of bucket i
+                        # (documented skew; see docstring above)
+                        perm[i] = v
+                for b, v in perm.items():
+                    if v != b:
+                        col = F.when(bucket == b, F.lit(v)).otherwise(col)
                 if is_fk and pk_types.get(fname) not in ("integer", "number"):
                     col = col.cast("string")
             elif ftype == "number":

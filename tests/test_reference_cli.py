@@ -121,6 +121,36 @@ def test_generator_seeds_numeric_equality_literals(spark):
     assert orphans == 0
 
 
+def test_generator_multi_literal_seeds_compose_as_permutation(spark):
+    """Two numeric literals on ONE field must BOTH be emitted: sequential
+    when-chains over the raw bucket let a later literal's swap shadow an
+    earlier literal's target bucket (e.g. literals [5, 0]: the swap for 0
+    re-mapped bucket 0 away from 5, erasing 5 from the data).  The seeds
+    are composed into a single permutation instead."""
+    from bigdatastructure_a5_spark.sources.generator import generate_tables
+    from bigdatastructure_a5_spark.sources.json_config import CollectionStats
+
+    schema = {
+        "T": {
+            "primary_key": "IDT",
+            "fields": {
+                "IDT": {"type": "integer", "avg_size": 8},
+                "K": {"type": "integer", "avg_size": 8},
+            },
+        }
+    }
+    stats = {"T": CollectionStats(1000, {"K": 10}, {}, {}, None)}
+    t = generate_tables(
+        spark, schema, stats, scale=1.0, literals={"K": ["5", "0"]}
+    )["T"]
+    counts = {r.K: r.n for r in t.groupBy("K").count().withColumnRenamed("count", "n").collect()}
+    # both literals present, each at ~1/10 of 1000 rows (uniform wobble)
+    assert counts.get(5, 0) >= 50, counts
+    assert counts.get(0, 0) >= 50, counts
+    # the permutation keeps the value space intact: 10 distinct values
+    assert len(counts) == 10, counts
+
+
 def test_generator_string_pk_fk_join(spark):
     """A string-typed primary key must produce joinable FK values (the FK
     draws from the parent's pk representation, not the field's declared

@@ -162,7 +162,11 @@ def test_best_decoder_selects_by_environment():
 
     dec = best_decoder("image")
     if has_pil:
-        assert dec is real_decode
+        from bigdatastructure_a5_spark.operators.multimodal import (
+            dispatch_decode,
+        )
+
+        assert dec is dispatch_decode
         # 1x1 grayscale PNG, decoded features over pixels
         import io
 
@@ -173,6 +177,10 @@ def test_best_decoder_selects_by_environment():
         out = dec(buf.getvalue(), "image")
         assert out["n_bytes"] == len(buf.getvalue())
         assert out["byte_entropy_q"] == 1000  # 4 identical pixels
+        # mixed-kind safety: a video row in the same batch falls back to
+        # byte features instead of raising (real_decode stays the loud
+        # variant — see test_real_decode_boundary_fails_loudly)
+        assert dec(b"abc", "video") == fake_decode(b"abc", "video")
     else:
         assert dec is fake_decode
     # audio/video stay stubbed in every environment without codecs
@@ -206,7 +214,11 @@ def test_best_resizer_bytes_to_bytes_contract(spark):
         assert rz is fake_resize
         return
 
-    assert rz is pillow_resize
+    from bigdatastructure_a5_spark.operators.multimodal import dispatch_resize
+
+    assert rz is dispatch_resize
+    # mixed-kind safety: non-image rows take the deterministic fallback
+    assert rz(b"abc", "video", 2, 2) == fake_resize(b"abc", "video", 2, 2)
     import io
 
     from PIL import Image
