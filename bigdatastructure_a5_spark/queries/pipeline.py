@@ -787,17 +787,26 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle for the dedup join, one for the anti-join; scoring and
     filtering are pure map work."""
+    from bigdatastructure_a5_spark.session import ensure_min_partitions
+
+    # one-split source: spread BEFORE the scoring map (quality + langid are
+    # the heavy per-row work) so it uses the whole pool
+    return curate_documents(
+        ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def curate_documents(docs: DataFrame) -> DataFrame:
+    """The curation flow over an arbitrary (doc_id, text) frame — shared by
+    the pipeline_curation gate query and the scale-up experiment
+    (tools/run_experiments.py), so what is measured at 10x is exactly what
+    is oracle-checked at gate scale."""
     from bigdatastructure_a5_spark.operators.text import (
         lang_id_from_scores,
         quality_score,
         with_lang_scores,
     )
 
-    from bigdatastructure_a5_spark.session import ensure_min_partitions
-
-    # one-split source: spread BEFORE the scoring map (quality + langid are
-    # the heavy per-row work) so it uses the whole pool
-    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     # ONE tokenizer pass feeds everything: lang scores (toks_col fusion),
     # n_tokens, quality (with the marker counts reused via stop_hits — the
     # same integer values by construction), and downstream shingling.
