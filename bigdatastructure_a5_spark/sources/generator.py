@@ -57,6 +57,52 @@ def extract_equality_literals(sqls: list[str]) -> dict[str, list[str]]:
     return out
 
 
+def compose_seed_mapping(seeds: list[int], ndv: int) -> dict[int, int]:
+    """Compose workload literal seeds into ONE bucket->value mapping.
+
+    Chaining independent whens over the raw bucket lets a later literal's
+    swap shadow an earlier literal's target bucket (two literals on one
+    field could erase the first from the generated data entirely), so all
+    seeds are composed here first and rendered as exactly one branch per
+    bucket — branch order then cannot shadow.
+
+    In-range literal i is placed at bucket i by SWAPPING with the bucket
+    currently holding value i's literal, keeping the mapping a permutation
+    of [0, ndv) — uniformity and (for FKs) referential integrity are
+    preserved exactly.  An out-of-range literal overwrites bucket i (the
+    documented ~1/ndv skew: better than the predicate matching nothing).
+    Only non-identity entries are returned."""
+    perm: dict[int, int] = {}
+
+    def _holder(v: int) -> int | None:
+        for b, val in perm.items():
+            if val == v:
+                return b
+        # not remapped anywhere: at its identity bucket — unless that
+        # bucket was itself overwritten (an earlier out-of-range literal),
+        # in which case v is no longer emitted at all
+        return None if v in perm else v
+
+    deduped: list[int] = []
+    for v in seeds:
+        if v not in deduped:
+            deduped.append(v)
+    for i, v in enumerate(deduped[:ndv]):
+        if 0 <= v < ndv:
+            j = _holder(v)
+            if j == i:
+                continue
+            if j is None:
+                # v vanished under an out-of-range overwrite: placing it
+                # is a plain overwrite too (same documented skew class)
+                perm[i] = v
+            else:
+                perm[i], perm[j] = v, perm.get(i, i)
+        else:
+            perm[i] = v
+    return {b: v for b, v in perm.items() if v != b}
+
+
 def generate_tables(
     spark: SparkSession,
     schema: dict[str, dict],
@@ -141,36 +187,8 @@ def generate_tables(
                     if s.isdigit() and int(s) not in seeds:
                         seeds.append(int(s))
                 bucket = F.pmod(h, F.lit(ndv))
-                # Compose ALL seeds into ONE bucket->value mapping before
-                # rendering: chaining independent whens over the raw
-                # bucket lets a later literal's swap shadow an earlier
-                # literal's target bucket (two literals on one field could
-                # erase the first from the data entirely).  In-range
-                # literals are placed by swapping with the bucket that
-                # currently holds the value, so the mapping stays a
-                # permutation; each bucket appears as exactly one when
-                # branch, so branch order cannot shadow.
-                perm: dict[int, int] = {}
-
-                def _holder(v: int) -> int:
-                    for b, val in perm.items():
-                        if val == v:
-                            return b
-                    return v  # still at its identity bucket
-
-                for i, v in enumerate(seeds[:ndv]):
-                    if 0 <= v < ndv:
-                        j = _holder(v)
-                        if j == i:
-                            continue
-                        perm[i], perm[j] = v, perm.get(i, i)
-                    else:
-                        # out-of-range literal: plain overwrite of bucket i
-                        # (documented skew; see docstring above)
-                        perm[i] = v
-                for b, v in perm.items():
-                    if v != b:
-                        col = F.when(bucket == b, F.lit(v)).otherwise(col)
+                for b, v in compose_seed_mapping(seeds, ndv).items():
+                    col = F.when(bucket == b, F.lit(v)).otherwise(col)
                 if is_fk and pk_types.get(fname) not in ("integer", "number"):
                     col = col.cast("string")
             elif ftype == "number":

@@ -66,3 +66,42 @@ def test_quality_score_bounded(spark, doc):
     df = spark.createDataFrame([(doc,)], ["text"])
     q = df.select(quality_score("text").alias("q")).first().q
     assert q is None or 0.0 <= q <= 1.0
+
+
+@given(
+    seeds=st.lists(st.integers(min_value=-5, max_value=40), max_size=12),
+    ndv=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_compose_seed_mapping_properties(seeds, ndv):
+    """Pure-logic invariants of the generator's literal seeding (no Spark):
+    (1) the mapping touches only valid buckets; (2) restricted to in-range
+    values it stays a PERMUTATION of [0, ndv) — uniformity/referential
+    integrity; (3) every distinct in-range literal is emitted by exactly
+    one bucket; (4) every out-of-range literal that got a bucket is
+    emitted too (first ndv distinct literals only)."""
+    from bigdatastructure_a5_spark.sources.generator import (
+        compose_seed_mapping,
+    )
+
+    mapping = compose_seed_mapping(seeds, ndv)
+    assert all(0 <= b < ndv for b in mapping)
+
+    # full bucket->value function (identity off the mapping)
+    emitted = [mapping.get(b, b) for b in range(ndv)]
+
+    deduped = []
+    for v in seeds:
+        if v not in deduped:
+            deduped.append(v)
+    placed = deduped[:ndv]
+    in_range = [v for v in placed if 0 <= v < ndv]
+    out_range = [v for v in placed if not (0 <= v < ndv)]
+
+    for v in in_range:
+        assert emitted.count(v) == 1, (seeds, ndv, emitted)
+    for v in out_range:
+        assert v in emitted, (seeds, ndv, emitted)
+    # permutation when no out-of-range overwrite stole a bucket
+    if not out_range:
+        assert sorted(emitted) == list(range(ndv)), (seeds, ndv, emitted)
