@@ -261,3 +261,53 @@ def test_ann_view_share_is_plan_only_and_stable(spark, sf_dir):
             assert not spark.catalog.isCached(v)
         second = REGISTRY[name].builder(spark, sf_dir).collect()
         assert first == second
+
+
+def test_ann_write_time_lsh_buckets_match_query_and_prune(spark, sf_dir, tmp_path):
+    """The LSH twin of the write-time IVF test: bucket columns materialized
+    when the corpus is written come back identical off parquet (so probe
+    predicates against stored columns return exactly what the on-the-fly
+    projection computes), and a single-table bucket used as a partition
+    column prunes at the source with PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    from bigdatastructure_a5_spark.operators.similarity import (
+        ann_lsh_topk,
+        rademacher_signs,
+        with_lsh_buckets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = list(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()
+        .embedding
+    )
+    signs = rademacher_signs(4, 4, len(qv), 42)
+    bucketed = with_lsh_buckets(emb, signs, "embedding")
+    path = str(tmp_path / "emb_bucketed")
+    bucketed.write.partitionBy("bucket_0").parquet(path)
+    stored = spark.read.parquet(path)
+
+    # written bucket columns == on-the-fly projection, row for row
+    live = {(r.vec_id, r.bucket_0, r.bucket_3) for r in
+            bucketed.select("vec_id", "bucket_0", "bucket_3").collect()}
+    disk = {(r.vec_id, r.bucket_0, r.bucket_3) for r in
+            stored.select("vec_id", "bucket_0", "bucket_3").collect()}
+    assert live == disk
+
+    # probing the stored corpus prunes on the partition bucket column
+    some_bucket = next(iter(live))[1]
+    probed = stored.filter(F.col("bucket_0") == some_bucket)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket_0" in plan, plan[:1500]
+
+    # and the ANN operator over the stored (write-time) columns returns
+    # the same top-k as over the computed columns
+    a = [(r.vec_id, r.cosine) for r in
+         ann_lsh_topk(emb, qv, k=10, n_planes=4, n_tables=4).collect()]
+    b = [(r.vec_id, r.cosine) for r in
+         ann_lsh_topk(None, qv, k=10, n_planes=4, n_tables=4,
+                      bucketed=stored).collect()]
+    assert a == b
