@@ -790,7 +790,7 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatastructure_a5_spark.session import ensure_min_partitions
 
     # one-split source: spread BEFORE the scoring map (quality + langid are
-    # the heavy per-row work) so it uses the whole pool
+    # the heavy per-row work) to a size-proportional task count
     return curate_documents(
         ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     )
