@@ -245,3 +245,45 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_json_schema_loader_on_reference_schema_files():
+    """Load the reference's OWN five chapter-5 schema files
+    (`/root/reference/schemas/db{1..5}.json`, which exercise `$ref` to a
+    sibling file, `$ref` with a `#/Collection` fragment, and `allOf`
+    composition over `product.json`) and check the derived Spark types —
+    the S1/S2 parity pin against the real artifacts, not synthetic
+    fixtures."""
+    import pytest
+    from pathlib import Path
+
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructType
+
+    ref = Path("/root/reference/schemas")
+    if not ref.is_dir():  # pragma: no cover - reference absent in some envs
+        pytest.skip("reference schemas not available")
+
+    for n in range(1, 6):
+        schemas = load_collection_schemas(ref / f"db{n}.json")
+        assert schemas, f"db{n}.json produced no collections"
+        for name, st in schemas.items():
+            assert isinstance(st, StructType) and len(st.fields) > 0, (n, name)
+
+    db2 = load_collection_schemas(ref / "db2.json")
+    # allOf: Product = product.json base + embedded stocks array
+    prod = db2["Product"]
+    names = set(prod.fieldNames())
+    assert {"IDP", "name", "brand", "price", "stocks"} <= names
+    stocks = prod["stocks"].dataType
+    assert isinstance(stocks, ArrayType)
+    assert isinstance(stocks.elementType, StructType)
+    assert {"IDW", "quantity", "location"} <= set(
+        stocks.elementType.fieldNames()
+    )
+    # price is a nested struct with numeric members
+    price = prod["price"].dataType
+    assert isinstance(price, StructType)
+    # $ref with fragment: Warehouse resolved out of db1.json#/Warehouse
+    assert "Warehouse" in db2
+    idw = db2["Warehouse"]["IDW"].dataType
+    assert isinstance(idw, (IntegerType, LongType))
