@@ -40,6 +40,12 @@ from bigdatastructure_a5_spark.sources.json_config import (
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # `simulate` subcommand: the reference's QuerySimulator CLI surface
+    # (main.py --db DB1 / python -m query_simulator [--json]) — Q1-Q5
+    # executed for real; see examples/query_simulator_demo.py.
+    if argv[:1] == ["simulate"]:
+        return _simulate_main(argv[1:])
     p = argparse.ArgumentParser(
         prog="python -m bigdatastructure_a5_spark",
         description="Data-model selection challenge over real Spark execution",
@@ -78,6 +84,42 @@ def main(argv: list[str] | None = None) -> int:
         report = run_workload(spark, base, denorms, queries, storage, args.out)
     print(report.to_text())
     print(f"\nwrote results.csv / leaderboard.md / report.json -> {args.out}")
+    return 0
+
+
+def _simulate_main(argv: list[str]) -> int:
+    from bigdatastructure_a5_spark.examples.query_simulator_demo import (
+        DB_SIGNATURES,
+        DEFAULT_DB_SIGNATURE,
+        run_cli,
+    )
+
+    p = argparse.ArgumentParser(
+        prog="python -m bigdatastructure_a5_spark simulate",
+        description="QuerySimulator Q1-Q5, executed for real on a "
+        "generated corpus matching the reference's statistics",
+    )
+    p.add_argument(
+        "--db",
+        default=DEFAULT_DB_SIGNATURE,
+        choices=DB_SIGNATURES,
+        help=f"database signature (default: {DEFAULT_DB_SIGNATURE})",
+    )
+    p.add_argument(
+        "--json",
+        action="store_true",
+        help="emit JSON instead of the formatted text report",
+    )
+    p.add_argument(
+        "--scale",
+        type=float,
+        default=1e-4,
+        help="corpus scale vs the reference's document counts",
+    )
+    args = p.parse_args(argv)
+    spark = get_spark("query-simulator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(run_cli(spark, args.db, args.json, args.scale))
     return 0
 
 

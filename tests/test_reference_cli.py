@@ -181,3 +181,42 @@ def test_generator_string_pk_fk_join(spark):
     assert dict(fact.dtypes)["code"] == "string"
     assert fact.join(dim, "code", "left_anti").count() == 0
     assert fact.join(dim, "code").count() == 500
+
+
+def test_query_simulator_cli_executes_q1_q5(spark):
+    """The reference's third entry point (`main.py --db DB1` /
+    `python -m query_simulator`): Q1-Q5 over Product/Stock/OrderLine/
+    Client/Warehouse, here executed for real on a generated corpus.
+    Pins: reference query names/order, every query returns rows (the
+    literals are seeded / probed from data), Q3's date filter selects
+    ~1/date-NDV of order lines, and an unknown signature raises."""
+    import pytest
+
+    from bigdatastructure_a5_spark.examples.query_simulator_demo import (
+        scaled_stats,
+        simulate_queries,
+    )
+
+    results = simulate_queries(spark, "DB1", scale=1e-5)
+    names = [r["query"]["name"] for r in results]
+    assert names == [
+        "Q1_stock_lookup",
+        "Q2_brand_filter",
+        "Q3_orders_by_date",
+        "Q4_brand_stock_join",
+        "Q5_orders_brand_client_join",
+    ]
+    rows = {r["query"]["name"]: r["total"]["rows"] for r in results}
+    assert all(n >= 1 for n in rows.values()), rows
+    st = scaled_stats(1e-5)
+    ol = st["OrderLine"].nb_documents
+    date_ndv = st["OrderLine"].distinct_values["odate"]
+    expect = ol / date_ndv
+    assert expect / 3 <= rows["Q3_orders_by_date"] <= expect * 3, (
+        rows,
+        expect,
+    )
+    # measured costs are present and priced
+    assert all(r["total"]["time_cost"] >= 0 for r in results)
+    with pytest.raises(ValueError):
+        simulate_queries(spark, "DB9")
