@@ -46,6 +46,16 @@ def main(argv: list[str] | None = None) -> int:
     # executed for real; see examples/query_simulator_demo.py.
     if argv[:1] == ["simulate"]:
         return _simulate_main(argv[1:])
+    # `chapter5` subcommand: the reference's chapter-5 Movie/Review CLI
+    # (`python -m chapter5`) — DB1 vs DB2 on real data; forwards to
+    # examples.chapter5_demo ([sf_dir] [out_dir]).
+    if argv[:1] == ["chapter5"]:
+        from bigdatastructure_a5_spark.examples.chapter5_demo import (
+            main as chapter5_main,
+        )
+
+        chapter5_main(argv[1:])
+        return 0
     p = argparse.ArgumentParser(
         prog="python -m bigdatastructure_a5_spark",
         description="Data-model selection challenge over real Spark execution",

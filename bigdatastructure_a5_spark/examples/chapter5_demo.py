@@ -134,9 +134,10 @@ WORKLOAD = [
 ]
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "out/chapter5"
+def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out_dir = argv[1] if len(argv) > 1 else "out/chapter5"
     spark = get_spark("chapter5-demo")
     spark.sparkContext.setLogLevel("ERROR")
     base = movie_base_tables(spark, sf_dir)
