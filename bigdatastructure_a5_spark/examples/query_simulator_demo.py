@@ -19,10 +19,15 @@ generator) rather than the reference's assumed constants — e.g. Q2
 matches ~1/min(5000, nb_products) of products, where the reference
 assumes 50/10^5.
 
-Like the reference, the ``--db`` signature (DB1-DB5) selects a sizing
-profile; the reference ships identical per-signature size tables
-(`config.py:79-90` — "base_sizes for each signature") and so does this
-demo: the signature is echoed in the report, the statistics are shared.
+The ``--db`` signature (DB1-DB5) goes FURTHER than the reference: where
+the reference ships identical per-signature size tables (`config.py:79-90`)
+and so prices every signature the same, here each signature materializes
+the actual layout its schema file describes (`schemas/db{1..5}.json` —
+normalized; Product+stocks array; Stock+product struct; OrderLine+product
+struct; Product+orderLines array) via the denormalization workbench, and
+each query runs in its layout-routed form (embed-covered joins collapse to
+struct/array reads — the O14/O15 rewrite).  The measured report therefore
+actually answers the signature-selection question the assignment poses.
 """
 
 from __future__ import annotations
@@ -32,6 +37,12 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
+from bigdatastructure_a5_spark.operators.denormalize import (
+    CollectionSpec,
+    DenormalizationSpec,
+    EmbedSpec,
+    build_variant,
+)
 from bigdatastructure_a5_spark.plans.metrics import run_with_metrics
 from bigdatastructure_a5_spark.sources.generator import generate_tables
 from bigdatastructure_a5_spark.sources.json_config import CollectionStats
@@ -113,52 +124,196 @@ def scaled_stats(scale: float) -> dict[str, CollectionStats]:
     }
 
 
-#: Q1-Q5 (`query_simulator/queries.py:16-126`), as real SQL.  The brand
-#: and date literals are seeded into the generated value space (the same
-#: mechanism the challenge CLI uses), so each predicate matches its
-#: uniform share of rows rather than zero.
+#: The five database signatures of `schemas/db{1..5}.json`, as REAL layout
+#: variants built by the denormalization workbench (the reference's
+#: simulator accepts the signature but prices every one from the same size
+#: table; here each signature materializes its actual layout and the
+#: queries run against it).  Per the workbench convention, an embedding
+#: target keeps its own join-key column alongside the embedded document.
+LAYOUTS: dict[str, DenormalizationSpec] = {
+    "DB1": DenormalizationSpec(
+        id="DB1",
+        description="fully normalized (db1.json)",
+        collections=tuple(
+            CollectionSpec(n)
+            for n in ("Product", "Stock", "OrderLine", "Client", "Warehouse")
+        ),
+    ),
+    "DB2": DenormalizationSpec(
+        id="DB2",
+        description="Product embeds its stocks array (db2.json)",
+        collections=tuple(
+            CollectionSpec(n)
+            for n in ("Product", "OrderLine", "Client", "Warehouse")
+        ),
+        embeds=(
+            EmbedSpec(
+                source="Stock",
+                target="Product",
+                path="stocks",
+                cardinality="many",
+                target_key="IDP",
+                source_key="IDP",
+                fields=("IDW", "quantity"),
+            ),
+        ),
+    ),
+    "DB3": DenormalizationSpec(
+        id="DB3",
+        description="Stock embeds its product (db3.json)",
+        collections=tuple(
+            CollectionSpec(n)
+            for n in ("Stock", "OrderLine", "Client", "Warehouse")
+        ),
+        embeds=(
+            EmbedSpec(
+                source="Product",
+                target="Stock",
+                path="product",
+                cardinality="one",
+                target_key="IDP",
+                source_key="IDP",
+                fields=("brand",),
+            ),
+        ),
+    ),
+    "DB4": DenormalizationSpec(
+        id="DB4",
+        description="OrderLine embeds its product (db4.json)",
+        collections=tuple(
+            CollectionSpec(n)
+            for n in ("Stock", "OrderLine", "Client", "Warehouse")
+        ),
+        embeds=(
+            EmbedSpec(
+                source="Product",
+                target="OrderLine",
+                path="product",
+                cardinality="one",
+                target_key="IDP",
+                source_key="IDP",
+                fields=("brand",),
+            ),
+        ),
+    ),
+    "DB5": DenormalizationSpec(
+        id="DB5",
+        description="Product embeds its orderLines array (db5.json)",
+        collections=tuple(
+            CollectionSpec(n)
+            for n in ("Product", "Stock", "Client", "Warehouse")
+        ),
+        embeds=(
+            EmbedSpec(
+                source="OrderLine",
+                target="Product",
+                path="orderLines",
+                cardinality="many",
+                target_key="IDP",
+                source_key="IDP",
+                fields=("IDO", "IDC", "odate"),
+            ),
+        ),
+    ),
+}
+
+#: Q1-Q5 (`query_simulator/queries.py:16-126`) as real SQL, routed per
+#: layout: where an embed covers the data a query needs, the layout's SQL
+#: reads the embedded struct/array instead of joining (O14/O15 applied by
+#: hand, exactly what the reference's planner rewrite would emit).  The
+#: brand/date literals are seeded into the generated value space;
+#: {IDP}/{IDW} are filled at simulate time from a real stock row so the
+#: point lookup targets an existing (product, warehouse) pair.
+#:
+#: Documented reconstruction caveats: on layouts that drop the Product
+#: collection, queries about products rebuild it from the embedding host,
+#: so a product with no hosting row is invisible — DB4's Q2/Q4/Q5 miss
+#: never-ordered products and DB3's Q2/Q5 miss never-stocked products.
+#: That under-count is a property of the layout itself (the information
+#: is simply not stored), not of this engine.  DB5's order-line explode
+#: is complete: every order line is embedded in exactly its product (FK
+#: integrity).
 BRAND_LIT = "Apple"
 DATE_LIT = "2024-03-15"
 
-QUERIES: tuple[tuple[str, str, str, str], ...] = (
+QUERIES: tuple[tuple[str, str, str, dict[str, str]], ...] = (
     (
         "Q1_stock_lookup",
         "filter",
         "Check stock for one product in one warehouse.",
-        # {IDP}/{IDW} are filled at simulate time from a real stock row, so
-        # the point lookup targets an existing (product, warehouse) pair —
-        # the reference's "one product in one warehouse" semantics
-        "SELECT quantity FROM Stock WHERE IDP = {IDP} AND IDW = {IDW}",
+        {
+            "default": "SELECT quantity FROM Stock "
+            "WHERE IDP = {IDP} AND IDW = {IDW}",
+            "DB2": "SELECT s.quantity FROM Product "
+            "LATERAL VIEW explode(stocks) t AS s "
+            "WHERE IDP = {IDP} AND s.IDW = {IDW}",
+        },
     ),
     (
         "Q2_brand_filter",
         "filter",
         "Find Apple products by brand.",
-        f"SELECT IDP, brand FROM Product WHERE brand = '{BRAND_LIT}'",
+        {
+            "default": f"SELECT IDP, brand FROM Product WHERE brand = '{BRAND_LIT}'",
+            "DB3": "SELECT DISTINCT IDP, product.brand AS brand FROM Stock "
+            f"WHERE product.brand = '{BRAND_LIT}'",
+            "DB4": "SELECT DISTINCT IDP, product.brand AS brand FROM OrderLine "
+            f"WHERE product.brand = '{BRAND_LIT}'",
+        },
     ),
     (
         "Q3_orders_by_date",
         "filter",
         "Fetch order lines placed on a specific date.",
-        f"SELECT IDO, IDP FROM OrderLine WHERE odate = '{DATE_LIT}'",
+        {
+            "default": f"SELECT IDO, IDP FROM OrderLine WHERE odate = '{DATE_LIT}'",
+            "DB5": "SELECT ol.IDO, IDP FROM Product "
+            "LATERAL VIEW explode(orderLines) t AS ol "
+            f"WHERE ol.odate = '{DATE_LIT}'",
+        },
     ),
     (
         "Q4_brand_stock_join",
         "join",
         "Join Apple products with their per-warehouse stock.",
-        "SELECT p.IDP, s.IDW, s.quantity FROM Product p "
-        "JOIN Stock s ON p.IDP = s.IDP "
-        f"WHERE p.brand = '{BRAND_LIT}'",
+        {
+            "default": "SELECT p.IDP, s.IDW, s.quantity FROM Product p "
+            "JOIN Stock s ON p.IDP = s.IDP "
+            f"WHERE p.brand = '{BRAND_LIT}'",
+            "DB2": "SELECT IDP, s.IDW, s.quantity FROM Product "
+            "LATERAL VIEW explode(stocks) t AS s "
+            f"WHERE brand = '{BRAND_LIT}'",
+            "DB3": "SELECT IDP, IDW, quantity FROM Stock "
+            f"WHERE product.brand = '{BRAND_LIT}'",
+            "DB4": "SELECT s.IDP, s.IDW, s.quantity FROM Stock s JOIN ("
+            "SELECT DISTINCT IDP FROM OrderLine "
+            f"WHERE product.brand = '{BRAND_LIT}') p ON s.IDP = p.IDP",
+        },
     ),
     (
         "Q5_orders_brand_client_join",
         "join",
         "Orders on a target date joined with Apple products and client "
         "info for downstream personalization/analytics.",
-        "SELECT ol.IDO, p.brand, c.IDC FROM OrderLine ol "
-        "JOIN Product p ON ol.IDP = p.IDP "
-        "JOIN Client c ON ol.IDC = c.IDC "
-        f"WHERE ol.odate = '{DATE_LIT}' AND p.brand = '{BRAND_LIT}'",
+        {
+            "default": "SELECT ol.IDO, p.brand, c.IDC FROM OrderLine ol "
+            "JOIN Product p ON ol.IDP = p.IDP "
+            "JOIN Client c ON ol.IDC = c.IDC "
+            f"WHERE ol.odate = '{DATE_LIT}' AND p.brand = '{BRAND_LIT}'",
+            "DB3": "SELECT ol.IDO, p.brand, c.IDC FROM OrderLine ol "
+            "JOIN (SELECT DISTINCT IDP, product.brand AS brand FROM Stock) p "
+            "ON ol.IDP = p.IDP JOIN Client c ON ol.IDC = c.IDC "
+            f"WHERE ol.odate = '{DATE_LIT}' AND p.brand = '{BRAND_LIT}'",
+            "DB4": "SELECT ol.IDO, ol.product.brand AS brand, c.IDC "
+            "FROM OrderLine ol JOIN Client c ON ol.IDC = c.IDC "
+            f"WHERE ol.odate = '{DATE_LIT}' "
+            f"AND ol.product.brand = '{BRAND_LIT}'",
+            "DB5": "SELECT e.IDO, e.brand, c.IDC FROM ("
+            "SELECT ol.IDO, ol.IDC, brand FROM Product "
+            "LATERAL VIEW explode(orderLines) t AS ol "
+            f"WHERE brand = '{BRAND_LIT}' AND ol.odate = '{DATE_LIT}'"
+            ") e JOIN Client c ON e.IDC = c.IDC",
+        },
     ),
 )
 
@@ -178,14 +333,17 @@ def simulate_queries(
     literals = {"brand": [BRAND_LIT], "odate": [DATE_LIT]}
     # stats are pre-scaled (with floors) — generate at scale 1.0
     base = generate_tables(spark, SCHEMA, scaled_stats(scale), 1.0, literals)
+    # the probe pair comes from the NORMALIZED base (exists in any layout)
+    probe = base["Stock"].select("IDP", "IDW").first()
+    variant = build_variant(base, LAYOUTS[db_signature])
     results: list[dict] = []
     with tempfile.TemporaryDirectory(prefix="qsim_") as storage:
-        for name, df in base.items():
+        for name, df in variant.items():
             path = f"{storage}/{name}"
             df.write.mode("overwrite").parquet(path)
             spark.read.parquet(path).createOrReplaceTempView(name)
-        probe = spark.table("Stock").select("IDP", "IDW").first()
-        for qname, kind, desc, sql in QUERIES:
+        for qname, kind, desc, per_layout in QUERIES:
+            sql = per_layout.get(db_signature, per_layout["default"])
             sql = sql.replace("{IDP}", str(probe.IDP)).replace(
                 "{IDW}", str(probe.IDW)
             )

@@ -220,3 +220,37 @@ def test_query_simulator_cli_executes_q1_q5(spark):
     assert all(r["total"]["time_cost"] >= 0 for r in results)
     with pytest.raises(ValueError):
         simulate_queries(spark, "DB9")
+
+
+def test_query_simulator_layouts_agree_cross_signature(spark):
+    """The five db signatures materialize different physical layouts of
+    the SAME logical data, so layout-routed Q1-Q5 must agree on answers:
+    exactly equal wherever the layout stores complete information, and
+    never exceeding the normalized answer on the two documented
+    reconstruction layouts (DB3 rebuilds products from Stock, DB4 from
+    OrderLine — rows for never-hosted products are simply not stored)."""
+    from bigdatastructure_a5_spark.examples.query_simulator_demo import (
+        simulate_queries,
+    )
+
+    rows = {}
+    for sig in ("DB1", "DB2", "DB3", "DB4", "DB5"):
+        rows[sig] = {
+            r["query"]["name"]: r["total"]["rows"]
+            for r in simulate_queries(spark, sig, scale=1e-6)
+        }
+    base = rows["DB1"]
+    # complete-information layouts answer identically on every query
+    assert rows["DB2"] == base
+    # Q1 (stock point lookup) and Q3 (date filter) are stored completely
+    # on every layout
+    for sig in ("DB3", "DB4", "DB5"):
+        assert rows[sig]["Q1_stock_lookup"] == base["Q1_stock_lookup"]
+        assert rows[sig]["Q3_orders_by_date"] == base["Q3_orders_by_date"]
+    # DB5 stores order lines embedded but products/stock complete
+    assert rows["DB5"] == base
+    # reconstruction layouts: never above the normalized answer
+    for sig in ("DB3", "DB4"):
+        for q in ("Q2_brand_filter", "Q4_brand_stock_join",
+                  "Q5_orders_brand_client_join"):
+            assert 0 <= rows[sig][q] <= base[q], (sig, q, rows[sig][q], base[q])
