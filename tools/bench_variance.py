@@ -22,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
 from bigdatastructure_a5_spark.session import get_spark
 
-SECTION = "## 7. Bench variance"
+SECTION = "## 8. Bench variance"
 
 
 def measure(sf_dir: str, reps: int) -> dict[str, list[float]]:
