@@ -57,6 +57,28 @@ def local_table_path(sf_dir: str, name: str) -> str | None:
     return p if os.path.isfile(p) else None
 
 
+def table_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap data-identity token for session temp-view cache keys.
+
+    A temp view over a parquet read freezes Spark's resolved file index
+    (path, length, modification time); a view keyed only on parameters
+    would keep serving that stale index after the fixture is regenerated
+    mid-session — FileReadException at best, silently scoring the old
+    corpus at worst.  Hashing the file stats into the key makes any
+    rewrite produce a fresh view.  Non-local URIs return a constant (no
+    staleness guard — a production corpus is immutable-by-convention and
+    governed by Spark's own file index refresh semantics)."""
+    import hashlib
+
+    path = local_table_path(sf_dir, name)
+    if path is None:
+        return "remote"
+    st = os.stat(path)
+    return hashlib.md5(
+        f"{path}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+
+
 def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet, tolerating TIMESTAMP(NANOS) columns Spark 4 rejects.
 

@@ -338,37 +338,45 @@ def simulate_queries(
     variant = build_variant(base, LAYOUTS[db_signature])
     results: list[dict] = []
     with tempfile.TemporaryDirectory(prefix="qsim_") as storage:
-        for name, df in variant.items():
-            path = f"{storage}/{name}"
-            df.write.mode("overwrite").parquet(path)
-            spark.read.parquet(path).createOrReplaceTempView(name)
-        for qname, kind, desc, per_layout in QUERIES:
-            sql = per_layout.get(db_signature, per_layout["default"])
-            sql = sql.replace("{IDP}", str(probe.IDP)).replace(
-                "{IDW}", str(probe.IDW)
-            )
-            qm = run_with_metrics(spark, spark.sql(sql), qname)
-            costs = qm.costs()
-            results.append(
-                {
-                    "query": {
-                        "name": qname,
-                        "kind": kind,
-                        "description": desc,
-                        "db_signature": db_signature,
-                    },
-                    "total": {
-                        "label": "measured total",
-                        "data_scanned_gb": qm.scanned_gb,
-                        "shuffle_gb": qm.shuffle_gb,
-                        "time_cost": costs["time"],
-                        "carbon_cost": costs["carbon"],
-                        "price_cost": costs["price"],
-                        "rows": int(qm.output_rows),
-                        "wall_sec": qm.wall_sec,
-                    },
-                }
-            )
+        # the generically-named views (Product, Stock, ...) point into the
+        # TemporaryDirectory — drop them on the way out, or they dangle
+        # past the directory's deletion (and one signature's leftover view
+        # would leak into the next signature's run if a layout omits it)
+        try:
+            for name, df in variant.items():
+                path = f"{storage}/{name}"
+                df.write.mode("overwrite").parquet(path)
+                spark.read.parquet(path).createOrReplaceTempView(name)
+            for qname, kind, desc, per_layout in QUERIES:
+                sql = per_layout.get(db_signature, per_layout["default"])
+                sql = sql.replace("{IDP}", str(probe.IDP)).replace(
+                    "{IDW}", str(probe.IDW)
+                )
+                qm = run_with_metrics(spark, spark.sql(sql), qname)
+                costs = qm.costs()
+                results.append(
+                    {
+                        "query": {
+                            "name": qname,
+                            "kind": kind,
+                            "description": desc,
+                            "db_signature": db_signature,
+                        },
+                        "total": {
+                            "label": "measured total",
+                            "data_scanned_gb": qm.scanned_gb,
+                            "shuffle_gb": qm.shuffle_gb,
+                            "time_cost": costs["time"],
+                            "carbon_cost": costs["carbon"],
+                            "price_cost": costs["price"],
+                            "rows": int(qm.output_rows),
+                            "wall_sec": qm.wall_sec,
+                        },
+                    }
+                )
+        finally:
+            for name in variant:
+                spark.catalog.dropTempView(name)
     return results
 
 

@@ -39,13 +39,39 @@ def double_array_lit(values) -> Column:
     return F.expr("array(" + ",".join(_sql_double(v) for v in values) + ")")
 
 
-def double_matrix_lit(rows) -> Column:
-    """``array<array<double>>`` literal in one parser call (see
-    double_array_lit for why not nested ``F.lit``)."""
-    body = ",".join(
-        "array(" + ",".join(_sql_double(v) for v in row) + ")" for row in rows
+def matrix_dots_sql(vec_col: str, col_vectors) -> str:
+    """Rendered-SQL expression computing ALL dot products v · col_vectors[j]
+    in ONE fold over the vector: returns an ``array<double>`` of length
+    ``len(col_vectors)`` whose j-th element is the dot of ``vec_col`` with
+    the j-th weight vector.
+
+    The single shared fold is the load-bearing trick behind both ANN
+    write-time projections (LSH bucket bits, IVF cell argmax): per vector
+    element, its contribution to EVERY column is added in element order —
+    bit-identical to per-column sequential folds, hence to a DuckDB oracle
+    running the same left-fold.  The whole thing is a rendered string for
+    one parser call (see double_array_lit for the measured py4j-per-node
+    cost of building the same tree through the Column API), and the fold
+    carries the element index in a struct so each step is one
+    ``len(col_vectors)``-wide zip_with against the weight matrix row — no
+    dim x j intermediate array-of-arrays."""
+    j_total = len(col_vectors)
+    dim = len(col_vectors[0])
+    # w2[d][j]: column j's weight at dimension d (transposed so the fold
+    # indexes by the vector element's position)
+    w2_sql = "array(" + ",".join(
+        "array("
+        + ",".join(_sql_double(col_vectors[j][d]) for j in range(j_total))
+        + ")"
+        for d in range(dim)
+    ) + ")"
+    return (
+        f"aggregate(zip_with(`{vec_col}`, sequence(1,{dim}), "
+        "(x,i) -> struct(CAST(x AS DOUBLE) AS x, i AS i)), "
+        f"array_repeat(0.0D, {j_total}), "
+        f"(acc, s) -> zip_with(acc, element_at({w2_sql}, s.i), "
+        "(a,w) -> a + s.x * w))"
     )
-    return F.expr("array(" + body + ")")
 
 
 def long_array_lit(values) -> Column:

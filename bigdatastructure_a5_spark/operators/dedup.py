@@ -155,9 +155,9 @@ def lsh_candidate_pairs(
     # 64-min aggregation) runs twice.  The caller releases it via
     # session.materialize_release(tracker); standalone (no tracker) the
     # function materializes its result and releases before returning.
-    own_tracker = tracker is None
-    if own_tracker:
-        tracker = []
+    from bigdatastructure_a5_spark.session import adopt_tracker
+
+    tracker, finish = adopt_tracker(tracker)
     banded = banded.persist()
     tracker.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
@@ -171,11 +171,7 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    if own_tracker:
-        from bigdatastructure_a5_spark.session import materialize_release
-
-        result = materialize_release(result, tracker)
-    return result
+    return finish(result)
 
 
 def jaccard_pairs(
@@ -209,17 +205,18 @@ def jaccard_pairs(
     shingles carry no near-dup signal anyway).  Deterministic, so a capped
     oracle is expressible; the registered gate queries run uncapped.
     """
+    from bigdatastructure_a5_spark.session import adopt_tracker
+
     # shingle_sets emits only non-empty sets; no size filter needed (and a
     # size-on-computed-array predicate is pathological — see shingle_sets).
     nonempty = shingled
-    own_tracker = tracker is None
-    if own_tracker:
-        tracker = []
+    tracker, finish = adopt_tracker(tracker)
 
     if candidates is not None:
         # verification path: candidate pairs are few — join their shingle
         # ARRAYS back and intersect in place (no inverted index, no second
-        # big shuffle; cost ~ |candidates|).
+        # big shuffle; cost ~ |candidates|).  This path persists nothing
+        # itself, so finish() only matters for caller-tracked frames.
         sa = nonempty.select(
             F.col("id").alias("id_a"), F.col("shingles").alias("sha")
         )
@@ -229,7 +226,7 @@ def jaccard_pairs(
         joined = candidates.join(sa, "id_a").join(sb, "id_b")
         i = F.size(F.array_intersect("sha", "shb"))
         union = F.size("sha") + F.size("shb") - i
-        return (
+        return finish(
             joined.select(
                 "id_a",
                 "id_b",
@@ -292,11 +289,7 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    if own_tracker:
-        from bigdatastructure_a5_spark.session import materialize_release
-
-        result = materialize_release(result, tracker)
-    return result
+    return finish(result)
 
 
 def near_duplicates_minhash(
@@ -313,9 +306,9 @@ def near_duplicates_minhash(
     exact-Jaccard verification of candidates only.  Cache contract as
     jaccard_pairs: pass ``tracker`` to release via materialize_release,
     or omit it for an internal materialize-then-release."""
-    own_tracker = tracker is None
-    if own_tracker:
-        tracker = []
+    from bigdatastructure_a5_spark.session import adopt_tracker
+
+    tracker, finish = adopt_tracker(tracker)
     # Consumed by both the signature branch and the verification joins;
     # one parallel shingling pass instead of three.
     shingled = ensure_min_partitions(
@@ -325,11 +318,7 @@ def near_duplicates_minhash(
     sigs = minhash_signatures(shingled, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, tracker=tracker)
     result = jaccard_pairs(shingled, threshold, candidates=cands, tracker=tracker)
-    if own_tracker:
-        from bigdatastructure_a5_spark.session import materialize_release
-
-        result = materialize_release(result, tracker)
-    return result
+    return finish(result)
 
 
 def simhash64(
@@ -478,9 +467,9 @@ def simhash_near_pairs(
     # Self-join: persist so the fingerprint subtree (explode + 64
     # conditional sums) is computed once, not once per side.  Cache
     # contract as jaccard_pairs (tracker or internal release).
-    own_tracker = tracker is None
-    if own_tracker:
-        tracker = []
+    from bigdatastructure_a5_spark.session import adopt_tracker
+
+    tracker, finish = adopt_tracker(tracker)
     chunked = chunked.persist()
     tracker.append(chunked)
     a, b = chunked.alias("a"), chunked.alias("b")
@@ -499,8 +488,4 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
-    if own_tracker:
-        from bigdatastructure_a5_spark.session import materialize_release
-
-        result = materialize_release(result, tracker)
-    return result
+    return finish(result)

@@ -261,7 +261,19 @@ def resize_media(
     decode-resize-encode where the library is installed.  Either way the
     Spark contract — Arrow batching, schema preservation, metadata
     consistency — is identical.
+
+    Input must carry the full media schema (the output IS MEDIA_SCHEMA and
+    rows are built by batch copy, and the resizer dispatches on ``kind``);
+    checked here at construction so a missing column is an immediate
+    ValueError, not a KeyError inside a Python worker at execution time.
     """
+    missing = [f.name for f in MEDIA_SCHEMA.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(
+            f"resize_media input is missing media columns {missing}; "
+            "build the frame with media_from_documents (or match "
+            "MEDIA_SCHEMA)"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -256,17 +256,14 @@ def with_lsh_buckets(
     projections are RENDERED SQL handed to ONE selectExpr each — building
     the same tree through the Column API costs one py4j round-trip per
     node (~1.5s/fresh plan at 64x32, the r3 ANN wall-clock regression),
-    while Catalyst parses the rendered string in milliseconds.  The fold
-    carries the element index in a struct so each step is a single
-    j_total-wide zip_with against the matrix row — no dim x j_total
-    intermediate array-of-arrays (the transform-of-transform variant
-    allocates 2048 cells/row and ran ~5x slower per plan+task)."""
-    from bigdatastructure_a5_spark.functions.vectors import _sql_double
+    while Catalyst parses the rendered string in milliseconds.  The shared
+    one-pass fold lives in functions.vectors.matrix_dots_sql (also the IVF
+    cell projection's engine); the transform-of-transform variant it
+    replaces allocated 2048 cells/row and ran ~5x slower per plan+task."""
+    from bigdatastructure_a5_spark.functions.vectors import matrix_dots_sql
 
     n_tables = len(signs)
     n_planes = len(signs[0])
-    dim = len(signs[0][0])
-    j_total = n_tables * n_planes
     staging = "__lsh_dots"
     clash = [c for c in df.columns if c == staging or c.startswith(prefix)]
     if clash:
@@ -274,23 +271,11 @@ def with_lsh_buckets(
             f"with_lsh_buckets output columns {clash} already exist on the "
             "input (drop or rename them, or pass a different prefix)"
         )
-    # W2[d][j]: plane j's weight at dimension d, j = t*n_planes + p.
-    w2_sql = "array(" + ",".join(
-        "array("
-        + ",".join(
-            _sql_double(signs[j // n_planes][j % n_planes][d])
-            for j in range(j_total)
-        )
-        + ")"
-        for d in range(dim)
-    ) + ")"
-    dots_sql = (
-        f"aggregate(zip_with(`{vec_col}`, sequence(1,{dim}), "
-        "(x,i) -> struct(CAST(x AS DOUBLE) AS x, i AS i)), "
-        f"array_repeat(0.0D, {j_total}), "
-        f"(acc, s) -> zip_with(acc, element_at({w2_sql}, s.i), "
-        "(a,w) -> a + s.x * w))"
-    )
+    # column j of the weight matrix is plane (t, p) with j = t*n_planes + p
+    planes = [
+        signs[j // n_planes][j % n_planes] for j in range(n_tables * n_planes)
+    ]
+    dots_sql = matrix_dots_sql(vec_col, planes)
     staged = df.selectExpr("*", f"{dots_sql} AS {staging}")
     buckets = []
     for t in range(n_tables):
@@ -345,13 +330,11 @@ def cosine_pairs_lsh(
     persisted frame outlives the call either way.
     """
     from bigdatastructure_a5_spark.session import (
+        adopt_tracker,
         ensure_min_partitions,
-        materialize_release,
     )
 
-    own_tracker = tracker is None
-    if own_tracker:
-        tracker = []
+    tracker, finish = adopt_tracker(tracker)
     first = embeddings.select(vec_col).first()
     if first is None:
         return embeddings.sparkSession.createDataFrame(
@@ -373,8 +356,7 @@ def cosine_pairs_lsh(
         ).alias("tb"),
     ).select("id", "tb.t", "tb.b")
     melted = melted.persist()
-    if tracker is not None:
-        tracker.append(melted)
+    tracker.append(melted)
     a, b = melted.alias("a"), melted.alias("b")
     cands = (
         a.join(
@@ -394,9 +376,7 @@ def cosine_pairs_lsh(
         .select("id_a", "id_b", cosine_similarity("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
-    if own_tracker:
-        result = materialize_release(result, tracker)
-    return result
+    return finish(result)
 
 
 def _py_fold_dot(vec, weights) -> float:
@@ -589,38 +569,28 @@ def with_ivf_cells(
     100 TB the corpus is written partitioned/sorted by cell so a probe
     query prunes to n_probe partitions before any scoring.
 
-    Same two-stage one-pass trick as with_lsh_buckets: all codebook dot
-    products in a single fold against one (dim x centroids) literal
-    matrix + one shared row-norm fold, then the argmax over
+    Same two-stage one-pass trick as with_lsh_buckets (the shared fold is
+    functions.vectors.matrix_dots_sql): all codebook dot products in a
+    single fold against one (dim x centroids) literal matrix + one shared
+    row-norm fold, then the argmax over
     cos = dots[c] / (norm_v * |centroid_c|) — element order and operation
     structure identical to per-centroid cosine_similarity folds, so cell
     ids (and the oracle hash) are unchanged bit-for-bit.  Centroid norms
     are Python-folded with the same sequential arithmetic (py_l2).  Both
-    projections are rendered SQL (see with_lsh_buckets for the measured
+    projections are rendered SQL (see matrix_dots_sql for the measured
     py4j-per-node cost this avoids)."""
-    from bigdatastructure_a5_spark.functions.vectors import _sql_double
+    from bigdatastructure_a5_spark.functions.vectors import (
+        _sql_double,
+        matrix_dots_sql,
+    )
 
-    n_cent = len(centroids)
-    dim = len(centroids[0][1])
     for c in df.columns:
         if c in (cell_col, "__ivf_dots", "__ivf_nv"):
             raise ValueError(
                 f"with_ivf_cells staging/output column {c!r} already exists "
                 "on the input"
             )
-    w2_sql = "array(" + ",".join(
-        "array("
-        + ",".join(_sql_double(centroids[j][1][d]) for j in range(n_cent))
-        + ")"
-        for d in range(dim)
-    ) + ")"
-    dots_sql = (
-        f"aggregate(zip_with(`{vec_col}`, sequence(1,{dim}), "
-        "(x,i) -> struct(CAST(x AS DOUBLE) AS x, i AS i)), "
-        f"array_repeat(0.0D, {n_cent}), "
-        f"(acc, s) -> zip_with(acc, element_at({w2_sql}, s.i), "
-        "(a,w) -> a + s.x * w))"
-    )
+    dots_sql = matrix_dots_sql(vec_col, [cvec for _cid, cvec in centroids])
     # identical op structure to functions.vectors.l2_norm (transform-square
     # then sequential add-fold, then sqrt)
     norm_sql = (

@@ -447,9 +447,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost per fresh query (VERDICT r3 item 1).  A temp view stores the
     # analyzed plan once per session — the same amortization write-time
     # bucket columns give a production corpus, expressed engine-side.  No
-    # DATA is cached: each execution still scans parquet.
+    # DATA is cached: each execution still scans parquet.  The key carries
+    # the fixture's file fingerprint: the view also freezes the resolved
+    # FILE INDEX (not just the seed-derived plane literals), so a fixture
+    # regenerated mid-session must get a fresh view, not stale file stats.
+    from bigdatastructure_a5_spark.catalog import table_fingerprint
+
     key = hashlib.md5(
-        f"{sf_dir}|tables=8|planes=4|seed=42|dim={len(qv)}".encode()
+        f"{sf_dir}|tables=8|planes=4|seed=42|dim={len(qv)}"
+        f"|{table_fingerprint(sf_dir, 'embeddings')}".encode()
     ).hexdigest()[:12]
     view = f"lsh_bucketed_{key}"
     if not spark.catalog.tableExists(view):
@@ -697,12 +703,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_ivf_cells,
     )
 
-    # the codebook is DATA-derived (17 lowest ids), so it belongs in the
-    # key: a fixture regenerated mid-session must get a fresh celled view,
-    # not stale __cell literals inconsistent with the new probe list
-    # (sim_ann_lsh's key can omit this — its plane family is seed-derived)
+    # the codebook is DATA-derived (17 lowest ids) AND the view freezes
+    # the resolved file index, so both the codebook and the fixture's
+    # file fingerprint belong in the key: a fixture regenerated
+    # mid-session must get a fresh celled view, not stale __cell literals
+    # or stale file stats (same rationale as sim_ann_lsh's key)
+    from bigdatastructure_a5_spark.catalog import table_fingerprint
+
     key = hashlib.md5(
-        f"{sf_dir}|ivf|seed_points|dim={len(qv)}|{cents!r}".encode()
+        f"{sf_dir}|ivf|seed_points|dim={len(qv)}|{cents!r}"
+        f"|{table_fingerprint(sf_dir, 'embeddings')}".encode()
     ).hexdigest()[:12]
     view = f"ivf_celled_{key}"
     if not spark.catalog.tableExists(view):

@@ -137,6 +137,24 @@ def materialize_release(result, tracked):
     return result
 
 
+def adopt_tracker(tracker: list | None):
+    """The cache contract's entry point, shared by every multi-pass
+    operator (minhash LSH, inverted-index jaccard, simhash, LSH near-dup):
+    returns ``(tracker, finish)`` where the operator appends its persisted
+    intermediates to ``tracker`` and returns ``finish(result)``.
+
+    With a caller-supplied tracker, ``finish`` is the identity — the
+    CALLER releases the caches via materialize_release after its terminal
+    action.  Without one, ``finish`` materializes the operator's own
+    result and releases its caches before returning, so no persisted frame
+    outlives the call either way.  (An operator path that persisted
+    nothing leaves the tracker empty and ``finish`` is a no-op.)"""
+    if tracker is not None:
+        return tracker, lambda result: result
+    own: list = []
+    return own, lambda result: materialize_release(result, own)
+
+
 #: Widening grain: one task per this many estimated input bytes.  Small on
 #: purpose — the stages that widen (tokenize/shingle/minhash/LSH) amplify
 #: their input 10-50x in CPU and intermediate size, so a 64 KiB slice of raw

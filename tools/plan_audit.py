@@ -93,11 +93,16 @@ def bucketed_layout_section(spark, sf_dir: str) -> list[str]:
         }
 
     # disable broadcast so the join contrast shows shuffle vs co-located
-    # SMJ (at audit scale everything fits the broadcast threshold)
-    for k in (
+    # SMJ (at audit scale everything fits the broadcast threshold).  Save
+    # the SESSION values to restore — unset would fall back to Spark's
+    # built-in 10MB default, not the 64MB get_spark configures, changing
+    # join strategies for anything audited after this section.
+    bcast_keys = (
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
-    ):
+    )
+    prior = {k: spark.conf.get(k, None) for k in bcast_keys}
+    for k in bcast_keys:
         spark.conf.set(k, "-1")
     rows = []
     try:
@@ -118,8 +123,11 @@ def bucketed_layout_section(spark, sf_dir: str) -> list[str]:
                     f"| {case} | {layout} | {a['exchanges']} | {a['smj']} |"
                 )
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     return [
