@@ -311,3 +311,41 @@ def test_ann_write_time_lsh_buckets_match_query_and_prune(spark, sf_dir, tmp_pat
          ann_lsh_topk(None, qv, k=10, n_planes=4, n_tables=4,
                       bucketed=stored).collect()]
     assert a == b
+
+
+def test_standalone_call_releases_intermediate_caches(spark, sf_dir, docs):
+    """The cache contract (session.adopt_tracker): an operator called
+    WITHOUT a tracker must release every intermediate it persisted before
+    returning — only its own (bounded, materialize_release-windowed)
+    result cache may remain.  Guards against the advisor-flagged leak
+    class where a tracker-optional operator left a session-lifetime cache
+    when the tracker was omitted."""
+    from bigdatastructure_a5_spark.operators.similarity import cosine_pairs_lsh
+
+    def persisted() -> int:
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    spark.catalog.clearCache()
+    import bigdatastructure_a5_spark.session as S
+
+    for df in S._RESULT_CACHES:
+        df.unpersist(blocking=True)
+    S._RESULT_CACHES.clear()
+    base = persisted()
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    results = [
+        near_duplicates_minhash(docs, threshold=0.8),  # no tracker
+        jaccard_pairs(shingle_sets(docs), threshold=0.8),  # no tracker
+        simhash_near_pairs(simhash64(docs), max_hamming=3),  # no tracker
+        cosine_pairs_lsh(emb, threshold=0.95),  # no tracker
+    ]
+    for r in results:
+        r.count()
+    # each call may leave AT MOST its own result cache (bounded window of
+    # 4); every persisted intermediate (shingles, banded, chunked, melted)
+    # must be gone
+    assert persisted() - base <= S._RESULT_CACHE_LIMIT, (
+        f"intermediate caches leaked: {persisted() - base} persisted frames "
+        f"above baseline (limit {S._RESULT_CACHE_LIMIT})"
+    )
