@@ -349,3 +349,37 @@ def test_standalone_call_releases_intermediate_caches(spark, sf_dir, docs):
         f"intermediate caches leaked: {persisted() - base} persisted frames "
         f"above baseline (limit {S._RESULT_CACHE_LIMIT})"
     )
+
+
+def test_ann_view_refreshes_after_fixture_rewrite(spark, sf_dir, tmp_path):
+    """The ANN session temp view must not serve a stale file index after
+    the fixture is regenerated mid-session: the view key carries
+    catalog.table_fingerprint (file size + mtime), so a rewrite yields a
+    fresh view instead of a FileReadException / silently-stale corpus."""
+    import shutil
+    import time
+
+    from bigdatastructure_a5_spark.queries.pipeline import sim_ann_lsh
+
+    work = tmp_path / "sfwork"
+    work.mkdir()
+    for t in ("embeddings",):
+        shutil.copy(f"{sf_dir}/{t}.parquet", work / f"{t}.parquet")
+
+    first = {r.vec_id for r in sim_ann_lsh(spark, str(work)).collect()}
+    assert len(first) == 10
+
+    # regenerate: drop half the corpus (keep vec 0, the query) and rewrite
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(work / "embeddings.parquet")
+    keep = [i for i, v in enumerate(tab.column("vec_id").to_pylist())
+            if v == 0 or v % 2 == 1]
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    pq.write_table(tab.take(keep), work / "embeddings.parquet")
+
+    second = {r.vec_id for r in sim_ann_lsh(spark, str(work)).collect()}
+    assert len(second) == 10
+    assert all(v % 2 == 1 for v in second), (
+        "stale view: result contains vec_ids removed by the rewrite"
+    )
