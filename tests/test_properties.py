@@ -105,3 +105,39 @@ def test_compose_seed_mapping_properties(seeds, ndv):
     # permutation when no out-of-range overwrite stole a bucket
     if not out_range:
         assert sorted(emitted) == list(range(ndv)), (seeds, ndv, emitted)
+
+
+@given(
+    data=st.data(),
+    dim=st.integers(min_value=1, max_value=6),
+    j_total=st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_matrix_dots_sql_matches_sequential_python_fold(spark, data, dim, j_total):
+    """functions.vectors.matrix_dots_sql — the shared one-pass fold behind
+    BOTH ANN write-time projections (LSH buckets, IVF cells) — must be
+    bit-identical to a per-column sequential left fold: for each column j,
+    acc_j accumulates x_d * w[j][d] in element order.  That exactness is
+    what makes the ANN oracles hash-checkable, so it is pinned as a
+    property over random vectors/matrices (including negatives, zeros,
+    and magnitudes that exercise IEEE non-associativity)."""
+    from bigdatastructure_a5_spark.functions.vectors import matrix_dots_sql
+
+    fl = st.floats(
+        min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+    )
+    vec = data.draw(st.lists(fl, min_size=dim, max_size=dim))
+    cols = data.draw(
+        st.lists(
+            st.lists(fl, min_size=dim, max_size=dim),
+            min_size=j_total,
+            max_size=j_total,
+        )
+    )
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    got = df.selectExpr(f"{matrix_dots_sql('v', cols)} AS dots").first().dots
+    for j in range(j_total):
+        acc = 0.0
+        for d in range(dim):
+            acc += float(vec[d]) * float(cols[j][d])
+        assert got[j] == acc, (j, got[j], acc, vec, cols[j])
