@@ -118,6 +118,102 @@ def lang_id(text_col: Column | str) -> Column:
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
 
 
+#: Per-language character-trigram profiles (with word-boundary spaces) —
+#: the top-of-profile slice of the classic Cavnar & Trenkle 1994 n-gram
+#: method.  Hand-sized to the highest-frequency trigrams of each language's
+#: function words; membership counts over these separate the four lexicons
+#: the same way the marker sets do, but from CHARACTER evidence, so the
+#: detector also fires on inflected/unseen word forms.
+NGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ing", "ng ", " an", "and", "nd ", " of",
+           "of ", " to", "to ", "ion", " is", "is ", "ed ", " it", "it "),
+    "es": (" de", "de ", " la", "la ", " el", "el ", " qu", "que", "ue ",
+           " en", "en ", "os ", "as ", "ión", "ció", " un", "una", "ar "),
+    "de": (" de", "der", "die", "das", "er ", "ie ", " un", "und", "nd ",
+           "ich", "ch ", "sch", "ein", " ei", "ung", "en ", "cht", " zu"),
+    "fr": (" le", "le ", "les", "es ", " de", "des", " et", "et ", "ent",
+           "nt ", " qu", "que", "ue ", "ait", " es", "est", "our", " po"),
+}
+
+
+def char_ngrams(text_col: Column | str, n: int = 3) -> Column:
+    """All overlapping character n-grams of the normalized text, padded
+    with one leading/trailing space so word-boundary grams (' th', 'nd ')
+    exist — pure Catalyst: one sequence + per-position substr, scan-speed
+    inside codegen."""
+    from bigdatastructure_a5_spark.functions.hashing import normalized_text
+
+    padded = F.concat(F.lit(" "), normalized_text(text_col), F.lit(" "))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
+        lambda i: padded.substr(i, F.lit(n)),
+    )
+
+
+def ngram_lang_scores(text_col: Column | str) -> dict[str, Column]:
+    """Occurrence count of each language's profile trigrams in the text
+    (occurrence-weighted membership — a document repeating 'the' keeps
+    voting 'en', matching the rank-profile intuition without a per-doc
+    sort)."""
+    grams = char_ngrams(text_col, 3)
+    out = {}
+    for lang, profile in NGRAM_PROFILES.items():
+        plit = F.array(*[F.lit(g) for g in profile])
+        out[lang] = F.size(
+            F.filter(grams, lambda g: F.array_contains(plit, g))
+        )
+    return out
+
+
+def with_ngram_scores(df, text_col: str = "text", prefix: str = "ng_"):
+    """Append one ``{prefix}{lang}`` profile-trigram count per language,
+    with the gram array materialized ONCE (same two-projection rationale
+    as with_lang_scores: the transform is not a cheap expression, so
+    CollapseProject leaves it shared instead of duplicating it into every
+    language's count).  Downstream, ``lang_id_from_scores(prefix)`` gives
+    the argmax over these columns — NGRAM_PROFILES and STOPWORDS share
+    the same language keys and order."""
+    g = F.col("__grams")
+
+    def _member(p):
+        # closure, NOT a default-arg lambda: a two-parameter lambda would
+        # be read by F.filter as its (element, index) form
+        return lambda t: F.array_contains(p, t)
+
+    cols = []
+    for lang, profile in NGRAM_PROFILES.items():
+        plit = F.array(*[F.lit(x) for x in profile])
+        cols.append(
+            F.size(F.filter(g, _member(plit))).alias(f"{prefix}{lang}")
+        )
+    return (
+        df.withColumn("__grams", char_ngrams(text_col))
+        .select("*", *cols)
+        .drop("__grams")
+    )
+
+
+def lang_id_ngram(text_col: Column | str) -> Column:
+    """Character-n-gram language ID (Cavnar & Trenkle-style profiles):
+    argmax of profile-trigram occurrence counts, deterministic tie-break
+    by profile order, 'und' when nothing matches.  The character-level
+    complement to the word-marker ``lang_id`` — same plan shape (one
+    materialized gram array, one IN-list count per language, a when-chain
+    argmax), so it is equally a scan-speed annotator at 100 TB."""
+    scores = ngram_lang_scores(text_col)
+    best = None
+    best_score = None
+    for lang in NGRAM_PROFILES:
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
 def quality_score(
     text_col: Column | str,
     toks: Column | str | None = None,

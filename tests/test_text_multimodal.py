@@ -234,3 +234,45 @@ def test_best_resizer_bytes_to_bytes_contract(spark):
     resized = Image.open(io.BytesIO(bytes(row.payload)))
     assert resized.size == (4, 3)
     assert (row.width, row.height) == (4, 3)
+
+
+def test_lang_id_ngram_on_real_phrases(spark):
+    """The character-n-gram detector (Cavnar & Trenkle-style profiles)
+    classifies the same real phrases as the word-marker detector, plus a
+    form the marker lexicon CANNOT catch: inflected/unseen words whose
+    character patterns are still unmistakably of the language."""
+    from bigdatastructure_a5_spark.operators.text import (
+        lang_id_from_scores,
+        lang_id_ngram,
+        with_ngram_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy"),
+            (2, "el perro corre en la casa y come un hueso"),
+            (3, "der Hund und die Katze sind nicht zu Hause"),
+            (4, "le chat est dans les jardins et il dort pour une heure"),
+            (5, "zzz qqq xxx"),
+            # no lexicon markers at all — character evidence only:
+            (6, "thinking things throughout another thing"),   # en-ish grams
+            (7, "Erziehung Forschung Entscheidung Verantwortung"),  # de -ung
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r.id: r.lang
+        for r in df.select("id", lang_id_ngram("text").alias("lang")).collect()
+    }
+    assert out[1] == "en" and out[2] == "es" and out[3] == "de"
+    assert out[4] == "fr" and out[5] == "und"
+    assert out[6] == "en" and out[7] == "de"
+
+    # the materialized-scores path agrees with the inline expression
+    out2 = {
+        r.id: r.lang
+        for r in with_ngram_scores(df)
+        .select("id", lang_id_from_scores("ng_").alias("lang"))
+        .collect()
+    }
+    assert out2 == out
