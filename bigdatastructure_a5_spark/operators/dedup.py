@@ -429,22 +429,26 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(x)
 
 
-def simhash_near_pairs(
+def simhash_chunk_candidates(
     fingerprints: DataFrame,
-    max_hamming: int = 3,
     chunks: int = 4,
     tracker: list | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, hamming <= max_hamming) via the chunk trick: two prints
-    within Hamming d must share an identical chunk when d < chunks
-    (pigeonhole) -> candidate join on chunk equality, verify popcount.
+    """The pigeonhole candidate stage of simhash near-dup detection:
+    distinct (id_a, id_b, hamming) for every pair sharing >= 1 identical
+    ``64 // chunks``-bit chunk.  Exposed separately so candidate VOLUME is
+    measurable per chunk width (the scale knob — see EXPERIMENTS.md) and
+    so callers can apply their own verify threshold.
 
     With 60-bit md5 fingerprints and chunks=4, the top 16-bit chunk only
     carries 12 meaningful bits (bits 60-63 are always 0), so its buckets
     collide ~16x more often than the full-width chunks — recall is
-    unaffected (pigeonhole still holds), only candidate volume grows
-    slightly.  Pass chunks=5 (12-bit chunks, max_hamming <= 4) if that
-    volume ever matters."""
+    unaffected (pigeonhole still holds), only candidate volume grows.
+    chunks=5 gives five 12-bit chunks covering the 60 meaningful bits
+    exactly (pigeonhole then holds for Hamming <= 4) but MORE candidates,
+    not fewer — measured ~4x (EXPERIMENTS.md §4): chunk count is the
+    recall-bound knob; the volume knob is chunk WIDTH, i.e. wider prints
+    (the xxhash64 fingerprint mode's four full 16-bit chunks)."""
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = fingerprints.select(
@@ -486,6 +490,23 @@ def simhash_near_pairs(
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
     return finish(result)
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    tracker: list | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming <= max_hamming) via the chunk trick: two prints
+    within Hamming d must share an identical chunk when d < chunks
+    (pigeonhole) -> candidate join on chunk equality
+    (simhash_chunk_candidates — see it for the chunk-width/candidate-volume
+    trade-off), verify popcount."""
+    from bigdatastructure_a5_spark.session import adopt_tracker
+
+    tracker, finish = adopt_tracker(tracker)
+    cands = simhash_chunk_candidates(fingerprints, chunks, tracker=tracker)
+    return finish(cands.filter(F.col("hamming") <= max_hamming))

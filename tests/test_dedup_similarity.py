@@ -383,3 +383,32 @@ def test_ann_view_refreshes_after_fixture_rewrite(spark, sf_dir, tmp_path):
     assert all(v % 2 == 1 for v in second), (
         "stale view: result contains vec_ids removed by the rewrite"
     )
+
+
+def test_simhash_chunk_width_invariance(spark, docs):
+    """Pigeonhole completeness is chunk-width independent below the bound:
+    for max_hamming <= 3 both chunks=4 (d < 4) and chunks=5 (d < 5) must
+    return EXACTLY the same verified pairs — the candidate sets differ
+    (see EXPERIMENTS.md's volume sweep), the results cannot."""
+    from bigdatastructure_a5_spark.operators.dedup import (
+        simhash64,
+        simhash_chunk_candidates,
+        simhash_near_pairs,
+    )
+
+    prints = simhash64(docs, "doc_id", "text")
+    p4 = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(prints, max_hamming=3, chunks=4).collect()
+    }
+    p5 = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(prints, max_hamming=3, chunks=5).collect()
+    }
+    assert p4 == p5 and len(p4) > 0
+    # and the verified pairs are a subset of either candidate set
+    c5 = {
+        (r.id_a, r.id_b)
+        for r in simhash_chunk_candidates(prints, chunks=5).collect()
+    }
+    assert {(a, b) for a, b, _ in p4} <= c5
