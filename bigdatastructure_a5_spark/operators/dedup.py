@@ -446,7 +446,7 @@ def simhash_chunk_candidates(
     unaffected (pigeonhole still holds), only candidate volume grows.
     chunks=5 gives five 12-bit chunks covering the 60 meaningful bits
     exactly (pigeonhole then holds for Hamming <= 4) but MORE candidates,
-    not fewer — measured ~4x (EXPERIMENTS.md §4): chunk count is the
+    not fewer — measured 2.5-4x (EXPERIMENTS.md §4): chunk count is the
     recall-bound knob; the volume knob is chunk WIDTH, i.e. wider prints
     (the xxhash64 fingerprint mode's four full 16-bit chunks)."""
     width = 64 // chunks

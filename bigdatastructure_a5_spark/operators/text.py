@@ -83,14 +83,15 @@ def with_lang_scores(
     )
 
 
-def lang_id_from_scores(prefix: str = "sc_") -> Column:
-    """Argmax language over materialized ``{prefix}{lang}`` columns (cheap
-    column references, safe to duplicate through the when-chain);
-    deterministic tie-break by lexicon order; 'und' when no marker hits."""
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    """Shared argmax fold over per-language score columns: highest score
+    wins, deterministic tie-break by dict insertion order (the lexicon /
+    profile order), 'und' (undetermined) when nothing scores > 0.  One
+    when-chain implementation for all three language-ID surfaces
+    (lang_id, lang_id_from_scores, lang_id_ngram)."""
     best = None
     best_score = None
-    for lang in STOPWORDS:
-        s = F.col(f"{prefix}{lang}")
+    for lang, s in scores.items():
         if best is None:
             best, best_score = F.lit(lang), s
         else:
@@ -98,24 +99,20 @@ def lang_id_from_scores(prefix: str = "sc_") -> Column:
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_score = F.when(cond, s).otherwise(best_score)
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def lang_id_from_scores(prefix: str = "sc_") -> Column:
+    """Argmax language over materialized ``{prefix}{lang}`` columns (cheap
+    column references, safe to duplicate through the when-chain);
+    deterministic tie-break by lexicon order; 'und' when no marker hits."""
+    return _argmax_lang({lang: F.col(f"{prefix}{lang}") for lang in STOPWORDS})
 
 
 def lang_id(text_col: Column | str) -> Column:
     """Argmax language by marker count; deterministic tie-break by the fixed
     lexicon order (en, es, de, fr); 'und' (undetermined) when no marker hits.
     """
-    scores = lang_scores(text_col)
-    best = None
-    best_score = None
-    for lang in STOPWORDS:  # insertion order = tie-break order
-        s = scores[lang]
-        if best is None:
-            best, best_score = F.lit(lang), s
-        else:
-            cond = s > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    return _argmax_lang(lang_scores(text_col))
 
 
 #: Per-language character-trigram profiles (with word-boundary spaces) —
@@ -174,17 +171,17 @@ def with_ngram_scores(df, text_col: str = "text", prefix: str = "ng_"):
     the argmax over these columns — NGRAM_PROFILES and STOPWORDS share
     the same language keys and order."""
     g = F.col("__grams")
-
-    def _member(p):
-        # closure, NOT a default-arg lambda: a two-parameter lambda would
-        # be read by F.filter as its (element, index) form
-        return lambda t: F.array_contains(p, t)
-
     cols = []
     for lang, profile in NGRAM_PROFILES.items():
         plit = F.array(*[F.lit(x) for x in profile])
+        # one-parameter lambda on purpose: F.filter reads a two-parameter
+        # lambda as its (element, index) form; it invokes the lambda
+        # eagerly at construction, so the loop's plit is captured correctly
+        # without a default-arg
         cols.append(
-            F.size(F.filter(g, _member(plit))).alias(f"{prefix}{lang}")
+            F.size(
+                F.filter(g, lambda t: F.array_contains(plit, t))  # noqa: B023
+            ).alias(f"{prefix}{lang}")
         )
     return (
         df.withColumn("__grams", char_ngrams(text_col))
@@ -196,22 +193,15 @@ def with_ngram_scores(df, text_col: str = "text", prefix: str = "ng_"):
 def lang_id_ngram(text_col: Column | str) -> Column:
     """Character-n-gram language ID (Cavnar & Trenkle-style profiles):
     argmax of profile-trigram occurrence counts, deterministic tie-break
-    by profile order, 'und' when nothing matches.  The character-level
-    complement to the word-marker ``lang_id`` — same plan shape (one
-    materialized gram array, one IN-list count per language, a when-chain
-    argmax), so it is equally a scan-speed annotator at 100 TB."""
-    scores = ngram_lang_scores(text_col)
-    best = None
-    best_score = None
-    for lang in NGRAM_PROFILES:
-        s = scores[lang]
-        if best is None:
-            best, best_score = F.lit(lang), s
-        else:
-            cond = s > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    by profile order, 'und' when nothing matches.
+
+    Convenience inline form: composing the gram transform as a plain
+    expression duplicates it into every language's count and again through
+    the when-chain branches (the duplication with_lang_scores' docstring
+    warns about).  Pipelines should use ``with_ngram_scores`` +
+    ``lang_id_from_scores("ng_")`` — the gram array materialized once —
+    which is the scan-speed path at scale."""
+    return _argmax_lang(ngram_lang_scores(text_col))
 
 
 def quality_score(

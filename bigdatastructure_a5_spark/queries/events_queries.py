@@ -314,6 +314,20 @@ def events_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     AvailableNow and hash-matched against the plain inequality-join SQL.
     Emits the raw (error, click) pairs; join_range_error_context is the
     aggregated batch twin."""
+    return run_error_click_stream_join(spark, sf_dir)
+
+
+def run_error_click_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "events_streaming_interval_join_sink",
+    state_partitions: int = 2,
+) -> DataFrame:
+    """The error-x-click stream-stream interval-join flow over an events
+    directory — shared by the gate query above and the 10x scale-up
+    experiment (tools/run_experiments.py), so what is measured one scale
+    up is exactly what is oracle-checked at gate scale (the
+    curate_documents pattern)."""
     from bigdatastructure_a5_spark.streaming.events import (
         read_events_stream,
         run_stream_to_memory,
@@ -336,8 +350,8 @@ def events_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     return run_stream_to_memory(
         spark,
         joined.select("event_id", "user_id", "ts", "r_ts", "r_click_id"),
-        name="events_streaming_interval_join_sink",
+        name=name,
         output_mode="append",
-        state_partitions=2,
+        state_partitions=state_partitions,
         single_batch=True,
     )

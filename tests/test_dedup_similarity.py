@@ -325,12 +325,10 @@ def test_standalone_call_releases_intermediate_caches(spark, sf_dir, docs):
     def persisted() -> int:
         return len(spark.sparkContext._jsc.getPersistentRDDs())
 
-    spark.catalog.clearCache()
+    # delta-based on purpose: clearCache() here would silently destroy the
+    # module-scoped docs/shingled fixture caches for every later test
     import bigdatastructure_a5_spark.session as S
 
-    for df in S._RESULT_CACHES:
-        df.unpersist(blocking=True)
-    S._RESULT_CACHES.clear()
     base = persisted()
 
     emb = load_table(spark, sf_dir, "embeddings")
