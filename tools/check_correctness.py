@@ -123,7 +123,8 @@ def main() -> int:
         else:
             print(f"ok    {name}: rows={len(s_rows)} hash-match")
 
-    print(f"\n{len(REGISTRY) - len(set(failures))}/{len(REGISTRY)} queries pass")
+    ran = len([n for n in REGISTRY if not only or n in only])
+    print(f"\n{ran - len(set(failures))}/{ran} queries pass")
     return 1 if failures else 0
 
 
