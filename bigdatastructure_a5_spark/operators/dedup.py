@@ -189,7 +189,7 @@ def jaccard_pairs(
     only of those pairs.  Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — exact integer
     counts, one deterministic double division.
 
-    Cache contract (also lsh_candidate_pairs, minhash_lsh_pairs,
+    Cache contract (also lsh_candidate_pairs, near_duplicates_minhash,
     simhash_near_pairs): self-join inputs are persisted; with a
     ``tracker`` the caller releases them via session.materialize_release,
     without one the function materializes its own result and releases

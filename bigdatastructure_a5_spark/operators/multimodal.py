@@ -116,10 +116,13 @@ def real_decode(payload: bytes, kind: str) -> dict:
 def dispatch_decode(payload: bytes, kind: str) -> dict:
     """Per-row codec selection for mixed-kind tables: the real codec for
     kinds this environment supports, the deterministic fallback for the
-    rest — one audio/video row in a batch must not kill the task.  The
-    loud variant is real_decode."""
+    rest — one audio/video row (or one CORRUPT image payload) in a batch
+    must not kill the task.  The loud variant is real_decode."""
     if kind == "image":
-        return pillow_decode(payload, kind)
+        try:
+            return pillow_decode(payload, kind)
+        except Exception:  # corrupt/undecodable payload -> byte features
+            return fake_decode(payload, kind)
     return fake_decode(payload, kind)
 
 
@@ -185,10 +188,13 @@ def best_resizer(kind: str = "image"):
 def dispatch_resize(payload: bytes, kind: str, width: int, height: int) -> bytes:
     """Per-row resize dispatcher, mirroring dispatch_decode: Pillow for
     image rows, the deterministic tiling fallback for kinds this
-    environment has no codec for — one non-image row in a batch must not
-    kill the task."""
+    environment has no codec for — one non-image row (or one corrupt
+    image payload) in a batch must not kill the task."""
     if kind == "image":
-        return pillow_resize(payload, kind, width, height)
+        try:
+            return pillow_resize(payload, kind, width, height)
+        except Exception:  # corrupt/undecodable payload -> tiling fallback
+            return fake_resize(payload, kind, width, height)
     return fake_resize(payload, kind, width, height)
 
 

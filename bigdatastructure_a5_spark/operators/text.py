@@ -42,6 +42,19 @@ def lang_scores(text_col: Column | str) -> dict[str, Column]:
     return {lang: _marker_count(toks, lang) for lang in STOPWORDS}
 
 
+def _check_clash(df, out_cols: list[str], staging: str) -> None:
+    """Reject inputs already carrying this adder's output/staging columns —
+    silently duplicating ``sc_en`` (AMBIGUOUS_REFERENCE downstream) or
+    clobbering a user's staging-named column is worse than a construction-
+    time ValueError (same guard as similarity.with_lsh_buckets)."""
+    clash = [c for c in df.columns if c in out_cols or c == staging]
+    if clash:
+        raise ValueError(
+            f"input already has columns {clash}; drop or rename them (or "
+            "use a different prefix)"
+        )
+
+
 def with_lang_scores(
     df,
     text_col: str = "text",
@@ -61,6 +74,13 @@ def with_lang_scores(
     score from it directly (no internal tokenize, the column is left in
     place) — the fusion hook for pipelines that tokenize once and feed
     scoring, stats and shingling from the same array."""
+    # the __toks staging name only matters on the internal-tokenize path;
+    # a caller-supplied toks_col may legitimately BE named __toks
+    _check_clash(
+        df,
+        [f"{prefix}{lang}" for lang in STOPWORDS],
+        "__toks" if toks_col is None else "",
+    )
     if toks_col is not None:
         return df.select(
             "*",
@@ -170,6 +190,7 @@ def with_ngram_scores(df, text_col: str = "text", prefix: str = "ng_"):
     language's count).  Downstream, ``lang_id_from_scores(prefix)`` gives
     the argmax over these columns — NGRAM_PROFILES and STOPWORDS share
     the same language keys and order."""
+    _check_clash(df, [f"{prefix}{lang}" for lang in NGRAM_PROFILES], "__grams")
     g = F.col("__grams")
     cols = []
     for lang, profile in NGRAM_PROFILES.items():

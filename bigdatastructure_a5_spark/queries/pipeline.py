@@ -347,6 +347,27 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _query_vector(spark, sf_dir, 0), k=10)
 
 
+def _session_view(spark: SparkSession, prefix: str, scope: str, key: str, build) -> str:
+    """ONE live session temp view per (prefix, scope): the name carries a
+    scope hash (the fixture dir) plus a state ``key`` (parameters + file
+    fingerprint), and creating a new key's view DROPS the superseded one —
+    a session that regenerates its fixture repeatedly would otherwise
+    accumulate one stale view per rewrite, each pinning a resolved file
+    index over possibly-deleted files.  ``build()`` is only called when
+    the (scope, key) view doesn't exist yet."""
+    import hashlib
+
+    scope_h = hashlib.md5(scope.encode()).hexdigest()[:8]
+    base = f"{prefix}_{scope_h}_"
+    name = f"{base}{key}"
+    if not spark.catalog.tableExists(name):
+        for t in spark.catalog.listTables():
+            if t.name.startswith(base) and t.name != name:
+                spark.catalog.dropTempView(t.name)
+        build().createOrReplaceTempView(name)
+    return name
+
+
 def _lsh_oracle_sql(n_planes: int = 4, n_tables: int = 8, dim: int = 64, seed: int = 42) -> str:
     """DuckDB twin of ann_lsh_topk: the SAME md5-derived ±1 plane family
     (operators.similarity.rademacher_signs), with each dot product written
@@ -454,15 +475,20 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatastructure_a5_spark.catalog import table_fingerprint
 
     key = hashlib.md5(
-        f"{sf_dir}|tables=8|planes=4|seed=42|dim={len(qv)}"
+        f"tables=8|planes=4|seed=42|dim={len(qv)}"
         f"|{table_fingerprint(sf_dir, 'embeddings')}".encode()
     ).hexdigest()[:12]
-    view = f"lsh_bucketed_{key}"
-    if not spark.catalog.tableExists(view):
-        emb = load_table(spark, sf_dir, "embeddings").filter(
-            F.col("vec_id") != 0
-        )
-        with_lsh_buckets(emb, signs, "embedding").createOrReplaceTempView(view)
+    view = _session_view(
+        spark,
+        "lsh_bucketed",
+        sf_dir,
+        key,
+        lambda: with_lsh_buckets(
+            load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0),
+            signs,
+            "embedding",
+        ),
+    )
     qb = [py_bucket(qv, table) for table in signs]
     cond = " OR ".join(f"bucket_{t} = {qb[t]}L" for t in range(8))
     return _topk_cosine_sql(spark, view, qv, cond)
@@ -711,14 +737,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatastructure_a5_spark.catalog import table_fingerprint
 
     key = hashlib.md5(
-        f"{sf_dir}|ivf|seed_points|dim={len(qv)}|{cents!r}"
+        f"ivf|seed_points|dim={len(qv)}|{cents!r}"
         f"|{table_fingerprint(sf_dir, 'embeddings')}".encode()
     ).hexdigest()[:12]
-    view = f"ivf_celled_{key}"
-    if not spark.catalog.tableExists(view):
-        with_ivf_cells(emb, cents, "embedding", "__cell").createOrReplaceTempView(
-            view
-        )
+    view = _session_view(
+        spark,
+        "ivf_celled",
+        sf_dir,
+        key,
+        lambda: with_ivf_cells(emb, cents, "embedding", "__cell"),
+    )
     scored = [(py_cosine(qv, cvec), cid) for cid, cvec in cents]
     ranked = sorted(
         ((c, cid) for c, cid in scored if c == c), key=lambda t: (-t[0], t[1])

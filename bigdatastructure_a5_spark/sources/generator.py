@@ -50,7 +50,12 @@ def extract_equality_literals(sqls: list[str]) -> dict[str, list[str]]:
             vals = out.setdefault(fld, [])
             if lit not in vals:
                 vals.append(lit)
-        for fld, lit in _EQ_NUMERIC.findall(sql):
+        # numeric extraction runs on the SQL with quoted spans blanked:
+        # the pattern would otherwise match `x = 5` INSIDE a string
+        # constant (e.g. note = 'priority = 5') and seed a bogus literal
+        # into an unrelated field's value space
+        unquoted = re.sub(r"'[^']*'", "''", sql)
+        for fld, lit in _EQ_NUMERIC.findall(unquoted):
             vals = out.setdefault(fld, [])
             if lit not in vals:
                 vals.append(lit)

@@ -381,6 +381,14 @@ def test_ann_view_refreshes_after_fixture_rewrite(spark, sf_dir, tmp_path):
     assert all(v % 2 == 1 for v in second), (
         "stale view: result contains vec_ids removed by the rewrite"
     )
+    # and the superseded view was DROPPED, not left pinning deleted file
+    # stats: exactly one lsh_bucketed view remains for this fixture dir
+    import hashlib
+
+    base = f"lsh_bucketed_{hashlib.md5(str(work).encode()).hexdigest()[:8]}_"
+    mine = [t.name for t in spark.catalog.listTables()
+            if t.name.startswith(base)]
+    assert len(mine) == 1, mine
 
 
 def test_simhash_chunk_width_invariance(spark, docs):

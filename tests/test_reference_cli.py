@@ -105,8 +105,8 @@ def test_generator_seeds_numeric_equality_literals(spark):
     from bigdatastructure_a5_spark.sources.json_config import CollectionStats
 
     stats = {
-        "Customer": CollectionStats(200, {}, {}, {"IDC": 200}, None),
-        "OrderLine": CollectionStats(2000, {}, {}, {"IDC": 200}, None),
+        "Customer": CollectionStats(200, {"IDC": 200}, {}, {}, None),
+        "OrderLine": CollectionStats(2000, {"IDC": 200}, {}, {}, None),
     }
     lits = extract_equality_literals(["SELECT * FROM ol WHERE ol.IDC = 125"])
     assert lits == {"IDC": ["125"]}
@@ -172,8 +172,8 @@ def test_generator_string_pk_fk_join(spark):
         },
     }
     stats = {
-        "Dim": CollectionStats(50, {}, {}, {"code": 50}, None),
-        "Fact": CollectionStats(500, {}, {}, {"code": 50}, None),
+        "Dim": CollectionStats(50, {"code": 50}, {}, {}, None),
+        "Fact": CollectionStats(500, {"code": 50}, {}, {}, None),
     }
     tables = generate_tables(spark, schema, stats, scale=1.0)
     dim, fact = tables["Dim"], tables["Fact"]
