@@ -121,6 +121,8 @@ def dispatch_decode(payload: bytes, kind: str) -> dict:
     if kind == "image":
         try:
             return pillow_decode(payload, kind)
+        except ImportError:  # missing codec library stays LOUD —
+            raise  # best_decoder gates availability; don't mask it here
         except Exception:  # corrupt/undecodable payload -> byte features
             return fake_decode(payload, kind)
     return fake_decode(payload, kind)
@@ -193,6 +195,8 @@ def dispatch_resize(payload: bytes, kind: str, width: int, height: int) -> bytes
     if kind == "image":
         try:
             return pillow_resize(payload, kind, width, height)
+        except ImportError:  # missing codec library stays LOUD
+            raise
         except Exception:  # corrupt/undecodable payload -> tiling fallback
             return fake_resize(payload, kind, width, height)
     return fake_resize(payload, kind, width, height)

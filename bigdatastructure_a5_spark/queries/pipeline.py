@@ -354,17 +354,21 @@ def _session_view(spark: SparkSession, prefix: str, scope: str, key: str, build)
     a session that regenerates its fixture repeatedly would otherwise
     accumulate one stale view per rewrite, each pinning a resolved file
     index over possibly-deleted files.  ``build()`` is only called when
-    the (scope, key) view doesn't exist yet."""
+    the (scope, key) view doesn't exist yet.  Scope is path-normalized
+    (trailing-slash/relative spellings of one dir share one scope), and
+    superseded views are dropped only AFTER the new view registers, so a
+    failed build leaves the prior view intact."""
     import hashlib
+    import os
 
-    scope_h = hashlib.md5(scope.encode()).hexdigest()[:8]
+    scope_h = hashlib.md5(os.path.realpath(scope).encode()).hexdigest()[:8]
     base = f"{prefix}_{scope_h}_"
     name = f"{base}{key}"
     if not spark.catalog.tableExists(name):
+        build().createOrReplaceTempView(name)
         for t in spark.catalog.listTables():
             if t.name.startswith(base) and t.name != name:
                 spark.catalog.dropTempView(t.name)
-        build().createOrReplaceTempView(name)
     return name
 
 

@@ -29,8 +29,11 @@ from pyspark.sql import functions as F
 
 from bigdatastructure_a5_spark.sources.json_config import CollectionStats
 
-#: unqualified `field = 'literal'` equality, e.g. p.brand = 'apple'
-_EQ_LITERAL = re.compile(r"(?:\w+\.)?(\w+)\s*=\s*'([^']*)'")
+#: unqualified `field = 'literal'` equality, e.g. p.brand = 'apple'.
+#: The literal body admits SQL-escaped quotes ('') — without that,
+#: `note = 'it''s here'` would truncate to 'it' and seed a value the
+#: workload predicate can never match.
+_EQ_LITERAL = re.compile(r"(?:\w+\.)?(\w+)\s*=\s*'((?:[^']|'')*)'")
 #: unqualified `field = 125` numeric equality (never matches a join
 #: condition — the right side must be digits, not an identifier)
 _EQ_NUMERIC = re.compile(r"(?:\w+\.)?(\w+)\s*=\s*(\d+)(?!\.?\w)")
@@ -48,13 +51,14 @@ def extract_equality_literals(sqls: list[str]) -> dict[str, list[str]]:
     for sql in sqls:
         for fld, lit in _EQ_LITERAL.findall(sql):
             vals = out.setdefault(fld, [])
+            lit = lit.replace("''", "'")  # un-escape SQL quote doubling
             if lit not in vals:
                 vals.append(lit)
         # numeric extraction runs on the SQL with quoted spans blanked:
         # the pattern would otherwise match `x = 5` INSIDE a string
         # constant (e.g. note = 'priority = 5') and seed a bogus literal
         # into an unrelated field's value space
-        unquoted = re.sub(r"'[^']*'", "''", sql)
+        unquoted = re.sub(r"'(?:[^']|'')*'", "''", sql)
         for fld, lit in _EQ_NUMERIC.findall(unquoted):
             vals = out.setdefault(fld, [])
             if lit not in vals:

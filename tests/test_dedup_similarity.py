@@ -384,8 +384,10 @@ def test_ann_view_refreshes_after_fixture_rewrite(spark, sf_dir, tmp_path):
     # and the superseded view was DROPPED, not left pinning deleted file
     # stats: exactly one lsh_bucketed view remains for this fixture dir
     import hashlib
+    import os
 
-    base = f"lsh_bucketed_{hashlib.md5(str(work).encode()).hexdigest()[:8]}_"
+    scope = os.path.realpath(str(work))
+    base = f"lsh_bucketed_{hashlib.md5(scope.encode()).hexdigest()[:8]}_"
     mine = [t.name for t in spark.catalog.listTables()
             if t.name.startswith(base)]
     assert len(mine) == 1, mine

@@ -123,8 +123,12 @@ def main() -> int:
         else:
             print(f"ok    {name}: rows={len(s_rows)} hash-match")
 
+    unknown = sorted(only - set(REGISTRY))
+    if unknown:
+        print(f"FAIL  unknown query name(s): {unknown}")
+        failures.extend(unknown)
     ran = len([n for n in REGISTRY if not only or n in only])
-    print(f"\n{ran - len(set(failures))}/{ran} queries pass")
+    print(f"\n{ran - len(set(failures) - set(unknown))}/{ran} queries pass")
     return 1 if failures else 0
 
 
