@@ -254,3 +254,20 @@ def test_query_simulator_layouts_agree_cross_signature(spark):
         for q in ("Q2_brand_filter", "Q4_brand_stock_join",
                   "Q5_orders_brand_client_join"):
             assert 0 <= rows[sig][q] <= base[q], (sig, q, rows[sig][q], base[q])
+
+
+def test_literal_extraction_ignores_quoted_spans_and_unescapes():
+    """The workload-literal extractor must (1) not read `x = 5` inside a
+    string constant as a numeric predicate on x, and (2) un-escape SQL
+    quote doubling so the seeded string literal is the value the predicate
+    actually compares against."""
+    from bigdatastructure_a5_spark.sources.generator import (
+        extract_equality_literals,
+    )
+
+    out = extract_equality_literals(
+        ["WHERE note = 'priority = 5 stuff' AND x = 12"]
+    )
+    assert out == {"note": ["priority = 5 stuff"], "x": ["12"]}
+    out2 = extract_equality_literals(["WHERE note = 'it''s here' AND q = 7"])
+    assert out2 == {"note": ["it's here"], "q": ["7"]}

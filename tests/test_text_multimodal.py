@@ -276,3 +276,60 @@ def test_lang_id_ngram_on_real_phrases(spark):
         .collect()
     }
     assert out2 == out
+
+
+def test_dispatch_decode_survives_corrupt_image_payload():
+    """The per-row dispatchers' contract: a corrupt image payload degrades
+    to deterministic byte features instead of killing the task, while a
+    MISSING codec library still raises loudly (ImportError is re-raised,
+    not swallowed)."""
+    import pytest
+
+    from bigdatastructure_a5_spark.operators.multimodal import (
+        dispatch_decode,
+        dispatch_resize,
+        fake_decode,
+        fake_resize,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    junk = b"definitely not an image"
+    if has_pil:
+        # corrupt payload -> deterministic byte-feature fallback
+        assert dispatch_decode(junk, "image") == fake_decode(junk, "image")
+        assert dispatch_resize(junk, "image", 4, 2) == fake_resize(
+            junk, "image", 4, 2
+        )
+    else:
+        # missing codec library stays LOUD (not silently degraded)
+        with pytest.raises(ImportError):
+            dispatch_decode(junk, "image")
+        with pytest.raises(ImportError):
+            dispatch_resize(junk, "image", 4, 2)
+    # non-image kinds always use the deterministic fallback
+    assert dispatch_decode(junk, "video") == fake_decode(junk, "video")
+
+
+def test_lang_score_adders_reject_clashing_columns(spark):
+    """with_lang_scores / with_ngram_scores raise at construction when the
+    input already carries their output columns — a silent duplicate sc_en
+    would fail much later as AMBIGUOUS_REFERENCE."""
+    import pytest
+
+    from bigdatastructure_a5_spark.operators.text import (
+        with_lang_scores,
+        with_ngram_scores,
+    )
+
+    df = spark.createDataFrame([(1, "hello", 3)], ["id", "text", "sc_en"])
+    with pytest.raises(ValueError, match="sc_en"):
+        with_lang_scores(df)
+    df2 = spark.createDataFrame([(1, "hello", 3)], ["id", "text", "ng_de"])
+    with pytest.raises(ValueError, match="ng_de"):
+        with_ngram_scores(df2)
