@@ -139,3 +139,38 @@ def jsonl_to_parquet(
     DataFrame."""
     write_parquet(good_rows(read_jsonl(spark, src, schema)), dst, partition_by)
     return spark.read.parquet(dst)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — the other columnar interchange format (Hive-ecosystem
+    tables arrive as ORC about as often as parquet).  Unlike CSV/JSON-lines
+    this is self-describing columnar: no schema argument, and predicate
+    pushdown + column pruning work exactly as on parquet (asserted in
+    tests), so an ORC-resident table can be queried in place — conversion
+    is an optimization (parquet is this engine's native layout), not a
+    requirement."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """ORC sink (snappy), mirroring write_parquet — for handing results to
+    Hive-ecosystem consumers."""
+    writer = df.write.mode("overwrite").option("compression", "snappy")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def orc_to_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    partition_by: tuple[str, ...] = (),
+) -> DataFrame:
+    """One-pass ORC -> parquet conversion; returns the parquet-backed
+    DataFrame (columnar to columnar, so no corrupt-row quarantine — ORC
+    files are schema-checked at read)."""
+    write_parquet(read_orc(spark, src), dst, partition_by)
+    return spark.read.parquet(dst)

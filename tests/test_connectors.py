@@ -98,3 +98,40 @@ def test_csv_scan_prunes_columns(spark, csv_file):
     plan = df._jdf.queryExecution().executedPlan().toString()
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "name" not in read_schema and "score" not in read_schema
+
+
+def test_orc_roundtrip_pushdown_and_conversion(spark, tmp_path_factory):
+    """ORC connector: write/read roundtrip preserves schema and rows;
+    predicate pushdown + column pruning reach the ORC scan exactly as on
+    parquet (PushedFilters/ReadSchema in the plan); the to-parquet
+    converter lands the same rows columnar."""
+    from bigdatastructure_a5_spark.sources.connectors import (
+        orc_to_parquet,
+        read_orc,
+        write_orc,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "alice", 9.5), (2, "bob", 3.25), (3, "cara", 7.0)],
+        "id bigint, name string, score double",
+    )
+    path = str(tmp_path_factory.mktemp("orc") / "t")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+    plan = (
+        back.filter(F.col("id") == 2)
+        .select("name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters:")[1].splitlines()[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "score" not in read_schema
+
+    dst = str(tmp_path_factory.mktemp("pq") / "t")
+    out = orc_to_parquet(spark, path, dst)
+    assert out.count() == 3 and out.schema == src.schema
