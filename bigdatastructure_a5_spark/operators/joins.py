@@ -106,6 +106,8 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
     t = "__t"
     side = "__is_left"
     # The right payload travels as ONE struct: it is non-null exactly when
@@ -207,5 +209,11 @@ def range_join(
     ).filter(
         (F.col("__rt") >= F.col("__lt") + low_us)
         & (F.col("__rt") <= F.col("__lt") + high_us)
+    )
+    # the matching right row's TIME is part of the documented contract
+    # (and of the streaming twin's output — stream_interval_join returns
+    # r_ts), so surface it alongside the r_-prefixed payload
+    joined = joined.withColumn(
+        f"r_{right_time}", F.timestamp_micros(F.col("__rt"))
     )
     return joined.drop("__lt", "__rt", "__rk", "__lbucket", "__rbucket")

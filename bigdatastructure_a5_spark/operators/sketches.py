@@ -65,8 +65,14 @@ def countmin_estimate(
     width: int = 1024,
 ) -> DataFrame:
     """Estimate each key's frequency: min over depths of its cell counts.
-    The sketch is tiny -> broadcast join; missing cells cannot occur for
-    keys that appeared (their cells were counted)."""
+
+    LEFT join + coalesce(0) on purpose: a probe key the build input never
+    touched can have untouched cells, and the canonical Count-Min answer
+    for it is min(..., 0) = 0 — an inner join would either drop the key
+    from the output entirely (all cells untouched) or min over only its
+    COLLIDING cells (a strictly positive wrong estimate).  For keys that
+    appeared in the build input every cell is populated, so their
+    estimates are unchanged."""
     key = F.col(key_col)
     kc = keys.select(
         key_col,
@@ -82,7 +88,7 @@ def countmin_estimate(
         ).alias("dc"),
     ).select(key_col, "dc.d", "dc.cell")
     return (
-        kc.join(F.broadcast(sketch), ["d", "cell"])
+        kc.join(F.broadcast(sketch), ["d", "cell"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

@@ -34,6 +34,7 @@ _SIZE_UNITS = {
     "MiB": 1024.0**2,
     "GiB": 1024.0**3,
     "TiB": 1024.0**4,
+    "PiB": 1024.0**5,
     "EiB": 1024.0**6,
 }
 
@@ -124,6 +125,9 @@ def run_with_metrics(
     if eid is None:  # fall back to whatever is newest
         eid = store.executionsList().last().executionId()
     # metric values are aggregated asynchronously too — wait for completion
+    # on a FRESH deadline (a slow registration above must not eat the
+    # completion wait, or metrics get read partially aggregated)
+    deadline = time.time() + 10.0
     while time.time() < deadline:
         ex = store.execution(eid)
         if ex.isDefined() and ex.get().completionTime().isDefined():

@@ -72,6 +72,13 @@ def parse_simple_sql(sql: str) -> SimpleQuery | None:
                 return None  # beyond the restricted grammar
             preds.append((pm.group("qual"), pm.group("field"), pm.group("value")))
     select = tuple(s.strip() for s in g["select"].split(","))
+    # select items must be bare or alias-qualified identifiers (or *):
+    # anything richer — COUNT(u.id), expressions — is beyond the grammar,
+    # and the rewriter's qualifier-splitting would MANGLE it into invalid
+    # SQL; None routes those queries to full-SQL passthrough instead
+    item_re = re.compile(r"^(?:\*|(?:\w+\.)?\w+|(?:\w+\.)?\*)$")
+    if not all(item_re.match(s) for s in select):
+        return None
     return SimpleQuery(
         select=select,
         table=g["table"],

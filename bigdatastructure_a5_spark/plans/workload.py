@@ -162,7 +162,15 @@ def materialize_variant(
 ) -> dict[str, DataFrame]:
     """Build + write + re-read a variant's tables (denormalization is a
     STORED layout; querying the lazy build would re-run the embed joins) and
-    register them as views under the plain collection names."""
+    register them as views under the plain collection names.
+
+    EVERY base collection's view is dropped first: a variant that embeds
+    (and so omits) a collection must not leave the PREVIOUS variant's view
+    resolvable under that name — a passthrough query referencing it would
+    silently read the prior layout's data and bill this variant for the
+    wrong bytes.  After the drop, such a query fails loudly instead."""
+    for coll in base:
+        spark.catalog.dropTempView(coll)
     variant = build_variant(base, spec)
     out: dict[str, DataFrame] = {}
     for coll, df in variant.items():

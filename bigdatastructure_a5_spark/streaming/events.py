@@ -148,7 +148,14 @@ def run_stream_to_memory(
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup by event_id within the watermark horizon — the
     streaming twin of the batch dedup_exact operator.  State holds one key
-    per event_id younger than the watermark; older duplicates are dropped by
-    construction (and their state evicted), which is how exactly-once-ish
-    ingestion dedup runs at 100 TB/day."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    per event_id younger than the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` ON PURPOSE: plain
+    ``dropDuplicates(["event_id"])`` ignores the watermark for eviction
+    when the event-time column is not part of the subset — state then
+    grows by one entry per distinct event_id FOREVER, which at 100 TB/day
+    is an OOM, not a dedup.  The WithinWatermark variant is exactly the
+    eviction contract this operator claims (and why Spark added it)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

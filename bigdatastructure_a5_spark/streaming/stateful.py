@@ -15,6 +15,7 @@ and bound state; the finite-fixture test uses NoTimeout.
 from __future__ import annotations
 
 from collections.abc import Iterable
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -55,8 +56,23 @@ def _update_user_profile(
         n, cents, last_ts = 0, 0, None
     for pdf in pdfs:
         n += len(pdf)
-        # sum in integer cents: exact and associative across micro-batches
-        cents += int(round(float(pdf["value"].sum()) * 100))
+        # PER-ROW cents, then integer sum: exact and associative across
+        # micro-batches AND bit-matched to the batch twin's per-value
+        # decimal(18,2) cast (HALF_UP on the shortest decimal repr, which
+        # is what Spark's double->decimal cast does).  Rounding the BATCH
+        # sum instead would both diverge from the twin on sub-cent values
+        # and make results depend on batch-boundary placement.
+        cents += int(
+            sum(
+                int(
+                    Decimal(repr(float(v))).quantize(
+                        Decimal("0.01"), rounding=ROUND_HALF_UP
+                    )
+                    * 100
+                )
+                for v in pdf["value"]
+            )
+        )
         batch_max = pdf["ts"].max()
         if last_ts is None or batch_max > last_ts:
             last_ts = batch_max
@@ -84,13 +100,10 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
 
 def run_user_profile_to_memory(spark, streaming_df, name: str = "user_profiles"):
     """Drive the stateful stream with AvailableNow into a memory sink; the
-    LAST update per user is the final profile (update mode emits per batch)."""
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    LAST update per user is the final profile (update mode emits per batch).
+    Delegates to events.run_stream_to_memory for the driver machinery —
+    including its state-partition scoping, which a hand-rolled copy here
+    previously lost (200 vanilla state partitions, ~2x overhead)."""
+    from bigdatastructure_a5_spark.streaming.events import run_stream_to_memory
+
+    return run_stream_to_memory(spark, streaming_df, name, output_mode="update")
