@@ -54,7 +54,9 @@ def local_table_path(sf_dir: str, name: str) -> str | None:
     URI (s3://, hdfs://, ...) returns None and the caller keeps the
     distributed fetch."""
     p = table_path(sf_dir, name)
-    return p if os.path.isfile(p) else None
+    # a Spark-written table is a DIRECTORY of part files — pyarrow reads
+    # those as a dataset just like a single file, so both count as local
+    return p if (os.path.isfile(p) or os.path.isdir(p)) else None
 
 
 def table_fingerprint(sf_dir: str, name: str) -> str:
@@ -73,10 +75,15 @@ def table_fingerprint(sf_dir: str, name: str) -> str:
     path = local_table_path(sf_dir, name)
     if path is None:
         return "remote"
-    st = os.stat(path)
-    return hashlib.md5(
-        f"{path}|{st.st_size}|{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
+    parts = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
+    else:
+        st = os.stat(path)
+        parts.append(f"{path}|{st.st_size}|{st.st_mtime_ns}")
+    return hashlib.md5("||".join(parts).encode()).hexdigest()[:12]
 
 
 def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
@@ -107,9 +114,14 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
 
 def _nanos_columns(path: str) -> list[str]:
     """Columns typed timestamp[ns] in the parquet footer (cheap local read;
-    checked upfront so the Spark scan never hits PARQUET_TYPE_ILLEGAL)."""
+    checked upfront so the Spark scan never hits PARQUET_TYPE_ILLEGAL).
+    Non-local URIs (s3://, hdfs://) return [] — the driver's pyarrow may
+    lack the credentials/filesystem Spark has, and a production corpus is
+    written micros-typed; the plain Spark read stays the behavior there."""
     import pyarrow.parquet as pq
 
+    if not os.path.exists(path):
+        return []
     p = path
     if os.path.isdir(path):
         inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
@@ -129,7 +141,10 @@ def load_tables(
     for name in names:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            # the SAME nanos-safe reader load_table uses — a raw read would
+            # crash on TIMESTAMP(NANOS) fixtures (or, with the legacy conf
+            # already set session-wide, silently register ts as raw nanos)
+            out[name] = _read_parquet_nanos_safe(spark, path)
     return out
 
 

@@ -191,6 +191,8 @@ def routed_filter(
     this layout, retarget to the host with ``path.field`` predicates —
     the reference's join-elimination rewrite (`challenge/planner.py:271-291`)
     as variant routing."""
+    from bigdatastructure_a5_spark.operators.filters import eq_filter
+
     host = spec.host_of(collection)
     if host is None:
         df = variant[collection]
@@ -198,8 +200,4 @@ def routed_filter(
     else:
         df = variant[host.target]
         prefix = f"{host.path}."
-    cond = None
-    for f_name, value in predicates.items():
-        clause = F.col(prefix + f_name) == F.lit(value)
-        cond = clause if cond is None else (cond & clause)
-    return df if cond is None else df.filter(cond)
+    return eq_filter(df, {prefix + f: v for f, v in predicates.items()})

@@ -30,7 +30,16 @@ def salted_join(
     """Join a skewed fact to a small table on ``key`` with ``salt``-way key
     spreading.  The small side is exploded x salt (fine: it's small — this
     is a targeted broadcast-amplification trade) so every salted fact row
-    finds its partner without a hot partition."""
+    finds its partner without a hot partition.
+
+    Only inner/left are supported: the salt replication is result-invariant
+    for them, but a right/full join would emit an unmatched small-side row
+    once PER SALT (salt copies of it survive the join)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (salt replication "
+            f"multiplies unmatched small-side rows under {how!r})"
+        )
     salted_fact = skewed.withColumn(
         "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
     )

@@ -32,9 +32,15 @@ BPE_TOKEN_REGEX = r"\w+|[^\w\s]"
 
 def _marker_count(toks: Column, lang: str) -> Column:
     """How many tokens are markers of ``lang`` (membership in a literal set
-    — compiled to a codegen'd IN list)."""
+    — compiled to a codegen'd IN list).  NULL text yields a NULL token
+    array; coalesce the count to 0 so score columns stay integer-typed
+    facts (and match the oracle's COALESCE'd counts) instead of
+    propagating NULL through every downstream sum/argmax."""
     markers = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return F.coalesce(
+        F.size(F.filter(toks, lambda t: F.array_contains(markers, t))),
+        F.lit(0),
+    )
 
 
 def lang_scores(text_col: Column | str) -> dict[str, Column]:

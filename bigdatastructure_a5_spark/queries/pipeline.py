@@ -512,8 +512,12 @@ from bigdatastructure_a5_spark.operators.text import (  # noqa: E402
 
 
 def _in_list_sql(lang: str) -> str:
+    """Per-lexicon marker count over the tokenized column ``w``.  COALESCE
+    to 0 for NULL text: without it every count is NULL and text_langid's
+    CASE falls through to ELSE 'fr' where the Spark side ('und') and the
+    curation filter expect zero counts."""
     lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return f"LEN(LIST_FILTER(w, x -> LIST_CONTAINS([{lits}], x)))"
+    return f"COALESCE(LEN(LIST_FILTER(w, x -> LIST_CONTAINS([{lits}], x))), 0)"
 
 
 _LANG_SCORES_SQL = f"""
@@ -569,7 +573,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality",
-    oracle="""
+    # the stopwordy term is the SUM of per-lexicon marker counts — the same
+    # semantic as quality_score's Spark expression (a token in two lexicons,
+    # e.g. 'la' in es AND fr, counts twice) and as pipeline_curation's
+    # oracle; generated from STOPWORDS so the lists cannot drift (a
+    # previous hand-rolled union list missed 'une' and counted shared
+    # tokens once, a latent hash mismatch)
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, text,
              STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ') AS w
@@ -582,10 +592,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
          + CASE WHEN CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(LEN(w) AS DOUBLE) BETWEEN 3.0 AND 12.0
                 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-         + CASE WHEN LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['the','a','and','of','to','in','is','that','it','for',
-                                                            'el','la','los','las','de','que','y','en','un','una',
-                                                            'der','die','das','und','nicht','ein','eine','zu','ist','mit',
-                                                            'le','les','des','et','dans','est','pour'], x))) >= 2
+         + CASE WHEN ({" + ".join(_in_list_sql(lang) for lang in STOPWORDS)}) >= 2
                 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
            AS quality
     FROM t
@@ -615,10 +622,12 @@ from bigdatastructure_a5_spark.operators.multimodal import (  # noqa: E402
 
 @query(
     "multimodal_decode",
+    # COALESCE: the decode stage treats a NULL payload as b'' (n_bytes 0),
+    # so the oracle must do the same for NULL text
     oracle="""
     SELECT doc_id AS media_id,
            'image' AS kind,
-           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+           CAST(COALESCE(OCTET_LENGTH(CAST(text AS BLOB)), 0) AS BIGINT) AS n_bytes
     FROM documents
     """,
     tags=("ext:multimodal",),

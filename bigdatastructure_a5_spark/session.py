@@ -31,14 +31,21 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the session.
 
-    On a real cluster the master/memory settings come from spark-submit; the
-    builder only *adds* conf, so these local[] defaults do not fight a cluster
-    deployment.
+    On a real cluster the master/memory settings come from spark-submit:
+    ``.master()`` is only applied when no master was configured (a
+    spark-submit --master or an existing context wins — forcing local[]
+    over it would silently run the whole job single-node on the driver).
     """
+    from pyspark import SparkConf
+
     n = cpus or default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    # SparkConf() loads spark.* system properties, which is where
+    # spark-submit's --master lands before the session exists
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{n}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{n}]")
+        builder
         # one shuffle partition per core locally; AQE coalesces below this.
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.default.parallelism", str(n))
@@ -60,7 +67,7 @@ def get_spark(
     return builder.getOrCreate()
 
 
-_PYFILES_SENT: set[int] = set()
+_PYFILES_SENT: set[str] = set()
 
 
 def ensure_workers_can_import(spark: SparkSession) -> None:
@@ -81,7 +88,9 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     from pathlib import Path
 
     sc = spark.sparkContext
-    key = id(sc)
+    # applicationId, not id(sc): CPython reuses object addresses after GC,
+    # so a restarted context could be wrongly treated as already-provisioned
+    key = sc.applicationId
     if key in _PYFILES_SENT:
         return
     pkg_dir = Path(__file__).resolve().parent

@@ -13,7 +13,7 @@ modeled.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from pathlib import Path
 
 from bigdatastructure_a5_spark.operators.denormalize import (
@@ -167,9 +167,9 @@ class CollectionStats:
     usable as *hints* (e.g. expected NDVs for workload planning)."""
 
     nb_documents: int = 0
-    distinct_values: dict[str, int] = None  # type: ignore[assignment]
-    avg_array_lengths: dict[str, float] = None  # type: ignore[assignment]
-    field_selectivity: dict[str, float] = None  # type: ignore[assignment]
+    distinct_values: dict[str, int] = field(default_factory=dict)
+    avg_array_lengths: dict[str, float] = field(default_factory=dict)
+    field_selectivity: dict[str, float] = field(default_factory=dict)
     sharding_key: str | None = None
 
 

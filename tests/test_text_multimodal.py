@@ -333,3 +333,23 @@ def test_lang_score_adders_reject_clashing_columns(spark):
     df2 = spark.createDataFrame([(1, "hello", 3)], ["id", "text", "ng_de"])
     with pytest.raises(ValueError, match="ng_de"):
         with_ngram_scores(df2)
+
+
+def test_text_operators_are_null_safe(spark):
+    """NULL text must produce integer-zero marker counts, 'und' language,
+    and quality 0.0 — matching the oracles' COALESCE'd counts (a NULL
+    count previously fell through DuckDB's CASE to 'fr' while Spark said
+    'und': a latent hash mismatch)."""
+    from bigdatastructure_a5_spark.operators.text import (
+        lang_id,
+        quality_score,
+        with_lang_scores,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "the cat and the hat")],
+                               "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in with_lang_scores(df).select(
+        "doc_id", "sc_en", lang_id("text").alias("lang"),
+        quality_score("text").alias("q")).collect()}
+    assert rows[1].sc_en == 0 and rows[1].lang == "und" and rows[1].q == 0.0
+    assert rows[2].sc_en > 0 and rows[2].lang == "en"
