@@ -82,8 +82,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("challenge-cli")
     spark.sparkContext.setLogLevel("ERROR")
     base = generate_tables(spark, schema, stats, scale=args.scale, literals=literals)
-    for name, df in base.items():
-        df.createOrReplaceTempView(name)
+    # no view registration here: run_workload's materialize_variant owns the
+    # collection-name views (and drops any stale ones before each variant)
 
     print(
         f"cluster: {cluster.nb_servers} modeled servers | "

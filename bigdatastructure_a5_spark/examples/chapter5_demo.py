@@ -46,8 +46,20 @@ def movie_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.col("p_name").alias("title"),
         F.col("p_type").alias("genre"),
     )
+    # reviewId must actually be a KEY (Review's pk in the modeled schema);
+    # the fixture's (l_orderkey, l_linenumber) pairs are NOT unique, so a
+    # derivation from them collides — row_number over a deterministic
+    # ordering guarantees uniqueness (single-partition window: fine for an
+    # experiment corpus, not a pattern for the 100 TB path)
+    from pyspark.sql import Window
+
+    rid = F.row_number().over(
+        Window.orderBy(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+        )
+    )
     review = li.select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("reviewId"),
+        rid.cast("bigint").alias("reviewId"),
         F.col("l_partkey").alias("movieId"),
         F.col("l_suppkey").alias("userId"),
         (F.pmod(F.col("l_quantity").cast("bigint"), F.lit(5)) + 1).alias("rating"),

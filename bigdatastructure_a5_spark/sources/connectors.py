@@ -94,12 +94,21 @@ def bad_rows(df: DataFrame) -> DataFrame:
 
     Spark refuses to answer queries that reference ONLY ``_corrupt_record``
     over a raw file scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
-    COLUMN) — the parsed rows must be materialized first, so the quarantine
-    read caches the frame.  Quarantines are small by assumption; a pipeline
-    expecting bulk rejects should land them to a file instead."""
+    COLUMN) — the parsed rows must be materialized first.  The full parsed
+    frame is cached only for the duration of the quarantine extraction and
+    released immediately (materialize_release): leaving a corpus-sized
+    ingest cache pinned for the session is exactly the discipline failure
+    this module exists to prevent.  Quarantines are small by assumption; a
+    pipeline expecting bulk rejects should land them to a file instead."""
     from pyspark.sql import functions as F
 
-    return df.cache().filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    from bigdatastructure_a5_spark.session import materialize_release
+
+    cached = df.cache()
+    quarantine = cached.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        CORRUPT_COL
+    )
+    return materialize_release(quarantine, [cached])
 
 
 def write_parquet(
@@ -134,10 +143,16 @@ def jsonl_to_parquet(
     dst: str,
     schema: StructType,
     partition_by: tuple[str, ...] = (),
+    strict: bool = False,
 ) -> DataFrame:
     """One-pass JSON-lines -> parquet conversion; returns the parquet-backed
-    DataFrame."""
-    write_parquet(good_rows(read_jsonl(spark, src, schema)), dst, partition_by)
+    DataFrame.  ``strict=True`` converts FAILFAST (symmetric with
+    csv_to_parquet's option passthrough)."""
+    write_parquet(
+        good_rows(read_jsonl(spark, src, schema, strict=strict)),
+        dst,
+        partition_by,
+    )
     return spark.read.parquet(dst)
 
 

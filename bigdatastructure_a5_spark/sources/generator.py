@@ -149,10 +149,22 @@ def generate_tables(
     # 'name_<bucket>' labels that join to nothing.
     pk_counts: dict[str, int] = {}
     pk_types: dict[str, str] = {}
+    pk_owner: dict[str, str] = {}
     for name, cspec in schema.items():
         cstats = stats.get(name, CollectionStats(0, {}, {}, {}, None))
         pk = cspec.get("primary_key")
         if pk:
+            if pk in pk_owner:
+                # the FK convention is NAME-keyed (a field named like a pk
+                # is an FK to that pk's collection) — two collections
+                # sharing a pk name would make every such FK's parent
+                # ambiguous, silently mis-wiring joins; fail loudly
+                raise ValueError(
+                    f"primary-key name {pk!r} is used by both "
+                    f"{pk_owner[pk]!r} and {name!r}; the shared-pk FK "
+                    "convention needs distinct pk names per collection"
+                )
+            pk_owner[pk] = name
             pk_counts[pk] = max(1, int(cstats.nb_documents * scale))
             pk_types[pk] = (
                 cspec.get("fields", {}).get(pk, {}).get("type", "integer")

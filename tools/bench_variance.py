@@ -79,11 +79,20 @@ def main() -> None:
     section = render(measure(sf_dir, reps), sf_dir, reps)
     path = Path(__file__).resolve().parent.parent / "EXPERIMENTS.md"
     text = path.read_text()
+    tail = ""
     if SECTION in text:
-        head = text.split(SECTION)[0].rstrip() + "\n"
+        head, rest = text.split(SECTION, 1)
+        head = head.rstrip() + "\n"
+        # preserve any section ADDED AFTER this one — dropping the whole
+        # remainder would silently delete a future '## 9.' on every run
+        nxt = rest.find("\n## ")
+        if nxt != -1:
+            tail = rest[nxt:].lstrip("\n")
     else:
         head = text.rstrip() + "\n"
-    path.write_text(head + "\n" + section + "\n")
+    path.write_text(
+        head + "\n" + section + "\n" + (("\n" + tail) if tail else "")
+    )
     print(f"updated {path}")
 
 

@@ -22,27 +22,83 @@ from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
 from bigdatastructure_a5_spark.session import get_spark
 
 
+def _top_level_fields(schema_body: str) -> int:
+    """Top-level field count of a ReadSchema struct body: commas at
+    angle-bracket depth 0 (+1).  Counting every ':' instead would count a
+    nested struct's members as extra read columns — wrong in exactly the
+    embedded-document cases the audit's column-pruning evidence is about.
+    (Formatted explain may truncate very wide schemas with '... N more
+    fields'; the parsed count is then a lower bound.)"""
+    body = schema_body.rstrip(">")
+    if not body.strip():
+        return 0
+    depth = 0
+    fields = 1
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields += 1
+    return fields
+
+
 def audit_plan(plan: str) -> dict[str, object]:
-    """Parse a FORMATTED explain string: count operators from the numbered
-    detail entries '(N) NodeName' (the tree header would double-count)."""
-    nodes = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.MULTILINE)
+    """Parse a FORMATTED explain string.
+
+    An EXECUTED adaptive plan prints the FINAL plan tree, then the initial
+    plan tree, then ONE shared pool of numbered '(N) NodeName' detail
+    blocks covering both trees — so operator counts must come from the
+    final TREE's node references, and detail-derived facts (PushedFilters,
+    ReadSchema, codegen ids) from only the detail blocks the final tree
+    references.  Counting all detail entries would double-count whatever
+    AQE re-planned; counting only pre-'Initial Plan' text would miss the
+    details entirely.  Non-adaptive plans (no Final Plan marker) keep the
+    plain detail-entry parse."""
+    if "== Final Plan ==" in plan:
+        tree = plan.split("== Final Plan ==", 1)[1].split(
+            "== Initial Plan ==", 1
+        )[0]
+        # one node per tree line; the node NAME is the first word after the
+        # tree art and the id is the first '(N)' on the line.  A word-pair
+        # regex would misparse multi-word refs — 'Scan parquet  (1)',
+        # 'BroadcastHashJoin Inner BuildRight (6)' — dropping scans or
+        # attributing the join to 'BuildRight'
+        pairs = []
+        for line in tree.splitlines():
+            mid = re.search(r"\((\d+)\)", line)
+            mname = re.match(r"[\s+\-:*]*([A-Za-z]+)", line)
+            if mid and mname:
+                pairs.append((mname.group(1), mid.group(1)))
+        nodes = [name for name, _ in pairs]
+        final_ids = {i for _, i in pairs}
+        blocks = re.split(r"^\((\d+)\) ", plan, flags=re.MULTILINE)
+        detail_text = "\n".join(
+            f"({blocks[i]}) {blocks[i + 1]}"
+            for i in range(1, len(blocks) - 1, 2)
+            if blocks[i] in final_ids
+        )
+    else:
+        nodes = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.MULTILINE)
+        detail_text = plan
 
     def n(name: str) -> int:
         return sum(1 for x in nodes if x == name)
 
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    read_schemas = re.findall(r"ReadSchema: struct<([^\n]*)", plan)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", detail_text)
+    read_schemas = re.findall(r"ReadSchema: struct<([^\n]*)", detail_text)
     return {
         "scans": n("Scan") + n("FileScan"),
-        "read_cols": sum(s.count(":") for s in read_schemas),
+        "read_cols": sum(_top_level_fields(s) for s in read_schemas),
         "pushed_filters": sum(1 for p in pushed if p.strip()),
         "exchanges": n("Exchange"),
         "broadcasts": n("BroadcastHashJoin") + n("BroadcastNestedLoopJoin"),
         "smj": n("SortMergeJoin"),
-        "codegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "codegen": len(set(re.findall(r"codegen id : (\d+)", detail_text))),
         "python": n("MapInPandas") + n("ArrowEvalPython")
         + n("FlatMapGroupsInPandas") + n("FlatMapGroupsInPandasWithState"),
-        "topk": "TakeOrderedAndProject" in plan,
+        "topk": "TakeOrderedAndProject" in detail_text,
     }
 
 
@@ -111,7 +167,9 @@ def bucketed_layout_section(spark, sf_dir: str) -> list[str]:
             ("bucketed write_variant (sharded)", (b_li, b_o)),
         ):
             for case, df in cases(li, o).items():
-                df.write.mode("overwrite").format("noop").save()
+                # collect() executes the DataFrame's own QueryExecution so
+                # the explain shows the FINAL adaptive plan (see main())
+                df.collect()
                 qe = df._jdf.queryExecution()
                 mode = (
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -163,10 +221,14 @@ def main() -> None:
         "# PLAN_AUDIT — physical-plan properties per registry query",
         "",
         f"Generated by `tools/plan_audit.py` at `{sf_dir}` "
-        "(counts from the final AQE plan after execution).  Queries that "
-        "persist a subtree (dedup, curation) may attribute part of their "
-        "scan bytes to the cache-fill job's execution, understating the "
-        "scan column; shuffle bytes are complete.",
+        "(operator counts parsed from the FINAL adaptive plan of an "
+        "executed run — AQE runtime re-planning included).  Queries that "
+        "materialize their result (dedup, curation: materialize_release "
+        "caches the answer) report the final cache-read plan here, so "
+        "their operator counts describe the terminal job; the heavy "
+        "pipeline runs in the materialization and shows up in the byte "
+        "columns, which also attribute some scan bytes to the cache-fill "
+        "job.  Shuffle bytes are complete.",
         "",
         "| query | scans | cols read | pushed filters | exchanges | broadcast | SMJ | codegen spans | python stages | top-k | scan MiB | shuffle MiB | rows |",
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
@@ -174,6 +236,11 @@ def main() -> None:
     for name, qd in sorted(REGISTRY.items()):
         df = qd.builder(spark, sf_dir)
         qm = run_with_metrics(spark, df, name)
+        # collect() executes the DataFrame's OWN QueryExecution, so the
+        # explain below prints the FINAL adaptive plan (isFinalPlan=true —
+        # AQE runtime re-planning included), matching the header's claim;
+        # the noop-write above runs a separate execution for byte metrics
+        df.collect()
         qe = df._jdf.queryExecution()
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
