@@ -182,8 +182,12 @@ def ngram_lang_scores(text_col: Column | str) -> dict[str, Column]:
     out = {}
     for lang, profile in NGRAM_PROFILES.items():
         plit = F.array(*[F.lit(g) for g in profile])
-        out[lang] = F.size(
-            F.filter(grams, lambda g: F.array_contains(plit, g))
+        # COALESCE to 0 for NULL text (same contract as _marker_count): the
+        # scores are integer facts that downstream sums/argmax consume, and
+        # a NULL would otherwise propagate through any aggregate over them
+        out[lang] = F.coalesce(
+            F.size(F.filter(grams, lambda g: F.array_contains(plit, g))),
+            F.lit(0),
         )
     return out
 
@@ -206,8 +210,11 @@ def with_ngram_scores(df, text_col: str = "text", prefix: str = "ng_"):
         # eagerly at construction, so the loop's plit is captured correctly
         # without a default-arg
         cols.append(
-            F.size(
-                F.filter(g, lambda t: F.array_contains(plit, t))  # noqa: B023
+            F.coalesce(
+                F.size(
+                    F.filter(g, lambda t: F.array_contains(plit, t))  # noqa: B023
+                ),
+                F.lit(0),
             ).alias(f"{prefix}{lang}")
         )
     return (

@@ -847,11 +847,24 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curate_documents(docs: DataFrame) -> DataFrame:
+#: Dropped-id sets at or under this many rows get the broadcast hint on the
+#: final anti-join.  Sized against get_spark's 64 MiB autoBroadcastJoinThreshold:
+#: a bigint id costs ~16 B in a broadcast hash relation, so 4M ids ~ 64 MiB.
+#: Above it (a high-duplicate corpus) the hint is withheld and AQE picks the
+#: strategy from the real measured sizes.
+MAX_BROADCAST_DROP_IDS = 4_000_000
+
+
+def curate_documents(
+    docs: DataFrame, max_broadcast_drop_ids: int | None = None
+) -> DataFrame:
     """The curation flow over an arbitrary (doc_id, text) frame — shared by
     the pipeline_curation gate query and the scale-up experiment
     (tools/run_experiments.py), so what is measured at 10x is exactly what
-    is oracle-checked at gate scale."""
+    is oracle-checked at gate scale.
+
+    ``max_broadcast_drop_ids`` overrides MAX_BROADCAST_DROP_IDS (0 forces
+    the shuffle-join regime; tests exercise both)."""
     from bigdatastructure_a5_spark.operators.text import (
         lang_id_from_scores,
         quality_score,
@@ -893,11 +906,25 @@ def curate_documents(docs: DataFrame) -> DataFrame:
         tracker=tracked,
     )
     # no distinct: LEFT ANTI ignores duplicate keys, so deduplicating the
-    # dropped ids first would only add a shuffle.  Broadcast: the dropped
-    # set is the near-duplicate ids — a vanishing fraction of the corpus
-    # (it passed a 0.8-Jaccard gate), so shipping it to every executor
-    # beats shuffling the whole curated corpus into a sort-merge join.
-    dropped = F.broadcast(pairs.select(F.col("id_b").alias("doc_id")))
+    # dropped ids first would only add a shuffle.  The broadcast is
+    # MEASURED, not assumed: on clean fixtures the dropped set (ids that
+    # passed a 0.8-Jaccard gate) is a vanishing fraction of the corpus and
+    # shipping it to every executor beats shuffling the whole curated
+    # corpus into a sort-merge join — but real web corpora run 30-50%
+    # duplicates, where at 100 TB the dropped-id set is tens of GB and a
+    # forced broadcast OOMs driver and executors alike.  The id set is
+    # persisted (the anti-join reuses the cache, so the pipeline still
+    # runs once) and counted; only a set under the bound gets the hint,
+    # anything larger is left to AQE to pick the join strategy.
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).persist()
+    tracked.append(dropped)
+    limit = (
+        MAX_BROADCAST_DROP_IDS
+        if max_broadcast_drop_ids is None
+        else max_broadcast_drop_ids
+    )
+    if dropped.count() <= limit:
+        dropped = F.broadcast(dropped)
     curated = kept.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "n_tokens", "quality"
     )

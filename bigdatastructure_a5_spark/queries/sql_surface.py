@@ -281,9 +281,13 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     sketch = countmin_build(orders, "o_custkey", depth=4, width=1024)
-    keys = orders.select("o_custkey").distinct()
-    est = countmin_estimate(sketch, keys, "o_custkey", depth=4, width=1024)
     exact = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # probe keys come from the exact-count aggregate — the groupBy already
+    # produced the distinct key set, so a separate
+    # orders.select(...).distinct() would re-scan the fact table a third
+    # time and pay one more exchange for a result we have for free
+    keys = exact.select("o_custkey")
+    est = countmin_estimate(sketch, keys, "o_custkey", depth=4, width=1024)
     return (
         est.join(exact, "o_custkey")
         .orderBy(F.col("est").desc(), F.col("o_custkey"))

@@ -28,21 +28,34 @@ def get_spark(
     app_name: str = "bigdatastructure-a5-spark",
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the session.
 
     On a real cluster the master/memory settings come from spark-submit:
-    ``.master()`` is only applied when no master was configured (a
-    spark-submit --master or an existing context wins — forcing local[]
-    over it would silently run the whole job single-node on the driver).
+    ``.master()`` is skipped whenever the process looks spark-submit-launched
+    or a master is already configured (forcing local[] over --master would
+    silently run the whole job single-node on the driver).  Two guards
+    because each alone has a blind spot: SparkConf() only sees spark.*
+    JVM system properties once the py4j gateway exists (before that it
+    reads an empty dict — exactly the state of the FIRST get_spark call in
+    a fresh driver), while spark-submit/pyspark shells always export
+    gateway env vars (PYSPARK_GATEWAY_PORT / PYSPARK_GATEWAY_SECRET)
+    before launching the Python process, so the env check covers the
+    pre-gateway window.  A plain ``python script.py`` run has neither and
+    correctly gets local[n].
     """
     from pyspark import SparkConf
 
     n = cpus or default_parallelism()
     builder = SparkSession.builder.appName(app_name)
-    # SparkConf() loads spark.* system properties, which is where
-    # spark-submit's --master lands before the session exists
-    if not SparkConf().contains("spark.master"):
+    launched_by_spark_submit = bool(
+        os.environ.get("PYSPARK_GATEWAY_PORT")
+        or os.environ.get("PYSPARK_GATEWAY_SECRET")
+    )
+    if not launched_by_spark_submit and not SparkConf().contains(
+        "spark.master"
+    ):
         builder = builder.master(f"local[{n}]")
     builder = (
         builder
@@ -62,6 +75,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # RocksDB state store (flag-gated): the default in-memory (HDFS-backed)
+    # provider keeps every streaming operator's state on the executor HEAP —
+    # fine for the fixture streams, an OOM ceiling for 100 TB stateful jobs
+    # (stream-stream interval joins and sessionization hold state
+    # proportional to the watermark window x key cardinality).  RocksDB
+    # spills state to local disk with bounded memory and incremental
+    # checkpointing; it ships in the Spark JVM (no extra install).  Gated
+    # rather than default-on because state-store files are
+    # provider-specific: flipping the provider mid-checkpoint breaks
+    # restart compatibility for existing checkpoints.
+    if rocksdb_state or os.environ.get("SPARK_GRAFT_ROCKSDB") == "1":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -98,3 +98,66 @@ def test_composite_query_composes_all_guarantees(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_curation_broadcast_gate_both_regimes(spark):
+    """The curation anti-join's broadcast is size-GATED, not assumed
+    (VERDICT r4 item 2): a measured dropped-id set under the bound gets the
+    explicit broadcast hint; a set over it (the 30-50%-duplicate web-corpus
+    regime, where at 100 TB the id set is tens of GB) must fall back to a
+    shuffle join chosen by AQE.  Auto-broadcast is disabled here so the
+    ONLY broadcast in the final join is the gate's own hint — and both
+    regimes must return identical curated rows."""
+    from bigdatastructure_a5_spark.queries.pipeline import curate_documents
+
+    base = (
+        "the cat and the dog walked to the market and it was a good day "
+        "for all of them so they sat down together and watched the boats "
+    )
+    # each doc is half shared base, half doc-unique tokens: cross-doc
+    # Jaccard ~ 0.3 (shared base over the union), far under the 0.8 gate,
+    # while each exact copy below is Jaccard 1.0
+    rows = [
+        (i, base + " ".join(f"tail{i}word{j}" for j in range(40)) + " ")
+        for i in range(40)
+    ]
+    # ids 1000+i duplicate ids i exactly -> Jaccard 1.0 >= 0.8: every
+    # copy is dropped, so the gate's measured count is 40, never 0
+    rows += [(1000 + i, text) for i, text in rows[:40]]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    prior = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        hinted = curate_documents(docs, max_broadcast_drop_ids=10**9)
+        plan_hinted = hinted._jdf.queryExecution().executedPlan().toString()
+        a = sorted(map(tuple, hinted.collect()))
+        # broadcast hints are erased in cache-plan canonicalization, so
+        # without this the second run would silently REUSE the first run's
+        # cached result and show its plan
+        spark.catalog.clearCache()
+        gated = curate_documents(docs, max_broadcast_drop_ids=-1)
+        plan_gated = gated._jdf.queryExecution().executedPlan().toString()
+        b = sorted(map(tuple, gated.collect()))
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert a == b and len(a) == 40  # originals kept, all 40 copies dropped
+    assert {r[0] for r in a} == set(range(40))
+    import re
+
+    anti_bhj = re.compile(r"BroadcastHashJoin .*LeftAnti")
+    # hinted regime: the anti-join IS a broadcast join despite -1 thresholds
+    assert anti_bhj.search(plan_hinted)
+    # gated regime: no broadcast anti-join anywhere in the plan
+    assert not anti_bhj.search(plan_gated)
+    assert "LeftAnti" in plan_gated  # ...but the anti-join still ran

@@ -257,6 +257,7 @@ def test_lang_id_ngram_on_real_phrases(spark):
             # no lexicon markers at all — character evidence only:
             (6, "thinking things throughout another thing"),   # en-ish grams
             (7, "Erziehung Forschung Entscheidung Verantwortung"),  # de -ung
+            (8, None),  # NULL text: counts must coalesce to 0, lang 'und'
         ],
         ["id", "text"],
     )
@@ -267,15 +268,19 @@ def test_lang_id_ngram_on_real_phrases(spark):
     assert out[1] == "en" and out[2] == "es" and out[3] == "de"
     assert out[4] == "fr" and out[5] == "und"
     assert out[6] == "en" and out[7] == "de"
+    assert out[8] == "und"
 
-    # the materialized-scores path agrees with the inline expression
-    out2 = {
-        r.id: r.lang
-        for r in with_ngram_scores(df)
-        .select("id", lang_id_from_scores("ng_").alias("lang"))
+    # the materialized-scores path agrees with the inline expression, and
+    # NULL text yields INTEGER zero scores (not NULLs that would poison
+    # any downstream sum over the ng_ columns)
+    scored = (
+        with_ngram_scores(df)
+        .select("id", "ng_en", lang_id_from_scores("ng_").alias("lang"))
         .collect()
-    }
+    )
+    out2 = {r.id: r.lang for r in scored}
     assert out2 == out
+    assert {r.ng_en for r in scored if r.id == 8} == {0}
 
 
 def test_dispatch_decode_survives_corrupt_image_payload():
