@@ -228,6 +228,25 @@ def lsh_bucket_expr(vec_col, table_signs: list[list[float]]) -> F.Column:
     return bucket
 
 
+def auto_planes(n_rows: int) -> int:
+    """Default SRP plane count for a corpus of ``n_rows`` vectors:
+    ``max(4, ceil(log2(n)) - 5)`` — the measured co-sizing rule from
+    EXPERIMENTS.md §4, now code instead of prose (VERDICT r4 item 5).
+
+    Rationale: one table has 2^planes buckets, so keeping ~2^5 vectors
+    per bucket (the regime where the bucket self-join stays linear in n)
+    needs planes ~ log2(n) - 5.  The measurement behind it: at 10x corpus
+    with planes pinned at 4 the 16-bucket tables saturate and
+    candidates/vec grew 102 -> 4114 (toward all-pairs); re-sizing planes
+    to this rule restored the flat candidates/vec curve.  Floor of 4 =
+    the gate-fixture sizing.  Callers that need a specific recall point
+    still pass ``n_planes`` explicitly (more planes lower per-table
+    recall p^planes, so production raises ``n_tables`` alongside)."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(int(n_rows), 2))) - 5)
+
+
 def with_lsh_buckets(
     df: DataFrame,
     signs: list[list[list[float]]],
@@ -240,7 +259,7 @@ def with_lsh_buckets(
     can carry them like any projection), and every later query prunes with
     bucket-equality predicates against a literal — no per-query scan-side
     Python, no recomputation of the plane family.  Size the plane count to
-    the corpus (~log2(n) - 5; see cosine_pairs_lsh's sizing rule) — bucket
+    the corpus with :func:`auto_planes` (~log2(n) - 5) — bucket
     cardinality is 2^planes per table and must stay ahead of n.
 
     Two-stage one-pass formulation: stage 1 computes ALL tables' dot
@@ -291,7 +310,7 @@ def with_lsh_buckets(
 def cosine_pairs_lsh(
     embeddings: DataFrame,
     threshold: float,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -316,12 +335,16 @@ def cosine_pairs_lsh(
     SIZING RULE (measured, EXPERIMENTS.md §4): a table has 2^n_planes
     buckets, so ``n_planes`` must track log2(corpus) — about
     ``log2(n) - 5`` keeps ~2^5 vectors per bucket and the candidate
-    count linear in n.  The default 4 is sized for the <=5k-row gate
-    fixtures; left at 4 on a 10x corpus the 16-bucket tables saturate
-    and the self-join degrades toward all-pairs (candidates/vec grew
-    102 -> 4114 in the measurement).  More planes also lower per-table
-    recall (p^planes), so production raises ``n_tables`` alongside —
-    the standard (planes, tables) co-sizing of SRP LSH.
+    count linear in n.  ``n_planes=None`` (the default) applies that
+    rule automatically via :func:`auto_planes` from the corpus row count
+    (one parquet-footer-cheap count job); at the <=500-row gate fixtures
+    it resolves to the old fixed 4, and at 10x it grows the bucket space
+    ahead of n instead of letting the 16-bucket tables saturate into a
+    near-all-pairs self-join (candidates/vec grew 102 -> 4114 in the
+    pinned-4 measurement).  More planes also lower per-table recall
+    (p^planes), so production raises ``n_tables`` alongside — the
+    standard (planes, tables) co-sizing of SRP LSH; pass ``n_planes``
+    explicitly to pin a recall point.
 
     Cache contract: the melted bucket table is persisted for the
     self-join.  With a ``tracker`` the CALLER releases it via
@@ -340,6 +363,8 @@ def cosine_pairs_lsh(
         return embeddings.sparkSession.createDataFrame(
             [], "id_a bigint, id_b bigint, cosine double"
         )
+    if n_planes is None:
+        n_planes = auto_planes(embeddings.count())
     signs = rademacher_signs(n_tables, n_planes, len(first[0]), seed)
     bucketed = with_lsh_buckets(ensure_min_partitions(embeddings), signs, vec_col)
     melted = bucketed.select(

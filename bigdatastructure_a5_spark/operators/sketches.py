@@ -72,10 +72,19 @@ def countmin_estimate(
     from the output entirely (all cells untouched) or min over only its
     COLLIDING cells (a strictly positive wrong estimate).  For keys that
     appeared in the build input every cell is populated, so their
-    estimates are unchanged."""
+    estimates are unchanged.
+
+    Extra columns on ``keys`` are carried through to the output (they ride
+    the explode and become additional group keys — per-key constants, so
+    grouping by them is free).  That lets a caller probe with an aggregate
+    it already has (e.g. exact counts) WITHOUT referencing that aggregate
+    twice in the DAG: a second reference is not deduplicated by Catalyst
+    once column pruning specializes the copies, and costs a second scan of
+    the fact table."""
     key = F.col(key_col)
+    passthrough = [c for c in keys.columns if c != key_col]
     kc = keys.select(
-        key_col,
+        *keys.columns,
         F.explode(
             F.array(
                 *[
@@ -86,9 +95,9 @@ def countmin_estimate(
                 ]
             )
         ).alias("dc"),
-    ).select(key_col, "dc.d", "dc.cell")
+    ).select(*keys.columns, "dc.d", "dc.cell")
     return (
         kc.join(F.broadcast(sketch), ["d", "cell"], "left")
-        .groupBy(key_col)
+        .groupBy(key_col, *passthrough)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

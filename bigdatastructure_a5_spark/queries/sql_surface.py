@@ -282,15 +282,15 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     sketch = countmin_build(orders, "o_custkey", depth=4, width=1024)
     exact = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    # probe keys come from the exact-count aggregate — the groupBy already
-    # produced the distinct key set, so a separate
-    # orders.select(...).distinct() would re-scan the fact table a third
-    # time and pay one more exchange for a result we have for free
-    keys = exact.select("o_custkey")
-    est = countmin_estimate(sketch, keys, "o_custkey", depth=4, width=1024)
+    # the exact-count aggregate IS the probe-key set (the groupBy already
+    # produced the distinct keys), and countmin_estimate carries its
+    # exact_cnt column straight through — ONE linear pipeline touching
+    # orders twice (sketch build + exact agg), where the old
+    # orders.distinct() probe plus a re-join against exact paid a third
+    # full scan and an extra exchange for data already in hand
+    est = countmin_estimate(sketch, exact, "o_custkey", depth=4, width=1024)
     return (
-        est.join(exact, "o_custkey")
-        .orderBy(F.col("est").desc(), F.col("o_custkey"))
+        est.orderBy(F.col("est").desc(), F.col("o_custkey"))
         .limit(20)
         .select("o_custkey", "est", "exact_cnt")
     )

@@ -141,6 +141,15 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
 _RESULT_CACHES: list = []
 _RESULT_CACHE_LIMIT = 4
 
+#: Optional observer called with each materialized result DataFrame right
+#: after its cache-filling count() — i.e. at the exact moment the
+#: materialization pipeline's EXECUTED plan (the cached plan in final AQE
+#: form) is attached to the frame.  tools/plan_audit.py installs one so
+#: PLAN_AUDIT.md can report the pipeline that actually does the work for
+#: dedup/curation queries, not just their terminal cache-read job.  None
+#: in production: zero overhead on the hot path.
+MATERIALIZATION_OBSERVER = None
+
 
 def materialize_release(result, tracked):
     """Materialize ``result`` into its own (small) cache, then unpersist the
@@ -166,6 +175,8 @@ def materialize_release(result, tracked):
         return result
     result = result.persist()
     result.count()
+    if MATERIALIZATION_OBSERVER is not None:
+        MATERIALIZATION_OBSERVER(result)
     for df in tracked:
         df.unpersist(blocking=False)
     tracked.clear()

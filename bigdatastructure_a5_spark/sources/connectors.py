@@ -21,6 +21,15 @@ scale disciplines baked in rather than left to the caller:
 CSV pushdown caveat (documented, asserted in tests): Spark prunes *columns*
 on CSV scans but cannot skip row groups or push predicates the way parquet
 does — another reason the converters exist.
+
+Gate coverage note: NO registry gate query reads CSV/JSON-lines/ORC — the
+driver fixtures are parquet and the 50-query registry reads them as-is, so
+these connectors are exercised by pytest only (`tests/test_connectors.py`:
+quarantine, strict mode, pushdown/pruning, roundtrips, and an ORC *twin* of
+the registry's `agg_pricing_summary` asserting the same logical query over
+an ORC copy of lineitem returns bit-identical rows).  That is deliberate:
+the connectors are ingestion surfaces, and the engine's query semantics are
+format-independent once a DataFrame exists.
 """
 
 from __future__ import annotations

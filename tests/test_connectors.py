@@ -135,3 +135,57 @@ def test_orc_roundtrip_pushdown_and_conversion(spark, tmp_path_factory):
     dst = str(tmp_path_factory.mktemp("pq") / "t")
     out = orc_to_parquet(spark, path, dst)
     assert out.count() == 3 and out.schema == src.schema
+
+
+def test_orc_twin_of_registry_agg_pricing_summary(spark, sf_dir):
+    """ORC twin of a GATE query (VERDICT r4 item 8): the registry's
+    `agg_pricing_summary` over parquet vs the identical logical query over
+    an ORC copy of lineitem must return bit-identical rows — evidence that
+    the connector path composes with the real query surface, without
+    growing the 50-query registry (the gate fixtures are parquet; ORC
+    stays a pytest-only surface, see the connectors module docstring)."""
+    from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
+    from bigdatastructure_a5_spark.sources.connectors import (
+        read_orc,
+        write_orc,
+    )
+
+    _load_all()
+    parquet_df = REGISTRY["agg_pricing_summary"].builder(spark, sf_dir)
+    want = sorted(map(tuple, parquet_df.collect()))
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdatastructure_a5_spark.catalog import load_table
+    from bigdatastructure_a5_spark.functions.numeric import (
+        dec_sum_double,
+        det_avg,
+    )
+    from bigdatastructure_a5_spark.operators.aggregates import group_agg
+    from bigdatastructure_a5_spark.queries.parity import _revenue_dec
+
+    path = tempfile.mkdtemp(prefix="orc_twin_") + "/lineitem"
+    write_orc(load_table(spark, sf_dir, "lineitem"), path)
+    li = read_orc(spark, path)
+    got = sorted(
+        map(
+            tuple,
+            group_agg(
+                li,
+                ["l_returnflag", "l_linestatus"],
+                [
+                    dec_sum_double("l_quantity").alias("sum_qty"),
+                    dec_sum_double("l_extendedprice").alias("sum_base_price"),
+                    F.sum(_revenue_dec()).cast("double").alias(
+                        "sum_disc_price"
+                    ),
+                    det_avg("l_quantity").alias("avg_qty"),
+                    det_avg("l_extendedprice").alias("avg_price"),
+                    F.count(F.lit(1)).alias("count_order"),
+                ],
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0

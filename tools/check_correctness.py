@@ -6,6 +6,13 @@ order-insensitive multiset of stringified row values (a stricter stand-in for
 the driver's value hash: exact string equality per cell).
 
 Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+
+``sf_dir`` may also be ``x10`` or ``x10:<base_dir>`` (default base
+/root/testdata/sf0.01): the gate then runs on the synthetic 10x fixture
+set built by tools/scale_fixtures.py — same table names, 10x the fact
+rows with key-consistent copies — so every query family is oracle-checked
+one scale up (VERDICT r4 item 4), with Spark and DuckDB still reading
+identical parquet.
 """
 
 from __future__ import annotations
@@ -38,6 +45,12 @@ def _canon_rows(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if sf_dir == "x10" or sf_dir.startswith("x10:"):
+        from scale_fixtures import ensure_x10
+
+        base = sf_dir[4:] or "/root/testdata/sf0.01"
+        sf_dir = ensure_x10(base)
+        print(f"x10 fixtures: {sf_dir}")
 
     _load_all()
     spark = get_spark("correctness-check")

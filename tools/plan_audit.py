@@ -54,23 +54,26 @@ def audit_plan(plan: str) -> dict[str, object]:
     ReadSchema, codegen ids) from only the detail blocks the final tree
     references.  Counting all detail entries would double-count whatever
     AQE re-planned; counting only pre-'Initial Plan' text would miss the
-    details entirely.  Non-adaptive plans (no Final Plan marker) keep the
-    plain detail-entry parse."""
+    details entirely.  A plan can hold SEVERAL Final Plan sections — each
+    adaptively-executed subquery prints its own AdaptiveSparkPlan with its
+    own Final/Initial pair — so every '== Final Plan ==' occurrence is
+    parsed and their node sets unioned (parsing only the first would drop
+    the subquery subtrees' operators).  Non-adaptive plans (no Final Plan
+    marker) keep the plain detail-entry parse."""
     if "== Final Plan ==" in plan:
-        tree = plan.split("== Final Plan ==", 1)[1].split(
-            "== Initial Plan ==", 1
-        )[0]
         # one node per tree line; the node NAME is the first word after the
         # tree art and the id is the first '(N)' on the line.  A word-pair
         # regex would misparse multi-word refs — 'Scan parquet  (1)',
         # 'BroadcastHashJoin Inner BuildRight (6)' — dropping scans or
         # attributing the join to 'BuildRight'
         pairs = []
-        for line in tree.splitlines():
-            mid = re.search(r"\((\d+)\)", line)
-            mname = re.match(r"[\s+\-:*]*([A-Za-z]+)", line)
-            if mid and mname:
-                pairs.append((mname.group(1), mid.group(1)))
+        for section in plan.split("== Final Plan ==")[1:]:
+            tree = section.split("== Initial Plan ==", 1)[0]
+            for line in tree.splitlines():
+                mid = re.search(r"\((\d+)\)", line)
+                mname = re.match(r"[\s+\-:*]*([A-Za-z]+)", line)
+                if mid and mname:
+                    pairs.append((mname.group(1), mid.group(1)))
         nodes = [name for name, _ in pairs]
         final_ids = {i for _, i in pairs}
         blocks = re.split(r"^\((\d+)\) ", plan, flags=re.MULTILINE)
@@ -100,6 +103,84 @@ def audit_plan(plan: str) -> dict[str, object]:
         + n("FlatMapGroupsInPandas") + n("FlatMapGroupsInPandasWithState"),
         "topk": "TakeOrderedAndProject" in detail_text,
     }
+
+
+def audit_tree(tree: str) -> dict[str, object]:
+    """Operator counts from a plain ``SparkPlan.toString`` tree (the
+    materialization pipelines are captured as the cached plan's executed
+    AdaptiveSparkPlan dump, not a formatted explain).  Only the Final Plan
+    section is counted — the dump appends the Initial Plan for reference,
+    and counting both would double every exchange AQE kept."""
+    final = tree.split("== Initial Plan ==", 1)[0]
+
+    def c(pat: str) -> int:
+        return len(re.findall(pat, final))
+
+    return {
+        # \bExchange\b does not match BroadcastExchange/ReusedExchange
+        "exchanges": c(r"\bExchange\b"),
+        "broadcasts": c(r"\bBroadcastHashJoin\b|\bBroadcastNestedLoopJoin\b"),
+        "smj": c(r"\bSortMergeJoin\b"),
+        "scans": c(r"\bScan parquet\b|\bFileScan\b|\bScan ExistingRDD\b"),
+        "cache_reads": c(r"\bInMemoryTableScan\b"),
+        "python": c(
+            r"\bMapInPandas\b|\bArrowEvalPython\b|\bFlatMapGroupsInPandas\b"
+        ),
+        "finalized": "isFinalPlan=true" in tree,
+    }
+
+
+def _cached_plan_string(df) -> str | None:
+    """The EXECUTED plan of the pipeline that filled ``df``'s cache.
+
+    After materialize_release's count(), the frame's executed plan is an
+    InMemoryTableScan whose InMemoryRelation holds the cached plan — an
+    AdaptiveSparkPlanExec that the cache fill ran to completion, so its
+    toString is the final (isFinalPlan=true) form of the real work.  The
+    walk descends py4j children plus AdaptiveSparkPlanExec's current plan
+    (not a child field)."""
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if "InMemoryTableScan" in cls:
+            return node
+        ch = node.children()
+        for i in range(ch.size()):
+            r = walk(ch.apply(i))
+            if r is not None:
+                return r
+        if cls == "AdaptiveSparkPlanExec":
+            return walk(node.executedPlan())
+        return None
+
+    try:
+        scan = walk(df._jdf.queryExecution().executedPlan())
+        if scan is None:
+            return None
+        return scan.relation().cachedPlan().toString()
+    except Exception:  # noqa: BLE001 — audit-only; never break the query
+        return None
+
+
+def materialization_section(rows: list[str]) -> list[str]:
+    return [
+        "",
+        "## Materialization pipelines (dedup / curation / near-dup)",
+        "",
+        "Queries that go through `session.materialize_release` answer from "
+        "a small result cache, so their main-table row describes only the "
+        "terminal cache-read job.  These rows audit the EXECUTED plan of "
+        "the pipeline that filled the cache (captured via "
+        "`session.MATERIALIZATION_OBSERVER` as the cached plan's final "
+        "adaptive form) — the job where the real exchanges live.  "
+        "`cache reads` are persisted intermediates (shingle sets, bucket "
+        "tables) consumed by the pipeline's self-joins.",
+        "",
+        "| query | pipeline | exchanges | broadcast joins | SMJ | "
+        "parquet scans | cache reads | python stages | finalized |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+        *rows,
+    ]
 
 
 def bucketed_layout_section(spark, sf_dir: str) -> list[str]:
@@ -224,17 +305,36 @@ def main() -> None:
         "(operator counts parsed from the FINAL adaptive plan of an "
         "executed run — AQE runtime re-planning included).  Queries that "
         "materialize their result (dedup, curation: materialize_release "
-        "caches the answer) report the final cache-read plan here, so "
-        "their operator counts describe the terminal job; the heavy "
-        "pipeline runs in the materialization and shows up in the byte "
-        "columns, which also attribute some scan bytes to the cache-fill "
-        "job.  Shuffle bytes are complete.",
+        "caches the answer) report the terminal cache-read job in THIS "
+        "table; the pipeline that actually does the work is audited "
+        "separately in the 'Materialization pipelines' section below.  "
+        "Shuffle bytes here are complete (they include the cache fill).",
         "",
         "| query | scans | cols read | pushed filters | exchanges | broadcast | SMJ | codegen spans | python stages | top-k | scan MiB | shuffle MiB | rows |",
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
+    import bigdatastructure_a5_spark.session as _session
+
+    mat_rows: list[str] = []
     for name, qd in sorted(REGISTRY.items()):
-        df = qd.builder(spark, sf_dir)
+        captures: list[str] = []
+        _session.MATERIALIZATION_OBSERVER = lambda df, c=captures: c.append(
+            _cached_plan_string(df)
+        )
+        try:
+            df = qd.builder(spark, sf_dir)
+        finally:
+            _session.MATERIALIZATION_OBSERVER = None
+        for i, tree in enumerate(captures):
+            if tree is None:
+                mat_rows.append(f"| {name} | {i} | (capture failed) |")
+                continue
+            t = audit_tree(tree)
+            mat_rows.append(
+                f"| {name} | {i} | {t['exchanges']} | {t['broadcasts']} | "
+                f"{t['smj']} | {t['scans']} | {t['cache_reads']} | "
+                f"{t['python']} | {'yes' if t['finalized'] else 'NO'} |"
+            )
         qm = run_with_metrics(spark, df, name)
         # collect() executes the DataFrame's OWN QueryExecution, so the
         # explain below prints the FINAL adaptive plan (isFinalPlan=true —
@@ -254,6 +354,8 @@ def main() -> None:
             f"{qm.scanned_bytes / 2**20:.2f} | {qm.shuffle_bytes / 2**20:.3f} | "
             f"{int(qm.output_rows)} |"
         )
+    if mat_rows:
+        lines.extend(materialization_section(mat_rows))
     lines.extend(bucketed_layout_section(spark, sf_dir))
     out = Path(__file__).resolve().parent.parent / "PLAN_AUDIT.md"
     out.write_text("\n".join(lines) + "\n")

@@ -1,0 +1,120 @@
+"""Synthetic x10 fixture builder for the full-registry scale gate.
+
+VERDICT r4 item 4: the oracle gate must run one scale up for EVERY query
+family, not only the dedup/ANN experiments.  This tool materializes a x10
+copy of a driver fixture directory as plain parquet with the SAME table
+names, so `tools/check_correctness.py x10` can point both Spark and the
+DuckDB oracle at identical scaled inputs — the comparison machinery is
+unchanged, only the data grows.
+
+Construction (key-consistent replication):
+- region/nation stay single-copy: they are true dimensions whose keys are
+  never shifted, exactly like a 100 TB warehouse where dims stay small.
+- Every other table is replicated 10x with copy c shifting its OWN keys and
+  its FOREIGN keys into scaled tables by c * OFFSET (customer/supplier/part/
+  orders/lineitem/events/documents/embeddings) — referential integrity
+  holds within each copy, so joins really do 10x their matches.
+- documents keep their text verbatim: copies are EXACT duplicates, which is
+  deliberate stress for the dedup family (each doc gains >= 9 near-dups).
+- embeddings rotate the vector by c positions per copy (norm-preserving):
+  identical vectors would create cosine TIES that no fixture scale has,
+  turning a determinism question into a data artifact; rotation keeps the
+  corpus spread while both engines still read the same parquet.
+
+The scaled directory is content-addressed by the base dir's file sizes +
+mtimes and cached under /tmp, so repeat gate runs skip the build.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+#: Key shift per copy — far above any fixture key domain, well inside int64.
+OFFSET = 1_000_000_000
+
+#: Tables replicated 10x -> the key columns shifted by copy * OFFSET.
+#: region/nation are intentionally absent (single-copy dimensions).
+SHIFT_COLS: dict[str, tuple[str, ...]] = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+DIM_TABLES = ("region", "nation")
+
+
+def _fingerprint(base_dir: str) -> str:
+    h = hashlib.md5()
+    for name in sorted(os.listdir(base_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        st = os.stat(os.path.join(base_dir, name))
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
+def _rotate_lists(col: pa.ChunkedArray, k: int) -> pa.Array:
+    """Rotate each list element left by k (pure python — fixture-sized)."""
+    out = []
+    for chunk in col.chunks:
+        for v in chunk.to_pylist():
+            out.append(v[k % len(v):] + v[: k % len(v)] if v else v)
+    return pa.array(out, type=col.type)
+
+
+def ensure_x10(base_dir: str, copies: int = 10) -> str:
+    """Build (or reuse) the x10 directory for ``base_dir``; returns its path."""
+    tag = _fingerprint(base_dir)
+    out_dir = Path(f"/tmp/bds_x{copies}_{Path(base_dir).name}_{tag}")
+    marker = out_dir / "_COMPLETE"
+    if marker.exists():
+        return str(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    for t in DIM_TABLES:
+        src = Path(base_dir) / f"{t}.parquet"
+        if src.exists():
+            pq.write_table(pq.read_table(src), out_dir / f"{t}.parquet")
+
+    for t, keys in SHIFT_COLS.items():
+        src = Path(base_dir) / f"{t}.parquet"
+        if not src.exists():
+            continue
+        base = pq.read_table(src)
+        parts = []
+        for c in range(copies):
+            tbl = base
+            for k in keys:
+                i = tbl.schema.get_field_index(k)
+                shifted = pc.add(tbl.column(k), pa.scalar(c * OFFSET))
+                tbl = tbl.set_column(i, tbl.schema.field(i), shifted)
+            if t == "embeddings" and c > 0:
+                i = tbl.schema.get_field_index("embedding")
+                tbl = tbl.set_column(
+                    i,
+                    tbl.schema.field(i),
+                    _rotate_lists(tbl.column("embedding"), c),
+                )
+            parts.append(tbl)
+        pq.write_table(pa.concat_tables(parts), out_dir / f"{t}.parquet")
+
+    marker.write_text("ok\n")
+    return str(out_dir)
+
+
+if __name__ == "__main__":
+    import sys
+
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    print(ensure_x10(base))
