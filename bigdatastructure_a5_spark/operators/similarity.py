@@ -337,7 +337,9 @@ def cosine_pairs_lsh(
     ``log2(n) - 5`` keeps ~2^5 vectors per bucket and the candidate
     count linear in n.  ``n_planes=None`` (the default) applies that
     rule automatically via :func:`auto_planes` from the corpus row count
-    (one parquet-footer-cheap count job); at the <=500-row gate fixtures
+    (one count job — parquet-footer-cheap on a stored corpus; on a DERIVED
+    frame it executes the upstream once, so persist the input or pass
+    n_planes explicitly there); at the <=500-row gate fixtures
     it resolves to the old fixed 4, and at 10x it grows the bucket space
     ahead of n instead of letting the 16-bucket tables saturate into a
     near-all-pairs self-join (candidates/vec grew 102 -> 4114 in the
