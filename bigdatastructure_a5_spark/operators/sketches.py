@@ -75,14 +75,26 @@ def countmin_estimate(
     estimates are unchanged.
 
     Extra columns on ``keys`` are carried through to the output (they ride
-    the explode and become additional group keys — per-key constants, so
-    grouping by them is free).  That lets a caller probe with an aggregate
-    it already has (e.g. exact counts) WITHOUT referencing that aggregate
+    the explode and become additional group keys — they must be PER-KEY
+    CONSTANTS, e.g. the columns of an aggregate keyed on ``key_col``;
+    non-constant extras would split one key's estimate into one row per
+    distinct combination).  That lets a caller probe with an aggregate it
+    already has (e.g. exact counts) WITHOUT referencing that aggregate
     twice in the DAG: a second reference is not deduplicated by Catalyst
     once column pruning specializes the copies, and costs a second scan of
     the fact table."""
     key = F.col(key_col)
     passthrough = [c for c in keys.columns if c != key_col]
+    clash = {"d", "cell", "cnt", "est"}.intersection(passthrough)
+    if clash:
+        # 'd'/'cell' collide with the exploded probe struct, 'cnt' with the
+        # sketch's count column (the coalesce below would be ambiguous),
+        # 'est' with the output — loud beats a confusing analysis error
+        raise ValueError(
+            f"countmin_estimate probe columns {sorted(clash)} collide with "
+            "the sketch's internal names (d, cell, cnt, est); rename them "
+            "before probing"
+        )
     kc = keys.select(
         *keys.columns,
         F.explode(

@@ -137,7 +137,9 @@ def test_orc_roundtrip_pushdown_and_conversion(spark, tmp_path_factory):
     assert out.count() == 3 and out.schema == src.schema
 
 
-def test_orc_twin_of_registry_agg_pricing_summary(spark, sf_dir):
+def test_orc_twin_of_registry_agg_pricing_summary(
+    spark, sf_dir, tmp_path_factory
+):
     """ORC twin of a GATE query (VERDICT r4 item 8): the registry's
     `agg_pricing_summary` over parquet vs the identical logical query over
     an ORC copy of lineitem must return bit-identical rows — evidence that
@@ -154,8 +156,6 @@ def test_orc_twin_of_registry_agg_pricing_summary(spark, sf_dir):
     parquet_df = REGISTRY["agg_pricing_summary"].builder(spark, sf_dir)
     want = sorted(map(tuple, parquet_df.collect()))
 
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from bigdatastructure_a5_spark.catalog import load_table
@@ -166,7 +166,7 @@ def test_orc_twin_of_registry_agg_pricing_summary(spark, sf_dir):
     from bigdatastructure_a5_spark.operators.aggregates import group_agg
     from bigdatastructure_a5_spark.queries.parity import _revenue_dec
 
-    path = tempfile.mkdtemp(prefix="orc_twin_") + "/lineitem"
+    path = str(tmp_path_factory.mktemp("orc_twin") / "lineitem")
     write_orc(load_table(spark, sf_dir, "lineitem"), path)
     li = read_orc(spark, path)
     got = sorted(

@@ -54,26 +54,54 @@ def audit_plan(plan: str) -> dict[str, object]:
     ReadSchema, codegen ids) from only the detail blocks the final tree
     references.  Counting all detail entries would double-count whatever
     AQE re-planned; counting only pre-'Initial Plan' text would miss the
-    details entirely.  A plan can hold SEVERAL Final Plan sections — each
-    adaptively-executed subquery prints its own AdaptiveSparkPlan with its
-    own Final/Initial pair — so every '== Final Plan ==' occurrence is
-    parsed and their node sets unioned (parsing only the first would drop
-    the subquery subtrees' operators).  Non-adaptive plans (no Final Plan
-    marker) keep the plain detail-entry parse."""
+    details entirely.
+
+    Two structural hazards handled by the stateful line scan:
+    - SEVERAL Final Plan sections: each adaptively-executed subquery
+      prints its own AdaptiveSparkPlan with its own Final/Initial pair;
+      all final sections are unioned (parsing only the first would drop
+      the subquery subtrees' operators).
+    - CACHED queries: the tree expands every InMemoryRelation's cached
+      AdaptiveSparkPlan INLINE (same id numbering space, its own nested
+      Final/Initial markers, repeated at every read site).  Those
+      subtrees are the materialization pipelines — audited separately by
+      `_materialization_audits` — so everything indented under an
+      InMemoryRelation line is skipped here, keeping this parse true to
+      the header's 'terminal job' claim and immune to the double-print of
+      a cache read twice.
+
+    Node names are the first word of the line body ('Scan parquet  (1)',
+    'BroadcastHashJoin Inner BuildRight (6)' — a word-pair regex would
+    drop scans or attribute the join to 'BuildRight'); the id must END
+    the line so expression text's mid-line '(32)' tokens never match.
+    Non-adaptive plans (no Final Plan marker) keep the plain
+    detail-entry parse."""
     if "== Final Plan ==" in plan:
-        # one node per tree line; the node NAME is the first word after the
-        # tree art and the id is the first '(N)' on the line.  A word-pair
-        # regex would misparse multi-word refs — 'Scan parquet  (1)',
-        # 'BroadcastHashJoin Inner BuildRight (6)' — dropping scans or
-        # attributing the join to 'BuildRight'
-        pairs = []
-        for section in plan.split("== Final Plan ==")[1:]:
-            tree = section.split("== Initial Plan ==", 1)[0]
-            for line in tree.splitlines():
-                mid = re.search(r"\((\d+)\)", line)
-                mname = re.match(r"[\s+\-:*]*([A-Za-z]+)", line)
-                if mid and mname:
-                    pairs.append((mname.group(1), mid.group(1)))
+        pairs: set[tuple[str, str]] = set()
+        in_final = False
+        skip_pos = None  # indent of the InMemoryRelation being skipped
+        for line in plan.splitlines():
+            body = line.lstrip(" :+-*")
+            pos = len(line) - len(body)
+            if skip_pos is not None:
+                if pos > skip_pos:
+                    continue  # inside a cached-plan expansion
+                skip_pos = None
+            if "== Final Plan ==" in line:
+                in_final = True
+                continue
+            if "== Initial Plan ==" in line:
+                in_final = False
+                continue
+            mid = re.search(r"\((\d+)\)\s*$", line)
+            mname = re.match(r"([A-Za-z]+)", body)
+            if mname and mname.group(1) == "InMemoryRelation":
+                # start skipping REGARDLESS of in_final: an expansion
+                # inside the initial tree would otherwise flip in_final
+                # back on via its nested '== Final Plan ==' marker
+                skip_pos = pos
+            if in_final and mid and mname:
+                pairs.add((mname.group(1), mid.group(1)))
         nodes = [name for name, _ in pairs]
         final_ids = {i for _, i in pairs}
         blocks = re.split(r"^\((\d+)\) ", plan, flags=re.MULTILINE)
@@ -105,61 +133,115 @@ def audit_plan(plan: str) -> dict[str, object]:
     }
 
 
-def audit_tree(tree: str) -> dict[str, object]:
-    """Operator counts from a plain ``SparkPlan.toString`` tree (the
-    materialization pipelines are captured as the cached plan's executed
-    AdaptiveSparkPlan dump, not a formatted explain).  Only the Final Plan
-    section is counted — the dump appends the Initial Plan for reference,
-    and counting both would double every exchange AQE kept."""
-    final = tree.split("== Initial Plan ==", 1)[0]
-
-    def c(pat: str) -> int:
-        return len(re.findall(pat, final))
-
-    return {
-        # \bExchange\b does not match BroadcastExchange/ReusedExchange
-        "exchanges": c(r"\bExchange\b"),
-        "broadcasts": c(r"\bBroadcastHashJoin\b|\bBroadcastNestedLoopJoin\b"),
-        "smj": c(r"\bSortMergeJoin\b"),
-        "scans": c(r"\bScan parquet\b|\bFileScan\b|\bScan ExistingRDD\b"),
-        "cache_reads": c(r"\bInMemoryTableScan\b"),
-        "python": c(
-            r"\bMapInPandas\b|\bArrowEvalPython\b|\bFlatMapGroupsInPandas\b"
-        ),
-        "finalized": "isFinalPlan=true" in tree,
-    }
+#: Physical-node classes -> audit columns for the materialization walk.
+_PY_STAGE_CLASSES = (
+    "MapInPandasExec",
+    "ArrowEvalPythonExec",
+    "FlatMapGroupsInPandasExec",
+    "FlatMapGroupsInPandasWithStateExec",
+    "BatchEvalPythonExec",
+)
 
 
-def _cached_plan_string(df) -> str | None:
-    """The EXECUTED plan of the pipeline that filled ``df``'s cache.
-
-    After materialize_release's count(), the frame's executed plan is an
-    InMemoryTableScan whose InMemoryRelation holds the cached plan — an
-    AdaptiveSparkPlanExec that the cache fill ran to completion, so its
-    toString is the final (isFinalPlan=true) form of the real work.  The
-    walk descends py4j children plus AdaptiveSparkPlanExec's current plan
-    (not a child field)."""
+def _count_nodes(root) -> dict[str, int]:
+    """Operator counts by walking the ACTUAL physical-plan node tree over
+    py4j — no string parsing, so nested InMemoryRelation dumps (whose
+    toString embeds entire other pipelines) cannot pollute the counts.
+    Wrapper nodes are descended through (AdaptiveSparkPlanExec via its
+    current plan, QueryStage wrappers via .plan()); Reused* nodes are
+    counted but not descended (their subtree already ran once elsewhere)."""
+    counts: dict[str, int] = {}
 
     def walk(node):
         cls = node.getClass().getSimpleName()
-        if "InMemoryTableScan" in cls:
-            return node
+        counts[cls] = counts.get(cls, 0) + 1
+        if cls.startswith("Reused"):
+            return
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
         ch = node.children()
         for i in range(ch.size()):
-            r = walk(ch.apply(i))
-            if r is not None:
-                return r
-        if cls == "AdaptiveSparkPlanExec":
-            return walk(node.executedPlan())
-        return None
+            walk(ch.apply(i))
 
+    walk(root)
+    return counts
+
+
+def _summarize_counts(counts: dict[str, int]) -> dict[str, object]:
+    def c(*names: str) -> int:
+        return sum(counts.get(n, 0) for n in names)
+
+    return {
+        "exchanges": c("ShuffleExchangeExec"),
+        "bcast_ex": c("BroadcastExchangeExec"),
+        "bhj": c("BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"),
+        "smj": c("SortMergeJoinExec"),
+        "scans": c("FileSourceScanExec", "BatchScanExec"),
+        "cache_reads": c("InMemoryTableScanExec"),
+        "python": c(*_PY_STAGE_CLASSES),
+        "finalized": counts.get("AdaptiveSparkPlanExec", 0) == 0
+        or counts.get("ResultQueryStageExec", 0) > 0,
+    }
+
+
+def _materialization_audits(df) -> list[tuple[str, dict[str, object]]]:
+    """Audit every pipeline behind ``df``'s cache: the result-filling plan
+    itself, plus (recursively) the cached plan of each persisted
+    INTERMEDIATE it reads — multi-pass operators (minhash, jaccard,
+    curation) put the heavy joins in those intermediate fills, so auditing
+    only the outermost plan would still hide the real exchanges.  Each
+    cached plan is an AdaptiveSparkPlanExec the cache fill ran to
+    completion (final form).  Returns (label, summary) pairs, outermost
+    first; deduped by structural hashCode so a cache read twice (e.g. a
+    self-join's two sides) is audited once."""
+
+    def find_scans(node, acc):
+        cls = node.getClass().getSimpleName()
+        if "InMemoryTableScan" in cls:
+            acc.append(node)
+            return
+        if cls == "AdaptiveSparkPlanExec":
+            find_scans(node.executedPlan(), acc)
+            return
+        if cls.endswith("QueryStageExec"):
+            find_scans(node.plan(), acc)
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            find_scans(ch.apply(i), acc)
+
+    out: list[tuple[str, dict[str, object]]] = []
+    seen: set[int] = set()
     try:
-        scan = walk(df._jdf.queryExecution().executedPlan())
-        if scan is None:
-            return None
-        return scan.relation().cachedPlan().toString()
+        roots = []
+        find_scans(df._jdf.queryExecution().executedPlan(), roots)
+        if not roots:
+            return []
+        frontier = [("result", roots[0].relation().cachedPlan())]
+        depth = 0
+        while frontier and depth < 6:  # cycle/bug backstop
+            nxt = []
+            for label, plan in frontier:
+                h = plan.hashCode()
+                if h in seen:
+                    continue
+                seen.add(h)
+                out.append((label, _summarize_counts(_count_nodes(plan))))
+                inner: list = []
+                find_scans(plan, inner)
+                for j, scan in enumerate(inner):
+                    nxt.append(
+                        (f"{label}>cache{j}", scan.relation().cachedPlan())
+                    )
+            frontier = nxt
+            depth += 1
     except Exception:  # noqa: BLE001 — audit-only; never break the query
-        return None
+        return [("capture-failed", None)]
+    return out
 
 
 def materialization_section(rows: list[str]) -> list[str]:
@@ -169,16 +251,20 @@ def materialization_section(rows: list[str]) -> list[str]:
         "",
         "Queries that go through `session.materialize_release` answer from "
         "a small result cache, so their main-table row describes only the "
-        "terminal cache-read job.  These rows audit the EXECUTED plan of "
-        "the pipeline that filled the cache (captured via "
-        "`session.MATERIALIZATION_OBSERVER` as the cached plan's final "
-        "adaptive form) — the job where the real exchanges live.  "
-        "`cache reads` are persisted intermediates (shingle sets, bucket "
-        "tables) consumed by the pipeline's self-joins.",
+        "terminal cache-read job.  These rows audit the EXECUTED plans "
+        "that filled the caches (captured via "
+        "`session.MATERIALIZATION_OBSERVER`, counted by walking the "
+        "physical node tree — no string parsing): the `result` row is the "
+        "final cache-filling plan, and each `>cacheN` row is the pipeline "
+        "behind a persisted INTERMEDIATE it reads (shingle sets, bucket "
+        "tables, dropped-id sets) — multi-pass operators put the heavy "
+        "joins there.  All plans ran to completion, so counts are final "
+        "adaptive form.",
         "",
-        "| query | pipeline | exchanges | broadcast joins | SMJ | "
-        "parquet scans | cache reads | python stages | finalized |",
-        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+        "| query | pipeline | shuffle exchanges | broadcast exchanges | "
+        "broadcast joins | SMJ | parquet scans | cache reads | "
+        "python stages | finalized |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
         *rows,
     ]
 
@@ -317,23 +403,25 @@ def main() -> None:
 
     mat_rows: list[str] = []
     for name, qd in sorted(REGISTRY.items()):
-        captures: list[str] = []
-        _session.MATERIALIZATION_OBSERVER = lambda df, c=captures: c.append(
-            _cached_plan_string(df)
+        captures: list[tuple[str, dict | None]] = []
+        _session.MATERIALIZATION_OBSERVER = lambda df, c=captures: c.extend(
+            _materialization_audits(df)
         )
         try:
             df = qd.builder(spark, sf_dir)
         finally:
             _session.MATERIALIZATION_OBSERVER = None
-        for i, tree in enumerate(captures):
-            if tree is None:
-                mat_rows.append(f"| {name} | {i} | (capture failed) |")
+        for label, t in captures:
+            if t is None:
+                mat_rows.append(
+                    f"| {name} | {label} | - | - | - | - | - | - | - | - |"
+                )
                 continue
-            t = audit_tree(tree)
             mat_rows.append(
-                f"| {name} | {i} | {t['exchanges']} | {t['broadcasts']} | "
-                f"{t['smj']} | {t['scans']} | {t['cache_reads']} | "
-                f"{t['python']} | {'yes' if t['finalized'] else 'NO'} |"
+                f"| {name} | {label} | {t['exchanges']} | {t['bcast_ex']} | "
+                f"{t['bhj']} | {t['smj']} | {t['scans']} | "
+                f"{t['cache_reads']} | {t['python']} | "
+                f"{'yes' if t['finalized'] else 'NO'} |"
             )
         qm = run_with_metrics(spark, df, name)
         # collect() executes the DataFrame's OWN QueryExecution, so the

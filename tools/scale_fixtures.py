@@ -56,6 +56,11 @@ DIM_TABLES = ("region", "nation")
 
 def _fingerprint(base_dir: str) -> str:
     h = hashlib.md5()
+    # the GENERATOR is part of the cache key: editing OFFSET/SHIFT_COLS/the
+    # rotation (or anything else in this file) must invalidate cached
+    # fixtures, or the scale gate would silently run against data built by
+    # the old construction
+    h.update(Path(__file__).read_bytes())
     for name in sorted(os.listdir(base_dir)):
         if not name.endswith(".parquet"):
             continue
@@ -76,11 +81,19 @@ def _rotate_lists(col: pa.ChunkedArray, k: int) -> pa.Array:
 def ensure_x10(base_dir: str, copies: int = 10) -> str:
     """Build (or reuse) the x10 directory for ``base_dir``; returns its path."""
     tag = _fingerprint(base_dir)
-    out_dir = Path(f"/tmp/bds_x{copies}_{Path(base_dir).name}_{tag}")
-    marker = out_dir / "_COMPLETE"
+    final_dir = Path(f"/tmp/bds_x{copies}_{Path(base_dir).name}_{tag}")
+    marker = final_dir / "_COMPLETE"
     if marker.exists():
-        return str(out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
+        return str(final_dir)
+    # build into a process-private staging dir, then atomically rename:
+    # two concurrent gate runs can both build, but neither ever reads a
+    # half-written table (the loser of the rename race just reuses the
+    # winner's directory)
+    import tempfile
+
+    out_dir = Path(
+        tempfile.mkdtemp(prefix=f"{final_dir.name}_build_", dir="/tmp")
+    )
 
     for t in DIM_TABLES:
         src = Path(base_dir) / f"{t}.parquet"
@@ -109,8 +122,23 @@ def ensure_x10(base_dir: str, copies: int = 10) -> str:
             parts.append(tbl)
         pq.write_table(pa.concat_tables(parts), out_dir / f"{t}.parquet")
 
-    marker.write_text("ok\n")
-    return str(out_dir)
+    (out_dir / "_COMPLETE").write_text("ok\n")
+    import shutil
+
+    try:
+        os.rename(out_dir, final_dir)
+    except OSError:
+        if not marker.exists():
+            # a stale half-built final_dir (crashed run, no marker): replace
+            shutil.rmtree(final_dir, ignore_errors=True)
+            try:
+                os.rename(out_dir, final_dir)
+                return str(final_dir)
+            except OSError:
+                pass
+        # another process won the race with an identical build; use theirs
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return str(final_dir)
 
 
 if __name__ == "__main__":
