@@ -247,6 +247,22 @@ def auto_planes(n_rows: int) -> int:
     return max(4, math.ceil(math.log2(max(int(n_rows), 2))) - 5)
 
 
+def _estimated_rows(df: DataFrame) -> int | None:
+    """Optimizer row-count estimate, or None when Catalyst doesn't have one
+    (rowCount is only defined with CBO stats, e.g. after ANALYZE TABLE).
+    auto_planes needs log2-order accuracy only, so an estimate is as good
+    as an exact count — and unlike ``df.count()`` it costs NO job, which
+    matters when the input is an unpersisted derived frame whose count
+    would re-execute the whole upstream pipeline."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:  # estimate machinery unavailable -> caller counts
+        return None
+    return None
+
+
 def with_lsh_buckets(
     df: DataFrame,
     signs: list[list[list[float]]],
@@ -366,7 +382,8 @@ def cosine_pairs_lsh(
             [], "id_a bigint, id_b bigint, cosine double"
         )
     if n_planes is None:
-        n_planes = auto_planes(embeddings.count())
+        est = _estimated_rows(embeddings)
+        n_planes = auto_planes(est if est is not None else embeddings.count())
     signs = rademacher_signs(n_tables, n_planes, len(first[0]), seed)
     bucketed = with_lsh_buckets(ensure_min_partitions(embeddings), signs, vec_col)
     melted = bucketed.select(

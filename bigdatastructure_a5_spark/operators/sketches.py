@@ -85,7 +85,9 @@ def countmin_estimate(
     the fact table."""
     key = F.col(key_col)
     passthrough = [c for c in keys.columns if c != key_col]
-    clash = {"d", "cell", "cnt", "est"}.intersection(passthrough)
+    # checked against ALL probe columns including key_col itself — a key
+    # named 'd'/'cell' would duplicate the exploded probe struct's columns
+    clash = {"d", "cell", "cnt", "est"}.intersection(keys.columns)
     if clash:
         # 'd'/'cell' collide with the exploded probe struct, 'cnt' with the
         # sketch's count column (the coalesce below would be ambiguous),

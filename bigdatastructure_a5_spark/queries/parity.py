@@ -213,7 +213,13 @@ def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped sums/averages/counts with exact (order-independent) numerics."""
-    li = load_table(spark, sf_dir, "lineitem")
+    return pricing_summary_over(load_table(spark, sf_dir, "lineitem"))
+
+
+def pricing_summary_over(li: DataFrame) -> DataFrame:
+    """The agg_pricing_summary aggregation body over an arbitrary lineitem
+    frame — shared with the ORC-twin connector test so the twin can't drift
+    from the registry query it claims to mirror."""
     return group_agg(
         li,
         ["l_returnflag", "l_linestatus"],

@@ -923,7 +923,11 @@ def curate_documents(
         if max_broadcast_drop_ids is None
         else max_broadcast_drop_ids
     )
-    if dropped.count() <= limit:
+    # limit <= 0 disables the hint outright (and short-circuits the count
+    # job — the anti-join's own action fills the persisted cache instead);
+    # without the guard an EMPTY dropped set would satisfy `0 <= 0` and
+    # broadcast anyway, breaking the documented force-shuffle override.
+    if limit > 0 and dropped.count() <= limit:
         dropped = F.broadcast(dropped)
     curated = kept.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "n_tokens", "quality"

@@ -156,36 +156,11 @@ def test_orc_twin_of_registry_agg_pricing_summary(
     parquet_df = REGISTRY["agg_pricing_summary"].builder(spark, sf_dir)
     want = sorted(map(tuple, parquet_df.collect()))
 
-    from pyspark.sql import functions as F
-
     from bigdatastructure_a5_spark.catalog import load_table
-    from bigdatastructure_a5_spark.functions.numeric import (
-        dec_sum_double,
-        det_avg,
-    )
-    from bigdatastructure_a5_spark.operators.aggregates import group_agg
-    from bigdatastructure_a5_spark.queries.parity import _revenue_dec
+    from bigdatastructure_a5_spark.queries.parity import pricing_summary_over
 
     path = str(tmp_path_factory.mktemp("orc_twin") / "lineitem")
     write_orc(load_table(spark, sf_dir, "lineitem"), path)
     li = read_orc(spark, path)
-    got = sorted(
-        map(
-            tuple,
-            group_agg(
-                li,
-                ["l_returnflag", "l_linestatus"],
-                [
-                    dec_sum_double("l_quantity").alias("sum_qty"),
-                    dec_sum_double("l_extendedprice").alias("sum_base_price"),
-                    F.sum(_revenue_dec()).cast("double").alias(
-                        "sum_disc_price"
-                    ),
-                    det_avg("l_quantity").alias("avg_qty"),
-                    det_avg("l_extendedprice").alias("avg_price"),
-                    F.count(F.lit(1)).alias("count_order"),
-                ],
-            ).collect(),
-        )
-    )
+    got = sorted(map(tuple, pricing_summary_over(li).collect()))
     assert got == want and len(got) > 0

@@ -188,3 +188,16 @@ def test_countmin_sketch_guarantees(spark, sf_dir):
         F2.avg("exact_cnt").alias("mean_exact"),
     ).first()
     assert row.mean_over <= max(1.0, 0.5 * row.mean_exact)
+
+    # the internal-name guard covers passthrough columns AND the key
+    # itself: a key named 'cell' would duplicate the probe struct's columns
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        countmin_estimate(
+            sketch, keys.withColumnRenamed("o_custkey", "cell"), "cell"
+        )
+    with pytest.raises(ValueError, match="collide"):
+        countmin_estimate(
+            sketch, keys.withColumn("est", F2.lit(1)), "o_custkey"
+        )

@@ -141,7 +141,9 @@ def test_curation_broadcast_gate_both_regimes(spark):
         # without this the second run would silently REUSE the first run's
         # cached result and show its plan
         spark.catalog.clearCache()
-        gated = curate_documents(docs, max_broadcast_drop_ids=-1)
+        # 0 is the DOCUMENTED force-shuffle override — it must hold even
+        # when the dropped set is empty (0 <= 0 must not re-enable the hint)
+        gated = curate_documents(docs, max_broadcast_drop_ids=0)
         plan_gated = gated._jdf.queryExecution().executedPlan().toString()
         b = sorted(map(tuple, gated.collect()))
     finally:

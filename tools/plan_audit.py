@@ -143,35 +143,65 @@ _PY_STAGE_CLASSES = (
 )
 
 
+def _walk_physical(node, visit) -> None:
+    """THE py4j physical-tree descent, shared by every audit walk: calls
+    ``visit(cls, node)`` per node and stops descending a subtree when it
+    returns False.  Wrapper nodes are transparent — AdaptiveSparkPlanExec
+    descends via its current executed plan, QueryStage wrappers via
+    ``.plan()`` — and handled in exactly ONE place, so a new wrapper class
+    (as ResultQueryStageExec was in 4.x) needs patching here only."""
+    cls = node.getClass().getSimpleName()
+    if visit(cls, node) is False:
+        return
+    if cls == "AdaptiveSparkPlanExec":
+        _walk_physical(node.executedPlan(), visit)
+        return
+    if cls.endswith("QueryStageExec"):
+        _walk_physical(node.plan(), visit)
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        _walk_physical(ch.apply(i), visit)
+
+
 def _count_nodes(root) -> dict[str, int]:
     """Operator counts by walking the ACTUAL physical-plan node tree over
     py4j — no string parsing, so nested InMemoryRelation dumps (whose
     toString embeds entire other pipelines) cannot pollute the counts.
-    Wrapper nodes are descended through (AdaptiveSparkPlanExec via its
-    current plan, QueryStage wrappers via .plan()); Reused* nodes are
-    counted but not descended (their subtree already ran once elsewhere)."""
+    Reused* nodes are counted but not descended (their subtree already ran
+    once elsewhere)."""
     counts: dict[str, int] = {}
 
-    def walk(node):
-        cls = node.getClass().getSimpleName()
+    def visit(cls, _node):
         counts[cls] = counts.get(cls, 0) + 1
         if cls.startswith("Reused"):
-            return
-        if cls == "AdaptiveSparkPlanExec":
-            walk(node.executedPlan())
-            return
-        if cls.endswith("QueryStageExec"):
-            walk(node.plan())
-            return
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
+            return False
+        return True
 
-    walk(root)
+    _walk_physical(root, visit)
     return counts
 
 
-def _summarize_counts(counts: dict[str, int]) -> dict[str, object]:
+def _is_finalized(root) -> bool:
+    """Whether an adaptive plan ran to completion.  Primary signal is the
+    version-stable ``AdaptiveSparkPlanExec.isFinalPlan()`` (the same flag
+    formatted explain prints); fallback for a py4j surprise is the 4.x
+    structural heuristic (a ResultQueryStage at the root).  Non-adaptive
+    roots have no staging to finalize."""
+    if root.getClass().getSimpleName() != "AdaptiveSparkPlanExec":
+        return True
+    try:
+        return bool(root.isFinalPlan())
+    except Exception:  # noqa: BLE001 — audit-only fallback
+        return (
+            root.executedPlan().getClass().getSimpleName()
+            == "ResultQueryStageExec"
+        )
+
+
+def _summarize_counts(
+    counts: dict[str, int], finalized: bool
+) -> dict[str, object]:
     def c(*names: str) -> int:
         return sum(counts.get(n, 0) for n in names)
 
@@ -183,8 +213,7 @@ def _summarize_counts(counts: dict[str, int]) -> dict[str, object]:
         "scans": c("FileSourceScanExec", "BatchScanExec"),
         "cache_reads": c("InMemoryTableScanExec"),
         "python": c(*_PY_STAGE_CLASSES),
-        "finalized": counts.get("AdaptiveSparkPlanExec", 0) == 0
-        or counts.get("ResultQueryStageExec", 0) > 0,
+        "finalized": finalized,
     }
 
 
@@ -200,19 +229,13 @@ def _materialization_audits(df) -> list[tuple[str, dict[str, object]]]:
     self-join's two sides) is audited once."""
 
     def find_scans(node, acc):
-        cls = node.getClass().getSimpleName()
-        if "InMemoryTableScan" in cls:
-            acc.append(node)
-            return
-        if cls == "AdaptiveSparkPlanExec":
-            find_scans(node.executedPlan(), acc)
-            return
-        if cls.endswith("QueryStageExec"):
-            find_scans(node.plan(), acc)
-            return
-        ch = node.children()
-        for i in range(ch.size()):
-            find_scans(ch.apply(i), acc)
+        def visit(cls, n):
+            if "InMemoryTableScan" in cls:
+                acc.append(n)
+                return False
+            return True
+
+        _walk_physical(node, visit)
 
     out: list[tuple[str, dict[str, object]]] = []
     seen: set[int] = set()
@@ -230,7 +253,14 @@ def _materialization_audits(df) -> list[tuple[str, dict[str, object]]]:
                 if h in seen:
                     continue
                 seen.add(h)
-                out.append((label, _summarize_counts(_count_nodes(plan))))
+                out.append(
+                    (
+                        label,
+                        _summarize_counts(
+                            _count_nodes(plan), _is_finalized(plan)
+                        ),
+                    )
+                )
                 inner: list = []
                 find_scans(plan, inner)
                 for j, scan in enumerate(inner):
@@ -239,6 +269,10 @@ def _materialization_audits(df) -> list[tuple[str, dict[str, object]]]:
                     )
             frontier = nxt
             depth += 1
+        if frontier:
+            # backstop tripped: say so instead of silently dropping the
+            # deeper pipelines — the heavy joins could be exactly there
+            out.append((f"TRUNCATED at depth {depth} ({len(frontier)} more)", None))
     except Exception:  # noqa: BLE001 — audit-only; never break the query
         return [("capture-failed", None)]
     return out

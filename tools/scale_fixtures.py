@@ -128,16 +128,24 @@ def ensure_x10(base_dir: str, copies: int = 10) -> str:
     try:
         os.rename(out_dir, final_dir)
     except OSError:
-        if not marker.exists():
+        if marker.exists():
+            # another process won the race with an identical build; use theirs
+            shutil.rmtree(out_dir, ignore_errors=True)
+        else:
             # a stale half-built final_dir (crashed run, no marker): replace
             shutil.rmtree(final_dir, ignore_errors=True)
             try:
                 os.rename(out_dir, final_dir)
-                return str(final_dir)
             except OSError:
-                pass
-        # another process won the race with an identical build; use theirs
-        shutil.rmtree(out_dir, ignore_errors=True)
+                if marker.exists():
+                    # lost a second race, winner's build is complete
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                else:
+                    # a REAL rename failure (EXDEV, EACCES, ...): keep the
+                    # valid staging build on disk and surface the error —
+                    # swallowing it here would return a path that doesn't
+                    # exist and fail later with a confusing missing-table
+                    raise
     return str(final_dir)
 
 
