@@ -141,3 +141,107 @@ def test_matrix_dots_sql_matches_sequential_python_fold(spark, data, dim, j_tota
         for d in range(dim):
             acc += float(vec[d]) * float(cols[j][d])
         assert got[j] == acc, (j, got[j], acc, vec, cols[j])
+
+
+@given(
+    left=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # key
+            st.integers(min_value=0, max_value=20),  # time
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    right=st.dictionaries(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=20),
+        ),
+        st.integers(min_value=100, max_value=999),  # payload rid
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_python_reference(spark, left, right):
+    """operators.joins.asof_join (the union+window formulation) against an
+    INDEPENDENT pure-Python argmax over random key/time data — including
+    equal-timestamp ties (>= semantics: the exact-time right row attaches),
+    keys with no right rows, and left rows earlier than every right row.
+    The existing cross-check is Spark-vs-Spark; this one cannot share a
+    bug with the engine.  Right side is generated as a dict keyed by
+    (key, time), which IS the operator's dedup precondition."""
+    from datetime import datetime, timedelta
+
+    from bigdatastructure_a5_spark.operators.joins import asof_join
+
+    base = datetime(2024, 1, 1)
+    t = lambda m: base + timedelta(minutes=m)
+    left_rows = [(i, k, t(m)) for i, (k, m) in enumerate(left)]
+    right_rows = [(rid, k, t(m)) for (k, m), rid in sorted(right.items())]
+
+    ldf = spark.createDataFrame(left_rows, ["lid", "k", "t"])
+    rdf = spark.createDataFrame(
+        right_rows or [(0, 0, t(0))], ["rid", "k", "t"]
+    )
+    if not right_rows:
+        rdf = rdf.filter("rid < 0")  # honest empty right side
+
+    def expect(how):
+        out = {}
+        for lid, k, lt in left_rows:
+            cands = [
+                (rt, rid) for rid, rk, rt in right_rows
+                if rk == k and rt <= lt
+            ]
+            if cands:
+                out[lid] = max(cands)[1]
+            elif how == "left":
+                out[lid] = None
+        return out
+
+    for how in ("inner", "left"):
+        got = {
+            r.lid: r.r_rid
+            for r in asof_join(
+                ldf, rdf, "k", "t", "t", ["rid"], how=how
+            ).collect()
+        }
+        assert got == expect(how), (how, left_rows, right_rows)
+
+
+@given(
+    docs=st.lists(DOC.filter(lambda d: len(d.split()) >= 3),
+                  min_size=2, max_size=5),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_minhash_lsh_never_misses_exact_duplicates(spark, docs):
+    """The banded-LSH guarantee that makes MinHash dedup safe to trust at
+    100 TB: an EXACT duplicate pair (identical shingle sets -> identical
+    signatures -> every band collides) is a candidate with probability 1 —
+    recall loss applies only to partial overlaps.  Property: for random
+    docs with a planted copy of doc 0, the (0, copy) pair always surfaces
+    with jaccard exactly 1.0, regardless of banding."""
+    from bigdatastructure_a5_spark.operators.dedup import (
+        near_duplicates_minhash,
+    )
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    dup_id = len(docs)
+    rows.append((dup_id, docs[0]))  # planted exact duplicate of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_duplicates_minhash(
+            df, threshold=0.8, num_hashes=16, bands=4
+        ).collect()
+    }
+    assert pairs.get((0, dup_id)) == 1.0, (docs, pairs)
