@@ -7,16 +7,23 @@ the driver's value hash: exact string equality per cell).
 
 Usage:  python tools/check_correctness.py [sf_dir] [query ...]
 
-``sf_dir`` may also be ``x10`` or ``x10:<base_dir>`` (default base
-/root/testdata/sf0.01): the gate then runs on the synthetic 10x fixture
-set built by tools/scale_fixtures.py — same table names, 10x the fact
-rows with key-consistent copies — so every query family is oracle-checked
-one scale up (VERDICT r4 item 4), with Spark and DuckDB still reading
-identical parquet.
+``sf_dir`` may also be ``x<N>`` or ``x<N>:<base_dir>`` (default base
+/root/testdata/sf0.01): the gate then runs on a synthetic Nx fixture set
+built by tools/scale_fixtures.py — same table names, Nx the fact rows
+with key-consistent copies — so every query family is oracle-checked at
+scale (VERDICT r4 item 4 asked for x10; x100 works too), with Spark and
+DuckDB still reading identical parquet.
+
+Above x10 the five PAIR-ORACLE queries are skipped (printed as such):
+the Nx construction makes every document an N-way exact-duplicate group,
+so their DuckDB oracles enumerate C(N,2) pairs per group — quadratic in
+the copy count by design of the CHECK, not of the operators (whose
+candidate generation is measured flat to 100x in EXPERIMENTS §4–5).
 """
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -42,15 +49,33 @@ def _canon_rows(cols, rows):
     return sorted("|".join(_canon_cell(r[i]) for i in order) for r in rows)
 
 
+#: Oracles that enumerate duplicate PAIRS: under the xN construction every
+#: doc sits in an N-way exact-dup group, so the oracle side alone is
+#: O(N^2) per group.  Checked in full at x10; above that the check (not
+#: the operator) is the quadratic part, so these are skipped with a note.
+PAIR_ORACLE_QUERIES = {
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "neardup_embedding_cosine",
+    "pipeline_curation",
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    if sf_dir == "x10" or sf_dir.startswith("x10:"):
+    skip: set[str] = set()
+    m = re.fullmatch(r"x(\d+)(?::(.*))?", sf_dir)
+    if m:
         from scale_fixtures import ensure_x10
 
-        base = sf_dir[4:] or "/root/testdata/sf0.01"
-        sf_dir = ensure_x10(base)
-        print(f"x10 fixtures: {sf_dir}")
+        copies = int(m.group(1))
+        base = m.group(2) or "/root/testdata/sf0.01"
+        sf_dir = ensure_x10(base, copies=copies)
+        print(f"x{copies} fixtures: {sf_dir}")
+        if copies > 10:
+            skip = PAIR_ORACLE_QUERIES - only
 
     _load_all()
     spark = get_spark("correctness-check")
@@ -61,8 +86,14 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
+    skipped: set[str] = set()
     for name, qd in sorted(REGISTRY.items()):
         if only and name not in only:
+            continue
+        if name in skip:
+            skipped.add(name)
+            print(f"skip  {name}: pair-enumeration oracle is O(copies^2); "
+                  "checked in full at x10 (name it explicitly to force)")
             continue
         try:
             sdf = qd.builder(spark, sf_dir)
@@ -140,8 +171,11 @@ def main() -> int:
     if unknown:
         print(f"FAIL  unknown query name(s): {unknown}")
         failures.extend(unknown)
-    ran = len([n for n in REGISTRY if not only or n in only])
-    print(f"\n{ran - len(set(failures) - set(unknown))}/{ran} queries pass")
+    ran = len(
+        [n for n in REGISTRY if (not only or n in only) and n not in skipped]
+    )
+    tail = f" ({len(skipped)} pair-oracle queries skipped)" if skipped else ""
+    print(f"\n{ran - len(set(failures) - set(unknown))}/{ran} queries pass{tail}")
     return 1 if failures else 0
 
 

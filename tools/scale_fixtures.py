@@ -70,11 +70,26 @@ def _fingerprint(base_dir: str) -> str:
 
 
 def _rotate_lists(col: pa.ChunkedArray, k: int) -> pa.Array:
-    """Rotate each list element left by k (pure python — fixture-sized)."""
+    """Rotate each list element left by k (pure python — fixture-sized).
+
+    Rotation alone has period len(v): at copies > dim the wrapped copy
+    would be an EXACT duplicate of copy 0 — precisely the artifact the
+    rotation exists to avoid (an identical pair puts cosine on the 1.0
+    rounding boundary, where engines may differ by an ulp; seen as a
+    x100 sim_*_topk hash mismatch on copy 64 of a 64-dim corpus).  Each
+    completed wrap therefore negates the vector (norm- and
+    orthogonality-preserving), extending the distinct-copy period to
+    2*len(v)."""
     out = []
     for chunk in col.chunks:
         for v in chunk.to_pylist():
-            out.append(v[k % len(v):] + v[: k % len(v)] if v else v)
+            if not v:
+                out.append(v)
+                continue
+            r = v[k % len(v):] + v[: k % len(v)]
+            if (k // len(v)) % 2:
+                r = [-x for x in r]
+            out.append(r)
     return pa.array(out, type=col.type)
 
 
@@ -153,4 +168,5 @@ if __name__ == "__main__":
     import sys
 
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    print(ensure_x10(base))
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    print(ensure_x10(base, copies=copies))
