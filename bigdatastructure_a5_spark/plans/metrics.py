@@ -76,6 +76,11 @@ class QueryMetrics:
     shuffle_bytes: float
     output_rows: float
     operators: list[OperatorMetrics] = field(default_factory=list)
+    #: physical-plan description of the MEASURED execution (the UI's plan
+    #: text, which AQE updates to final form on completion) — the plan the
+    #: bytes above actually came from, unlike df.queryExecution(), whose
+    #: own execution never ran here (the noop write creates a separate one)
+    plan_desc: str = ""
 
     @property
     def scanned_gb(self) -> float:
@@ -128,9 +133,11 @@ def run_with_metrics(
     # on a FRESH deadline (a slow registration above must not eat the
     # completion wait, or metrics get read partially aggregated)
     deadline = time.time() + 10.0
+    plan_desc = ""
     while time.time() < deadline:
         ex = store.execution(eid)
         if ex.isDefined() and ex.get().completionTime().isDefined():
+            plan_desc = ex.get().physicalPlanDescription()
             break
         time.sleep(0.05)
     graph = store.planGraph(eid)
@@ -168,6 +175,7 @@ def run_with_metrics(
         shuffle_bytes=shuffled,
         output_rows=max(output_rows, 0.0),
         operators=ops,
+        plan_desc=plan_desc,
     )
 
 

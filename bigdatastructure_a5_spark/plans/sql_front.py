@@ -91,21 +91,61 @@ def parse_simple_sql(sql: str) -> SimpleQuery | None:
     )
 
 
-def _owner(q: SimpleQuery, qualifier: str | None) -> str:
-    """Resolve a field qualifier (alias or table name) to its collection."""
+def _owner(
+    q: SimpleQuery,
+    qualifier: str | None,
+    field: str | None = None,
+    columns: dict[str, set[str]] | None = None,
+) -> str:
+    """Resolve a field qualifier (alias or table name) to its collection.
+
+    Unqualified fields resolve by COLUMN MEMBERSHIP when the caller supplied
+    the logical schema (``columns``): a field living only on the joined
+    side belongs to it — exactly Spark's own name resolution for a query
+    that was unambiguous pre-rewrite.  Without ``columns`` (or when the
+    name exists on both sides, where the original query was ambiguous
+    anyway) the FROM collection wins and a mis-resolution surfaces as an
+    UNRESOLVED_COLUMN error on the rewritten SQL, never silent wrong data.
+    """
     if qualifier in (q.alias, q.table):
         return q.table
     if q.join_table and qualifier in (q.join_alias, q.join_table):
         return q.join_table
+    if (
+        qualifier is None
+        and field is not None
+        and columns is not None
+        and q.join_table
+        and field in columns.get(q.join_table, ())
+        and field not in columns.get(q.table, ())
+    ):
+        return q.join_table
     return q.table  # unqualified fields default to the FROM collection
 
 
-def rewrite_for_variant(sql: str, spec: DenormalizationSpec) -> str:
+def rewrite_for_variant(
+    sql: str,
+    spec: DenormalizationSpec,
+    columns: dict[str, set[str]] | None = None,
+) -> str:
     """Route a logical-schema query to a denormalization variant's tables.
 
     Returns SQL to run against views registered under the variant's
     collection names.  Pass-through when no rewrite applies (including SQL
-    beyond the restricted grammar — Catalyst handles it on the kept tables).
+    beyond the restricted grammar — Catalyst handles it on the kept
+    tables).  ``columns`` (collection -> logical column set) is optional;
+    when present, unqualified fields of the embedded side resolve
+    correctly instead of defaulting to the host.
+
+    A join is only collapsed when its ON keys ARE the embed keys — an
+    equi-join between the same collections on different columns describes
+    a different relationship, which the embed cannot answer; it passes
+    through (and fails loudly if the variant dropped the standalone
+    table, rather than silently returning the wrong join's rows).  Star
+    selects (`*` / `alias.*`) in a join also pass through: the embed
+    cannot reproduce the join's output shape (struct/array columns, the
+    consumed key), and a silently different schema is worse than running
+    the explicit join.
     """
     q = parse_simple_sql(sql)
     if q is None:
@@ -119,6 +159,20 @@ def rewrite_for_variant(sql: str, spec: DenormalizationSpec) -> str:
         if embed is None:
             return sql
         host, hosted, path = embed.target, embed.source, embed.path
+        # the rewrite is only sound for the embed's OWN join relationship:
+        # host.target_key = hosted.source_key.  Any other ON pair keeps
+        # the explicit join.
+        on_keys = {
+            _owner(q, q.join_left[0]): q.join_left[1],
+            _owner(q, q.join_right[0]): q.join_right[1],
+        }
+        if (
+            on_keys.get(host) != embed.target_key
+            or on_keys.get(hosted) != embed.source_key
+        ):
+            return sql
+        if any(strip_qual(item.strip()) == "*" for item in q.select):
+            return sql  # star shape is not reproducible from the embed
         # `one`-embed: hosted fields are struct members `path.field`.
         # `many`-embed: hosted rows live in an ARRAY -> explode it; inner-join
         # semantics are preserved (hosts with empty arrays emit no rows).
@@ -126,7 +180,7 @@ def rewrite_for_variant(sql: str, spec: DenormalizationSpec) -> str:
         ref = "__e" if many else path
 
         def map_field(qualifier: str | None, fld: str) -> str:
-            if _owner(q, qualifier) == hosted:
+            if _owner(q, qualifier, fld, columns) == hosted:
                 # the embedded side's join key was consumed by the embed
                 if fld == embed.source_key:
                     return embed.target_key
@@ -135,9 +189,6 @@ def rewrite_for_variant(sql: str, spec: DenormalizationSpec) -> str:
 
         sel = []
         for item in q.select:
-            if item.strip() == "*":
-                sel.append("*")
-                continue
             qual = item.split(".", 1)[0] if "." in item else None
             mapped = map_field(qual, strip_qual(item))
             # keep the original unqualified name as the output column
@@ -166,8 +217,13 @@ def rewrite_for_variant(sql: str, spec: DenormalizationSpec) -> str:
 
     sel = []
     for item in q.select:
-        if item.strip() == "*":
+        if strip_qual(item.strip()) == "*":
+            # the embed's struct holds every hosted field EXCEPT the
+            # consumed join key; restore it so `SELECT *` keeps the
+            # logical column set (the key lands last — order is the one
+            # permitted deviation, a missing column is not)
             sel.append(f"{ref}.*")
+            sel.append(f"{embed.target_key} AS {embed.source_key}")
             continue
         fld = strip_qual(item)
         mapped = map_single(fld)

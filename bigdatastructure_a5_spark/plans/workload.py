@@ -191,23 +191,34 @@ def run_workload(
 ) -> WorkloadReport:
     """The full challenge pipeline over real data."""
     report = WorkloadReport()
-    for spec in specs:
-        materialize_variant(spark, base, spec, storage_dir)
-        for qs in queries:
-            sql = rewrite_for_variant(qs.sql, spec)
-            df = spark.sql(sql)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            qm = run_with_metrics(spark, df, name=f"{spec.id}:{qs.id}")
-            report.rows.append(
-                WorkloadRow(
-                    variant=spec.id,
-                    query=qs.id,
-                    frequency=qs.frequency,
-                    rewritten_sql=sql,
-                    metrics=qm,
-                    physical_plan=plan,
+    columns = {coll: set(df.columns) for coll, df in base.items()}
+    try:
+        for spec in specs:
+            materialize_variant(spark, base, spec, storage_dir)
+            for qs in queries:
+                sql = rewrite_for_variant(qs.sql, spec, columns)
+                df = spark.sql(sql)
+                qm = run_with_metrics(spark, df, name=f"{spec.id}:{qs.id}")
+                report.rows.append(
+                    WorkloadRow(
+                        variant=spec.id,
+                        query=qs.id,
+                        frequency=qs.frequency,
+                        rewritten_sql=sql,
+                        # the plan of the MEASURED execution (final adaptive
+                        # form) — df's own QueryExecution never ran, so its
+                        # executedPlan() would be the pre-AQE initial plan
+                        metrics=qm,
+                        physical_plan=qm.plan_desc,
+                    )
                 )
-            )
+    finally:
+        # the loop leaves the LAST variant's views registered under the
+        # base collection names; restore the callers' logical schema so a
+        # later spark.sql in the same session reads the base data, not a
+        # denormalized (inner-joined, struct-bearing) layout
+        for coll, df in base.items():
+            df.createOrReplaceTempView(coll)
     if out_dir:
         report.write(out_dir)
     return report

@@ -66,6 +66,18 @@ def extract_equality_literals(sqls: list[str]) -> dict[str, list[str]]:
     return out
 
 
+def _literal_seeds(raw) -> list[int]:
+    """Workload equality literals -> deduped int seeds, first-seen order —
+    the SHARED extraction for a pk column and every FK referencing it, so
+    both sides compose the identical mapping (that identity is what keeps
+    referential integrity through seeding)."""
+    seeds: list[int] = []
+    for s in raw:
+        if s.isdigit() and int(s) not in seeds:
+            seeds.append(int(s))
+    return seeds
+
+
 def compose_seed_mapping(seeds: list[int], ndv: int) -> dict[int, int]:
     """Compose workload literal seeds into ONE bucket->value mapping.
 
@@ -189,7 +201,21 @@ def generate_tables(
             h = F.xxhash64(F.lit(fname), F.col("id"))
             is_fk = fname != pk and fname in pk_counts
             if fname == pk:
+                # the pk applies the SAME seed mapping as every FK that
+                # references it (identical seeds, identical domain [0, n)):
+                # a workload equality literal on the pk itself then matches
+                # exactly one row, and the FK side's seeded values keep a
+                # parent — in range (permutation swap on both sides) AND
+                # out of range (both sides emit the same literal v for
+                # bucket b, so the orphan the old pk-unseeded path created
+                # cannot exist).  Uniqueness holds either way: a swap is a
+                # permutation, and an out-of-range v (>= n) collides with
+                # no dense id.
                 col = F.col("id")
+                for b, v in compose_seed_mapping(
+                    _literal_seeds(literals.get(fname, ())), n
+                ).items():
+                    col = F.when(F.col("id") == b, F.lit(v)).otherwise(col)
                 if ftype not in ("integer", "number"):
                     col = col.cast("string")
             elif is_fk or ftype == "integer":
@@ -200,15 +226,12 @@ def generate_tables(
                 # and — for FKs — referential integrity are preserved
                 # exactly.  Out-of-range literals fall back to a plain
                 # overwrite of bucket i so the predicate still matches
-                # ~1/ndv of rows (documented skew; an FK loses integrity
-                # on that 1/ndv slice, which is still strictly better
-                # than the predicate matching nothing).
-                seeds: list[int] = []
-                for s in literals.get(fname, ()):
-                    if s.isdigit() and int(s) not in seeds:
-                        seeds.append(int(s))
+                # ~1/ndv of rows (the matching pk-side seeding above keeps
+                # even that slice's parent resolvable).
                 bucket = F.pmod(h, F.lit(ndv))
-                for b, v in compose_seed_mapping(seeds, ndv).items():
+                for b, v in compose_seed_mapping(
+                    _literal_seeds(literals.get(fname, ())), ndv
+                ).items():
                     col = F.when(bucket == b, F.lit(v)).otherwise(col)
                 if is_fk and pk_types.get(fname) not in ("integer", "number"):
                     col = col.cast("string")

@@ -29,17 +29,21 @@ from pyspark.sql.types import (
 )
 
 
-def _resolve_ref(ref: str, base_dir: Path) -> dict:
+def _resolve_ref(ref: str, base_dir: Path) -> tuple[dict, Path]:
     """Resolve a file-based ``$ref``: 'product.json' or
-    'product.json#/definitions/X'."""
+    'product.json#/definitions/X'.  Returns the node AND the referenced
+    file's own directory — a nested $ref inside that file is relative to
+    the file that contains it, not to the original root (a chain
+    db.json -> sub/product.json -> detail.json must read sub/detail.json)."""
     if "#" in ref:
         file_part, pointer = ref.split("#", 1)
     else:
         file_part, pointer = ref, ""
-    node = json.loads((base_dir / file_part).read_text())
+    file_path = base_dir / file_part
+    node = json.loads(file_path.read_text())
     for step in [s for s in pointer.split("/") if s]:
         node = node[step]
-    return node
+    return node, file_path.parent
 
 
 def _merge_all_of(parts: list[dict], base_dir: Path) -> dict:
@@ -54,7 +58,8 @@ def _merge_all_of(parts: list[dict], base_dir: Path) -> dict:
 
 def _resolve_node(node: dict, base_dir: Path) -> dict:
     if "$ref" in node:
-        return _resolve_node(_resolve_ref(node["$ref"], base_dir), base_dir)
+        resolved, ref_dir = _resolve_ref(node["$ref"], base_dir)
+        return _resolve_node(resolved, ref_dir)
     if "allOf" in node:
         return _merge_all_of(node["allOf"], base_dir)
     return node

@@ -62,6 +62,10 @@ def _update_user_profile(
         # is what Spark's double->decimal cast does).  Rounding the BATCH
         # sum instead would both diverge from the twin on sub-cent values
         # and make results depend on batch-boundary placement.
+        # NULL values arrive as NaN in the Arrow->pandas batch; the batch
+        # twin's SUM(CAST(value AS DECIMAL)) skips NULLs (while COUNT(*)
+        # still counts the row), so skip them here too — quantizing
+        # Decimal('NaN') would raise InvalidOperation and kill the query
         cents += int(
             sum(
                 int(
@@ -71,10 +75,11 @@ def _update_user_profile(
                     * 100
                 )
                 for v in pdf["value"]
+                if not pd.isna(v)
             )
         )
-        batch_max = pdf["ts"].max()
-        if last_ts is None or batch_max > last_ts:
+        batch_max = pdf["ts"].max()  # pandas max skips NaT
+        if not pd.isna(batch_max) and (last_ts is None or batch_max > last_ts):
             last_ts = batch_max
     state.update((n, cents, last_ts))
     yield pd.DataFrame(

@@ -138,6 +138,68 @@ def test_json_schema_loader_with_ref_and_allof(tmp_path):
     assert isinstance(schemas["Stock"]["quantity"].dataType, LongType)
 
 
+def test_pk_equality_literal_seeded_with_integrity(spark):
+    """A workload equality literal on a PRIMARY KEY must exist in the
+    generated data (the generator's stated guarantee), stay unique, and
+    keep every referencing FK resolvable — the pk applies the same seed
+    mapping as its FKs, so even an out-of-scaled-range literal (125 in a
+    100-row scaled parent) has both the matching parent row and matching
+    child rows."""
+    from bigdatastructure_a5_spark.sources.generator import generate_tables
+    from bigdatastructure_a5_spark.sources.json_config import CollectionStats
+
+    schema = {
+        "customer": {
+            "primary_key": "IDC",
+            "fields": {"IDC": {"type": "integer"}},
+        },
+        "orderline": {
+            "primary_key": "IDO",
+            "fields": {"IDO": {"type": "integer"}, "IDC": {"type": "integer"}},
+        },
+    }
+    stats = {
+        "customer": CollectionStats(nb_documents=1000),
+        "orderline": CollectionStats(nb_documents=5000),
+    }
+    corpus = generate_tables(
+        spark, schema, stats, scale=0.1, literals={"IDC": ["125"]}
+    )
+    cust = [r.IDC for r in corpus["customer"].collect()]
+    assert len(cust) == 100
+    assert cust.count(125) == 1              # the pk predicate matches a row
+    assert len(set(cust)) == len(cust)       # uniqueness preserved
+    fks = {r.IDC for r in corpus["orderline"].collect()}
+    assert 125 in fks                        # the child predicate matches too
+    assert fks <= set(cust)                  # referential integrity intact
+
+
+def test_nested_ref_resolves_relative_to_referencing_file(tmp_path):
+    """A $ref chain crossing directories: db.json -> sub/product.json ->
+    detail.json must read sub/detail.json (relative to the file containing
+    the ref), not a same-named file at the root."""
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "detail.json").write_text(
+        json.dumps(
+            {"type": "object", "properties": {"weight": {"type": "number"}}}
+        )
+    )
+    # a decoy at the root with a DIFFERENT shape: resolving against the
+    # wrong base dir would silently load this one
+    (tmp_path / "detail.json").write_text(
+        json.dumps(
+            {"type": "object", "properties": {"wrong": {"type": "string"}}}
+        )
+    )
+    (sub / "product.json").write_text(json.dumps({"$ref": "detail.json"}))
+    (tmp_path / "db.json").write_text(
+        json.dumps({"Product": {"$ref": "sub/product.json"}})
+    )
+    schemas = load_collection_schemas(tmp_path / "db.json")
+    assert set(schemas["Product"].fieldNames()) == {"weight"}
+
+
 def test_schema_usable_for_spark_read(spark, tmp_path):
     st = json_schema_to_spark(
         {

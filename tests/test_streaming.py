@@ -90,6 +90,42 @@ def test_stateful_user_profiles_match_batch(spark, sf_dir):
         assert abs(final[uid][1] - s) < 0.005  # integer-cents accumulation
 
 
+def test_stateful_update_skips_null_values_like_batch_sum():
+    """A NULL `value` arrives as NaN in the Arrow->pandas batch; the batch
+    twin's SUM(CAST(value AS DECIMAL)) skips NULLs while COUNT(*) counts
+    the row.  The stateful updater must do the same — quantizing
+    Decimal('NaN') raises InvalidOperation and would abort the whole
+    streaming query on one bad row."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from bigdatastructure_a5_spark.streaming.stateful import (
+        _update_user_profile,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.stored = v
+
+    pdf = pd.DataFrame(
+        {
+            "value": [1.005, float("nan"), 2.0],
+            "ts": pd.to_datetime(
+                [datetime(2024, 1, 1, 1), pd.NaT, datetime(2024, 1, 1, 2)]
+            ),
+        }
+    )
+    state = FakeState()
+    (out,) = list(_update_user_profile((7,), [pdf], state))
+    assert out.n_events.iloc[0] == 3          # NULL row still counted
+    assert out.sum_value.iloc[0] == 3.01      # 1.01 (HALF_UP) + 2.00, NaN skipped
+    assert out.last_ts.iloc[0] == datetime(2024, 1, 1, 2)
+    assert state.stored[0] == 3 and state.stored[1] == 301
+
+
 def test_streaming_dedup_drops_replayed_events(spark, sf_dir):
     from bigdatastructure_a5_spark.streaming.events import dedup_stream
 

@@ -69,6 +69,62 @@ def test_full_SQL_passes_through_unchanged():
     assert rewrite_for_variant(full, D2) == full
 
 
+def test_join_on_other_keys_is_not_collapsed():
+    """An equi-join between the covered collections on DIFFERENT columns is
+    a different relationship — the embed cannot answer it, so the rewrite
+    must pass it through rather than silently return the embed's rows."""
+    other = (
+        "SELECT l_orderkey FROM lineitem l JOIN part p "
+        "ON l.l_suppkey = p.p_partkey"
+    )
+    assert rewrite_for_variant(other, D2) == other
+    swapped = (
+        "SELECT l_orderkey FROM lineitem l JOIN part p "
+        "ON l.l_partkey = p.p_size"
+    )
+    assert rewrite_for_variant(swapped, D2) == swapped
+
+
+def test_star_join_is_not_collapsed():
+    """`SELECT *` (or alias.*) over a covered join passes through: the host
+    carries struct/array columns and lacks the consumed key, so the embed
+    cannot reproduce the join's output shape."""
+    for sel in ("*", "l.*", "p.*"):
+        sql = (
+            f"SELECT {sel} FROM lineitem l JOIN part p "
+            "ON l.l_partkey = p.p_partkey"
+        )
+        assert rewrite_for_variant(sql, D2) == sql
+
+
+def test_unqualified_hosted_field_resolves_with_columns():
+    """With the logical column map, an unqualified field that lives only on
+    the embedded side maps to the embed path — matching Spark's own name
+    resolution for the (unambiguous) original query."""
+    sql = (
+        "SELECT l_orderkey FROM lineitem l JOIN part p "
+        "ON l.l_partkey = p.p_partkey WHERE p_brand = 'Brand#12'"
+    )
+    cols = {
+        "lineitem": {"l_orderkey", "l_partkey", "l_quantity"},
+        "part": {"p_partkey", "p_brand", "p_name"},
+    }
+    out = rewrite_for_variant(sql, D2, cols)
+    assert "product.p_brand = 'Brand#12'" in out and "JOIN" not in out.upper()
+    # without the map the host wins (loud failure downstream, never silent)
+    out_nomap = rewrite_for_variant(sql, D2)
+    assert "WHERE p_brand" in out_nomap
+
+
+def test_substituted_star_restores_consumed_key():
+    """O15 substitution of `SELECT *`: the embed struct lacks the consumed
+    join key, so the rewrite re-emits it under its logical name."""
+    out = rewrite_for_variant("SELECT * FROM part p", D2)
+    assert "product.*" in out and "l_partkey AS p_partkey" in out
+    out_q = rewrite_for_variant("SELECT p.* FROM part p", D2)
+    assert "product.*" in out_q and "l_partkey AS p_partkey" in out_q
+
+
 @pytest.fixture(scope="module")
 def report(spark, sf_dir, tmp_path_factory):
     base = load_tables(spark, sf_dir, ("part", "lineitem"))
@@ -96,6 +152,30 @@ def test_join_answers_agree_across_variants(spark, report):
         if r.query == "q2_filtered_join"
     }
     assert len(set(counts.values())) == 1, counts
+
+
+def test_workload_restores_base_views(spark, sf_dir, report):
+    """run_workload must leave the session's views on the BASE (logical)
+    data: the loop registers each variant's tables under the base names,
+    and without restoration every later spark.sql against 'lineitem'/'part'
+    would silently read the LAST variant's denormalized layout."""
+    base = load_tables(spark, sf_dir, ("part", "lineitem"))
+    for coll, df in base.items():
+        via_view = spark.table(coll)
+        assert via_view.columns == df.columns  # no struct/array additions
+        assert via_view.count() == df.count()
+
+
+def test_plan_sink_records_executed_plan(report):
+    """K3 plan JSON must hold the plan of the MEASURED execution in final
+    adaptive form — not df.queryExecution()'s never-executed initial plan
+    (isFinalPlan=false)."""
+    plans = [r.physical_plan for r in report.rows]
+    assert all(p for p in plans), "empty physical_plan captured"
+    adaptive = [p for p in plans if "AdaptiveSparkPlan" in p]
+    assert adaptive, "expected at least one adaptive plan"
+    for p in adaptive:
+        assert "isFinalPlan=true" in p, p[:200]
 
 
 def test_leaderboard_is_sorted(report):
