@@ -136,11 +136,26 @@ def _nanos_columns(path: str) -> list[str]:
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
-    """Load every fixture table that exists under ``sf_dir``."""
+    """Load every fixture table that exists under ``sf_dir``.
+
+    Existence is probed with ``os.path.exists`` only for LOCAL paths; a
+    URI scheme (s3://, hdfs://, ...) is never a local path, so gating on
+    it would silently load zero tables from a remote corpus.  Remote
+    tables are read through Spark (which holds the credentials/filesystem
+    the driver's os module does not), and a missing one is skipped with
+    the same semantics as a missing local fixture."""
     out: dict[str, DataFrame] = {}
+    remote = "://" in sf_dir
     for name in names:
         path = table_path(sf_dir, name)
-        if os.path.exists(path):
+        if remote:
+            from pyspark.errors import AnalysisException
+
+            try:
+                out[name] = _read_parquet_nanos_safe(spark, path)
+            except AnalysisException:  # PATH_NOT_FOUND -> table absent
+                continue
+        elif os.path.exists(path):
             # the SAME nanos-safe reader load_table uses — a raw read would
             # crash on TIMESTAMP(NANOS) fixtures (or, with the legacy conf
             # already set session-wide, silently register ts as raw nanos)
@@ -162,8 +177,15 @@ def register_views(
 def analyze_tables(spark: SparkSession, names: tuple[str, ...] = TABLES) -> None:
     """Compute CBO statistics for saved tables (reference stats.json analogue,
     `challenge/loader.py:53-76`).  Only applies to catalog tables, not temp
-    views; used by the denormalization workbench after ``saveAsTable``."""
-    for name in names:
-        if any(t.name == name for t in spark.catalog.listTables()):
-            if not spark.catalog.isCached(name):
-                spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    views; used by the denormalization workbench after ``saveAsTable``.
+
+    Temp views are filtered explicitly — listTables returns them too, and
+    ANALYZE on an UNCACHED temp view is an AnalysisException in Spark, so
+    calling this after register_views would otherwise crash on the first
+    fixture view.  One listTables call, not one per name."""
+    wanted = set(names)
+    for t in spark.catalog.listTables():
+        if t.name in wanted and not t.isTemporary:
+            spark.sql(
+                f"ANALYZE TABLE {t.name} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )

@@ -49,8 +49,12 @@ def iqr_outlier_bounds(df: DataFrame, group_col: str, value_col: str) -> DataFra
             }
         )
 
+    # the group column keeps its REAL type — hardcoding string would make
+    # the Arrow conversion throw for any numeric key (int64 series into a
+    # declared-string field)
+    key_type = df.schema[group_col].dataType.simpleString()
     return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
-        fences, schema=f"{group_col} string, lo double, hi double, n long"
+        fences, schema=f"{group_col} {key_type}, lo double, hi double, n long"
     )
 
 

@@ -64,10 +64,13 @@ def _byte_features(data: bytes, n_bytes: int) -> dict:
     collision-mass entropy proxy (integer arithmetic only, reproducible on
     any platform).  ``n_bytes`` is reported separately so decoders can
     report the PAYLOAD size while featurizing decoded content."""
+    from collections import Counter
+
     n = len(data)
-    counts: dict[int, int] = {}
-    for b in data:
-        counts[b] = counts.get(b, 0) + 1
+    # Counter's C fast path over the bytes object — a pure-Python per-byte
+    # loop costs ~100ns/byte, which dominates on the multi-MB payloads this
+    # module is sized around (same counts, 10-50x faster)
+    counts = Counter(data)
     coll = sum(c * c for c in counts.values())
     return {
         "n_bytes": n_bytes,
@@ -230,7 +233,10 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         F.col("text").cast("binary").alias("payload"),
-        F.length("text").cast("int").alias("width"),
+        # octet_length = the payload's BYTE count (text length would be the
+        # CHARACTER count, which undercounts multibyte UTF-8 and breaks the
+        # stub's width-equals-payload-extent convention resize_media keeps)
+        F.octet_length("text").cast("int").alias("width"),
         F.lit(1).cast("int").alias("height"),
         F.lit(None).cast("int").alias("sample_rate"),
         F.lit(None).cast("int").alias("duration_ms"),
@@ -242,11 +248,15 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     offset (for video this is 1-per-N-frames; here 1-per-N-bytes on the
     stub).  Pure Spark: posexplode over a computed offset sequence — shows
     the explode-and-carry-metadata shape a real frame sampler uses."""
-    offsets = F.sequence(
-        F.lit(0),
-        F.greatest(F.length(F.col("payload").cast("string")) - 1, F.lit(0)),
-        F.lit(every_n_bytes),
-    )
+    # F.length on a BINARY column is the byte count (casting to string
+    # would count UTF-8 CHARACTERS of an arbitrary-bytes reinterpretation —
+    # wrong for any real media payload); empty/NULL payloads sample zero
+    # frames rather than a phantom offset-0 row
+    n_bytes = F.length("payload")
+    offsets = F.when(
+        n_bytes > 0,
+        F.sequence(F.lit(0), n_bytes - 1, F.lit(every_n_bytes)),
+    ).otherwise(F.array().cast("array<int>"))
     return df.select(
         "media_id",
         "kind",

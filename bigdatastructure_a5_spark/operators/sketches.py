@@ -40,9 +40,17 @@ def countmin_build(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:
     """Build the sketch: (d, cell, cnt) with exactly one row per touched
-    cell (<= depth x width rows total, any input size)."""
+    cell (<= depth x width rows total, any input size).
+
+    NULL keys are OUTSIDE the sketch domain (filtered here, and from the
+    probe side in countmin_estimate): a NULL hashes to a NULL cell, which
+    the estimate's equi-join can never match, so keeping them would store
+    counts no probe can reach and hand a NULL probe est=0 below its true
+    count — silently breaking the one-sided `estimate >= truth` guarantee.
+    Excluding NULL on both sides keeps the guarantee exact over the whole
+    (non-NULL) domain, mirroring how COUNT(col) treats NULLs."""
     key = F.col(key_col)
-    cells = df.select(
+    cells = df.filter(key.isNotNull()).select(
         F.explode(
             F.array(
                 *[
@@ -84,6 +92,7 @@ def countmin_estimate(
     once column pruning specializes the copies, and costs a second scan of
     the fact table."""
     key = F.col(key_col)
+    keys = keys.filter(key.isNotNull())  # NULL is outside the sketch domain
     passthrough = [c for c in keys.columns if c != key_col]
     # checked against ALL probe columns including key_col itself — a key
     # named 'd'/'cell' would duplicate the exploded probe struct's columns

@@ -55,19 +55,28 @@ def salted_agg(
     keys: Sequence[str],
     sum_cols: Sequence[str],
     salt: int = 16,
+    precision: int = 18,
+    scale: int = 2,
 ) -> DataFrame:
     """Two-phase salted SUM/COUNT aggregation: partial groupBy (keys, salt)
     then final groupBy (keys).  Useful when a single group receives a large
     share of all rows — the partial phase spreads that group over ``salt``
     reducers.  (Spark's map-side partial aggregation already does this when
     mapper-local data contains the hot key; explicit salting also covers the
-    reduce side.)  Produces sum_<col> and n_rows columns."""
+    reduce side.)  Produces sum_<col> and n_rows columns.  Sums go through
+    functions.numeric.dec_sum (the centralized exact-decimal-sum rule), with
+    the precision/scale knobs exposed for wide-valued columns."""
+    from bigdatastructure_a5_spark.functions.numeric import dec_sum
+
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     )
     partial = salted.groupBy(*keys, "__salt").agg(
         F.count(F.lit(1)).alias("__n"),
-        *[F.sum(F.col(c).cast("decimal(18,2)")).alias(f"__s_{c}") for c in sum_cols],
+        *[
+            dec_sum(c, precision, scale).alias(f"__s_{c}")
+            for c in sum_cols
+        ],
     )
     return partial.groupBy(*keys).agg(
         F.sum("__n").alias("n_rows"),

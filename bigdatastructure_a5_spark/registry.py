@@ -54,6 +54,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        if name in REGISTRY:
+            # a silent overwrite would drop a query from the driver's gate
+            # (last import wins) — collisions must be loud
+            raise ValueError(f"duplicate registry query name: {name!r}")
         REGISTRY[name] = QueryDef(wrapped, oracle, (fn.__doc__ or "").strip(), tags)
         return fn
 

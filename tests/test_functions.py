@@ -201,3 +201,45 @@ def test_countmin_sketch_guarantees(spark, sf_dir):
         countmin_estimate(
             sketch, keys.withColumn("est", F2.lit(1)), "o_custkey"
         )
+
+
+def test_countmin_null_keys_outside_domain(spark):
+    """NULL keys hash to NULL cells no equi-join can reach, so keeping
+    them would break the one-sided guarantee (a NULL probe would read 0
+    under a positive true count).  Both sides exclude NULL: the sketch
+    stores no NULL-cell rows, NULL probes emit no estimate rows, and
+    non-NULL keys keep est >= truth."""
+    from pyspark.sql import functions as F2
+
+    from bigdatastructure_a5_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (None,), (None,), (2,)], "k int"
+    )
+    sketch = countmin_build(df, "k", depth=2, width=64)
+    assert sketch.filter(F2.col("cell").isNull()).count() == 0
+    est = {
+        r.k: r.est
+        for r in countmin_estimate(
+            sketch, df.select("k").distinct(), "k", depth=2, width=64
+        ).collect()
+    }
+    assert None not in est
+    assert est[1] >= 2 and est[2] >= 1
+
+
+def test_registry_rejects_duplicate_names():
+    import pytest
+
+    from bigdatastructure_a5_spark.registry import REGISTRY, _load_all, query
+
+    _load_all()
+    existing = next(iter(REGISTRY))
+    with pytest.raises(ValueError, match="duplicate"):
+
+        @query(existing)
+        def clash(spark, sf_dir):  # pragma: no cover - must not register
+            raise AssertionError

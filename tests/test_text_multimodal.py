@@ -120,6 +120,26 @@ def test_frame_sample_offsets(spark):
     assert [r.frame_no for r in rows] == [0, 1, 2, 3]
 
 
+def test_frame_sample_counts_bytes_not_chars(spark):
+    """Offsets must come from the payload's BYTE length: 65 two-byte UTF-8
+    sequences are 130 bytes (offsets 0/64/128), where a cast-to-string
+    character count would see 65 'chars' and silently never sample the
+    tail.  Empty and NULL payloads sample zero frames — no phantom
+    offset-0 row."""
+    two_byte = ("é" * 65).encode()  # 130 bytes, 65 characters
+    assert len(two_byte) == 130
+    df = spark.createDataFrame(
+        [(1, "image", two_byte), (2, "image", b""), (3, "image", None)],
+        ["media_id", "kind", "payload"],
+    )
+    rows = frame_sample(df, every_n_bytes=64).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.byte_offset)
+    assert by_id.get(1) == [0, 64, 128]
+    assert 2 not in by_id and 3 not in by_id
+
+
 def test_resize_media_contract(spark):
     """Bytes-in/bytes-out mapInPandas: exact target payload size, metadata
     rewritten, schema preserved, deterministic tiling."""

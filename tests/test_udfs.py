@@ -31,6 +31,16 @@ def test_apply_in_pandas_iqr(spark, sf_dir):
         assert r.lo < r.hi and r.n > 0
 
 
+def test_apply_in_pandas_iqr_numeric_key(spark, sf_dir):
+    """The output schema must carry the group column's REAL type — a
+    hardcoded string type made any numeric key (the common case: bigint
+    ids) die in the worker's Arrow conversion."""
+    ev = load_table(spark, sf_dir, "events")
+    fences = iqr_outlier_bounds(ev, "user_id", "value")
+    row = fences.orderBy("user_id").first()
+    assert isinstance(row.user_id, int) and row.lo < row.hi
+
+
 def test_udtf_chunking(spark):
     df = spark.createDataFrame([(1, "a" * 250)], ["doc_id", "text"])
     chunks = chunk_documents(df, "text", size=100)
