@@ -135,7 +135,24 @@ def lsh_candidate_pairs(
     almost never — the curve that makes this subquadratic.  The heavy op is
     a self-join on (band, band_hash): a shuffle keyed by 16 bytes, no cross
     join anywhere.
+
+    The length precondition is ENFORCED at runtime (one size comparison
+    folded into the banding expression): a signature shorter than
+    bands x rows_per_band would make ``slice`` return an EMPTY array for
+    the tail bands, hashing every document to the same constant bucket —
+    the self-join silently degenerates to all-pairs, destroying the
+    subquadratic guarantee exactly when nothing looks wrong.
     """
+    needed = bands * rows_per_band
+    guarded_sig = F.when(
+        F.size("sig") >= needed, F.col("sig")
+    ).otherwise(
+        F.raise_error(
+            f"lsh_candidate_pairs needs signatures of length >= {needed} "
+            f"(bands={bands} x rows_per_band={rows_per_band}); got a "
+            "shorter one — pass num_hashes >= bands*rows_per_band"
+        )
+    )
     banded = signatures.select(
         "id",
         F.explode(
@@ -144,7 +161,7 @@ def lsh_candidate_pairs(
                 lambda b: F.struct(
                     b.alias("band"),
                     F.xxhash64(
-                        b, F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        b, F.slice(guarded_sig, b * rows_per_band + 1, rows_per_band)
                     ).alias("bhash"),
                 ),
             )
@@ -308,6 +325,13 @@ def near_duplicates_minhash(
     or omit it for an internal materialize-then-release."""
     from bigdatastructure_a5_spark.session import adopt_tracker
 
+    if num_hashes % bands != 0 or num_hashes < bands:
+        # num_hashes // bands would silently truncate, leaving tail
+        # signature components unused (or, worse, under-length bands)
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     tracker, finish = adopt_tracker(tracker)
     # Consumed by both the signature branch and the verification joins;
     # one parallel shingling pass instead of three.
@@ -504,9 +528,20 @@ def simhash_near_pairs(
     within Hamming d must share an identical chunk when d < chunks
     (pigeonhole) -> candidate join on chunk equality
     (simhash_chunk_candidates — see it for the chunk-width/candidate-volume
-    trade-off), verify popcount."""
+    trade-off), verify popcount.
+
+    The pigeonhole guarantee requires ``max_hamming < chunks``: at
+    d >= chunks a pair can place one differing bit in every chunk and
+    share none, so candidates would silently miss true pairs — enforced
+    loudly instead of returning a strict subset."""
     from bigdatastructure_a5_spark.session import adopt_tracker
 
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < chunks ({chunks}): the "
+            "chunk pigeonhole only guarantees recall below the chunk count "
+            "— raise chunks to widen the radius"
+        )
     tracker, finish = adopt_tracker(tracker)
     cands = simhash_chunk_candidates(fingerprints, chunks, tracker=tracker)
     return finish(cands.filter(F.col("hamming") <= max_hamming))

@@ -135,7 +135,10 @@ def embed_many(
     joined = target.join(
         grouped, target[spec.target_key] == grouped["__embed_key"], "left"
     ).drop("__embed_key")
-    empty = F.array().cast(joined.schema[spec.path].dataType.simpleString())
+    # cast to the DataType OBJECT — round-tripping through simpleString()
+    # breaks on field names containing DDL metacharacters (',', ':'),
+    # which are legal in parquet
+    empty = F.array().cast(joined.schema[spec.path].dataType)
     return joined.withColumn(spec.path, F.coalesce(F.col(spec.path), empty))
 
 

@@ -103,6 +103,16 @@ def asof_join(
 
     ``how='inner'`` drops left rows with no match; ``'left'`` keeps them
     with null payload.
+
+    NULL semantics match SQL/DuckDB ASOF: a NULL never matches.  Right
+    rows with a NULL key or NULL time are dropped up front (asc sorts
+    nulls FIRST, so an unfiltered NULL-time right row would be carried by
+    ``last(ignorenulls)`` into every left row that precedes all real
+    right rows); a left row with a NULL time takes no match (in
+    ``forward``'s desc order NULLs sort LAST, where the carry would
+    otherwise hand it the partition's final match); NULL-key left rows
+    can only share a partition with the already-filtered NULL-key right
+    rows, so they match nothing.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -110,6 +120,7 @@ def asof_join(
         raise ValueError(f"how must be inner|left, got {how!r}")
     t = "__t"
     side = "__is_left"
+    right = right.filter(F.col(on).isNotNull() & F.col(right_time).isNotNull())
     # The right payload travels as ONE struct: it is non-null exactly when
     # the row came from the right side, so a single last(ignorenulls) always
     # carries all columns from the SAME right row.  Per-column carries would
@@ -140,19 +151,24 @@ def asof_join(
     )
     carried = (
         lefted.unionByName(righted)
-        .select("*", F.last("__r", ignorenulls=True).over(w).alias("__m"))
+        .select(
+            "*",
+            # mask the carry for NULL-time left rows: `t <= NULL` is
+            # unknown in SQL, so they must match nothing (reachable in
+            # forward mode, where desc puts NULLs after every real row)
+            F.when(
+                F.col(t).isNotNull(),
+                F.last("__r", ignorenulls=True).over(w),
+            ).alias("__m"),
+        )
         .filter(F.col(side) == 1)
     )
-    out = carried.select(
+    if how == "inner":
+        carried = carried.filter(F.col("__m").isNotNull())
+    return carried.select(
         "__l.*",
         *[F.col(f"__m.{c}").alias(f"r_{c}") for c in right_payload],
     )
-    if how == "inner":
-        out = carried.filter(F.col("__m").isNotNull()).select(
-            "__l.*",
-            *[F.col(f"__m.{c}").alias(f"r_{c}") for c in right_payload],
-        )
-    return out
 
 
 def range_join(

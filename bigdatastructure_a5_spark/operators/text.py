@@ -173,23 +173,33 @@ def char_ngrams(text_col: Column | str, n: int = 3) -> Column:
     )
 
 
+def _profile_count(grams: Column, profile) -> Column:
+    """Occurrence count of one language profile's trigrams in a gram array
+    — THE shared counting expression behind both the inline surface
+    (ngram_lang_scores) and the materialized-column surface
+    (with_ngram_scores), so the two can never drift.  COALESCE to 0 for
+    NULL text (same contract as _marker_count): the scores are integer
+    facts that downstream sums/argmax consume, and a NULL would otherwise
+    propagate through any aggregate over them.  (The helper also scopes
+    ``plit`` per call, avoiding the loop-capture pitfall the call sites
+    previously each worked around.)"""
+    plit = F.array(*[F.lit(g) for g in profile])
+    return F.coalesce(
+        F.size(F.filter(grams, lambda t: F.array_contains(plit, t))),
+        F.lit(0),
+    )
+
+
 def ngram_lang_scores(text_col: Column | str) -> dict[str, Column]:
     """Occurrence count of each language's profile trigrams in the text
     (occurrence-weighted membership — a document repeating 'the' keeps
     voting 'en', matching the rank-profile intuition without a per-doc
     sort)."""
     grams = char_ngrams(text_col, 3)
-    out = {}
-    for lang, profile in NGRAM_PROFILES.items():
-        plit = F.array(*[F.lit(g) for g in profile])
-        # COALESCE to 0 for NULL text (same contract as _marker_count): the
-        # scores are integer facts that downstream sums/argmax consume, and
-        # a NULL would otherwise propagate through any aggregate over them
-        out[lang] = F.coalesce(
-            F.size(F.filter(grams, lambda g: F.array_contains(plit, g))),
-            F.lit(0),
-        )
-    return out
+    return {
+        lang: _profile_count(grams, profile)
+        for lang, profile in NGRAM_PROFILES.items()
+    }
 
 
 def with_ngram_scores(df, text_col: str = "text", prefix: str = "ng_"):
@@ -202,21 +212,10 @@ def with_ngram_scores(df, text_col: str = "text", prefix: str = "ng_"):
     the same language keys and order."""
     _check_clash(df, [f"{prefix}{lang}" for lang in NGRAM_PROFILES], "__grams")
     g = F.col("__grams")
-    cols = []
-    for lang, profile in NGRAM_PROFILES.items():
-        plit = F.array(*[F.lit(x) for x in profile])
-        # one-parameter lambda on purpose: F.filter reads a two-parameter
-        # lambda as its (element, index) form; it invokes the lambda
-        # eagerly at construction, so the loop's plit is captured correctly
-        # without a default-arg
-        cols.append(
-            F.coalesce(
-                F.size(
-                    F.filter(g, lambda t: F.array_contains(plit, t))  # noqa: B023
-                ),
-                F.lit(0),
-            ).alias(f"{prefix}{lang}")
-        )
+    cols = [
+        _profile_count(g, profile).alias(f"{prefix}{lang}")
+        for lang, profile in NGRAM_PROFILES.items()
+    ]
     return (
         df.withColumn("__grams", char_ngrams(text_col))
         .select("*", *cols)

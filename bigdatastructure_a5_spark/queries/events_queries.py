@@ -241,12 +241,18 @@ def join_range_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME oracle a batch rollup would use: Structured Streaming with
     # AvailableNow over a finite source must produce exactly the batch
     # answer (deterministic aggregates only — count + exact decimal sum).
+    # `ts IS NOT NULL` mirrors watermark semantics exactly: a watermarked
+    # streaming aggregation DROPS null event-time rows (they cannot be
+    # assigned a window), where plain SQL would group them under NULL —
+    # the fixture has no null ts, but the oracle must state the real
+    # contract, not rely on the data never exercising the difference.
     oracle="""
     SELECT DATE_TRUNC('hour', ts) AS hour_ts,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY DATE_TRUNC('hour', ts), event_type
     """,
     tags=("ext:streaming",),

@@ -34,8 +34,11 @@ def stream_interval_join(
 
     Both sides get event-time watermarks; the range condition bounds each
     side's buffered state to ``watermark + |interval|`` of data.  Column
-    names: left columns keep their names, right's time arrives as
-    ``r_ts`` and other right columns prefixed ``r_``.
+    names match the batch twin exactly: left columns keep their names,
+    right's time arrives as ``r_<right_time>`` and other right columns
+    prefixed ``r_`` — a hardcoded ``r_ts`` would both break the declared
+    range_join parity for any non-default ``right_time`` and collide with
+    a right column literally named ``ts``.
     """
     lt, rt = "__lt", "__rt"
     lw = left.withColumn(lt, F.col(left_time)).withWatermark(lt, watermark)
@@ -54,4 +57,4 @@ def stream_interval_join(
         & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {high_seconds} SECOND"))
     )
     joined = lw.join(rw, cond, "inner")
-    return joined.withColumnRenamed(rt, "r_ts").drop(lt, "__rk")
+    return joined.withColumnRenamed(rt, f"r_{right_time}").drop(lt, "__rk")

@@ -88,6 +88,37 @@ def test_asof_matches_sql_inequality_argmax(spark):
     assert got == {(r.lid, r.rid) for r in naive.collect()}
 
 
+def test_asof_null_times_and_keys_never_match(spark):
+    """SQL/DuckDB ASOF semantics: NULL never matches.  A NULL right_time
+    row must not be carried as a match (asc sorts nulls FIRST, where the
+    window carry would otherwise hand it to every early left row); NULL
+    keys must not pair with each other; a NULL left_time takes no match
+    even in forward mode (desc sorts nulls LAST, after every real row)."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts(1)), (2, None, _ts(5)), (3, 1, None)],
+        ["lid", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [(9, 1, None), (8, None, _ts(1)), (7, 1, _ts(30))],
+        ["rid", "k", "t"],
+    )
+    backward = asof_join(
+        left, right, "k", "t", "t", ["rid"], how="left"
+    )
+    got = {r.lid: r.r_rid for r in backward.collect()}
+    # lid=1 at t=1: the only real right row is t=30 (future) -> no match;
+    # the NULL-time rid=9 must NOT leak in.  NULL key / NULL time: no match.
+    assert got == {1: None, 2: None, 3: None}
+
+    forward = asof_join(
+        left, right, "k", "t", "t", ["rid"], direction="forward", how="left"
+    )
+    got_f = {r.lid: r.r_rid for r in forward.collect()}
+    # lid=1 t=1 -> earliest future is rid=7 at t=30; NULL rows still match
+    # nothing (lid=3 is the desc-nulls-last carry case)
+    assert got_f == {1: 7, 2: None, 3: None}
+
+
 def test_range_join_bounds_and_bucket_crossing(spark):
     left = spark.createDataFrame([(1, 1, _ts(10))], ["lid", "k", "t"])
     right = spark.createDataFrame(

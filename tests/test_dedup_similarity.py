@@ -106,6 +106,46 @@ def test_simhash_catches_planted_duplicates(docs, shingled, exact_dup_rows):
     assert len(found & planted) >= len(planted) * 0.4
 
 
+def test_lsh_guards_against_short_signatures(spark, docs):
+    """A signature shorter than bands*rows_per_band would hash every doc's
+    tail bands to one constant bucket (slice past the end returns []),
+    silently degenerating the self-join to all-pairs — both the Python-
+    level divisibility check and the runtime length guard must be LOUD."""
+    import pytest
+
+    from bigdatastructure_a5_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_duplicates_minhash,
+        shingle_sets,
+    )
+
+    with pytest.raises(ValueError, match="multiple"):
+        near_duplicates_minhash(docs, num_hashes=60, bands=32)
+
+    sigs = minhash_signatures(shingle_sets(docs, "doc_id", "text", 3), 64)
+    # match on the MESSAGE, not the exception class: a lone failure raises
+    # SparkRuntimeException, but when both self-join stages fail in the
+    # same AQE batch Spark wraps them in a multiple-failures SparkException
+    with pytest.raises(Exception, match="length >= 128"):
+        lsh_candidate_pairs(sigs, bands=32, rows_per_band=4).count()
+
+
+def test_simhash_rejects_radius_at_or_above_chunks(spark, docs):
+    """Pigeonhole only guarantees recall for hamming < chunks; asking for
+    more must raise instead of silently returning a subset."""
+    import pytest
+
+    from bigdatastructure_a5_spark.operators.dedup import (
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    prints = simhash64(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="chunk"):
+        simhash_near_pairs(prints, max_hamming=4, chunks=4)
+
+
 def test_jaccard_df_cap_drops_hot_shingles_keeps_dups(spark):
     """The document-frequency cap removes boilerplate shingles from the
     index (killing their quadratic posting lists) while true near-dup pairs

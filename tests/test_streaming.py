@@ -200,6 +200,25 @@ def test_stream_stream_interval_join_equals_batch_range_join(spark, sf_dir):
     assert got == expected
 
 
+def test_stream_interval_join_names_right_time_like_batch_twin(spark, sf_dir):
+    """Output naming parity with range_join: the right time column arrives
+    as r_<right_time> — a hardcoded r_ts both broke parity for custom
+    names and collided with a right column literally named ts."""
+    from bigdatastructure_a5_spark.streaming.joins import stream_interval_join
+
+    ev = read_events_stream(spark, sf_dir)
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select(
+        "user_id", F.col("ts").alias("event_ts"), F.col("value").alias("v")
+    )
+    joined = stream_interval_join(
+        left, right, on="user_id", low_seconds=-60, high_seconds=0,
+        right_time="event_ts",
+    )
+    assert "r_event_ts" in joined.columns and "r_v" in joined.columns
+    assert joined.columns.count("r_ts") == 0
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Watermark semantics enforced BEHAVIORALLY, not just present in the
     plan: with a 2-hour watermark and append output, an event arriving a

@@ -58,6 +58,26 @@ def test_embed_many_preserves_dim_rows_and_counts(base):
     assert total_embedded == base["lineitem"].count()
 
 
+def test_embed_many_handles_ddl_metachar_field_names(spark):
+    """The empty-array fallback casts to the DataType OBJECT — a
+    simpleString round-trip chokes on field names with DDL metacharacters
+    (legal in parquet), e.g. 'price,usd'."""
+    from bigdatastructure_a5_spark.operators.denormalize import embed_many
+
+    target = spark.createDataFrame([(1,), (2,)], ["pk"])
+    source = spark.createDataFrame(
+        [(1, 3.5)], ["fk", "price,usd"]
+    )
+    spec = EmbedSpec(
+        source="s", target="t", path="kids", cardinality="many",
+        target_key="pk", source_key="fk",
+    )
+    out = embed_many(target, source, spec)
+    rows = {r.pk: r.kids for r in out.collect()}
+    assert rows[1][0]["price,usd"] == 3.5
+    assert rows[2] == []  # childless target keeps the empty array
+
+
 def test_routed_filter_rewrites_to_host(spark, base, tmp_path_factory):
     # materialize the variant first (denormalization is a *stored* layout;
     # an unmaterialized variant would still carry the embed join in its plan)
