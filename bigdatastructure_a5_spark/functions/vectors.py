@@ -92,4 +92,15 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """dot/(|a||b|), NULL when either norm is zero (or either vector NULL).
+
+    The guard matters under Spark 4's DEFAULT ANSI mode, where the bare
+    division would throw DIVIDE_BY_ZERO and abort the whole job on one
+    degenerate row.  NULL is the chosen semantic — a zero vector has no
+    direction, so it passes no threshold filter and ranks nowhere in a
+    top-k (engines disagree here anyway: DuckDB's list_cosine_similarity
+    returns -1.0, non-ANSI Spark NaN; fixtures contain no zero vectors,
+    so oracles are unaffected).  For non-degenerate rows the value is
+    bit-identical to the unguarded division."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != F.lit(0.0), dot_product(a, b) / denom)

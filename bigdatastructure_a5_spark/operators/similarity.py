@@ -45,6 +45,10 @@ def brute_force_topk(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), q).alias("cosine"),
         )
+        # zero-norm / NULL vectors score NULL (see cosine_similarity) and
+        # rank nowhere — drop them instead of letting NULLS LAST pad the
+        # tail of an under-full top-k
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -57,6 +61,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     candidate_margin: float = 1e-9,
     n_blocks: int = 8,
+    tracker: list | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold (embedding near-dup detection).
 
@@ -94,6 +99,12 @@ def cosine_pairs(
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
+    from bigdatastructure_a5_spark.session import adopt_tracker
+
+    tracker, finish = adopt_tracker(tracker)
+    # NULL vectors can neither be packed (np.stack shape error in the tile
+    # scorer) nor scored — out of the domain, same as cosine_pairs_lsh
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     relaxed = threshold - candidate_margin
     packed = (
         embeddings.select(
@@ -104,7 +115,15 @@ def cosine_pairs(
         )
         .groupBy("bid")
         .agg(F.collect_list("iv").alias("members"))
+        # consumed by BOTH tile-join sides: without the persist Catalyst
+        # evaluates the groupBy+collect_list subtree once per side — two
+        # full corpus scans and two pack shuffles (verified in the
+        # optimized plan).  Same cache contract as the other self-join
+        # operators (jaccard, LSH): caller releases via tracker, or the
+        # function materializes its own result and releases on return.
+        .persist()
     )
+    tracker.append(packed)
     spark = embeddings.sparkSession
     pair_grid = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
@@ -161,7 +180,7 @@ def cosine_pairs(
     b = embeddings.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
-    return (
+    return finish(
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -200,32 +219,6 @@ def rademacher_signs(
         ]
         for t in range(n_tables)
     ]
-
-
-def lsh_bucket_expr(vec_col, table_signs: list[list[float]]) -> F.Column:
-    """One table's bucket id as a pure Catalyst expression: bit p =
-    (v · plane_p >= 0), packed into a BIGINT.  Each dot product is a
-    zip_with/aggregate left fold against the ±1 literal array — double
-    precision, array-order accumulation, so the value is bit-stable and
-    reproducible by the oracle's identical left-fold."""
-    from bigdatastructure_a5_spark.functions.vectors import _as_col
-
-    bucket = None
-    for p, srow in enumerate(table_signs):
-        lit_plane = double_array_lit(srow)
-        dot = F.aggregate(
-            F.zip_with(
-                _as_col(vec_col), lit_plane, lambda x, w: x.cast("double") * w
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(dot >= 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        term = F.shiftleft(bit, p)
-        bucket = term if bucket is None else bucket + term
-    return bucket
 
 
 def auto_planes(n_rows: int) -> int:
@@ -376,6 +369,9 @@ def cosine_pairs_lsh(
     )
 
     tracker, finish = adopt_tracker(tracker)
+    # NULL vectors can neither be bucketed nor scored — drop them up front
+    # (also keeps the dim probe below from dereferencing a NULL first row)
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     first = embeddings.select(vec_col).first()
     if first is None:
         return embeddings.sparkSession.createDataFrame(
@@ -424,9 +420,9 @@ def cosine_pairs_lsh(
 
 
 def _py_fold_dot(vec, weights) -> float:
-    """Driver-side replica of lsh_bucket_expr's dot fold: same left-to-right
-    double accumulation, so the query point's bucket bits are bit-identical
-    to the executor-computed (and oracle-computed) ones."""
+    """Driver-side replica of with_lsh_buckets' per-plane dot fold: same
+    left-to-right double accumulation, so the query point's bucket bits are
+    bit-identical to the executor-computed (and oracle-computed) ones."""
     acc = 0.0
     for x, w in zip(vec, weights):
         acc += float(x) * w
@@ -453,27 +449,17 @@ def py_l2(a) -> float:
 
 
 def py_cosine(a, b) -> float:
-    """Driver-side replica of functions.vectors.cosine_similarity (same
-    sequential folds, same single divide) — bit-identical to the executor
-    expression and to DuckDB's list_cosine_similarity.  A zero vector
-    yields NaN on every engine (0/0); return it rather than raising so a
-    degenerate codebook entry ranks nowhere instead of crashing the
-    driver-side probe selection."""
-    import math
-
-    dot = 0.0
-    for x, y in zip(a, b):
-        dot += float(x) * float(y)
-    na = 0.0
-    for x in a:
-        na += float(x) * float(x)
-    nb = 0.0
-    for y in b:
-        nb += float(y) * float(y)
-    denom = math.sqrt(na) * math.sqrt(nb)
+    """Driver-side replica of functions.vectors.cosine_similarity —
+    COMPOSED from the same canonical helpers (_py_fold_dot, py_l2), so the
+    three functions cannot drift apart; the operation order is identical
+    to the executor expression and to DuckDB's list_cosine_similarity for
+    non-degenerate inputs.  A zero vector returns NaN (the executor
+    expression returns NULL for the same row): both mean 'ranks nowhere'
+    and the probe selection excludes NaN explicitly."""
+    denom = py_l2(a) * py_l2(b)
     if denom == 0.0:
         return float("nan")
-    return dot / denom
+    return _py_fold_dot(a, b) / denom
 
 
 def ann_lsh_topk(
@@ -525,6 +511,7 @@ def ann_lsh_topk(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), q).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())  # degenerate rows rank nowhere
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -542,11 +529,21 @@ def fit_centroids_sample(
     driver-side sample (the standard IVF recipe — at 100 TB you fit on ~1M
     sampled vectors, never the corpus; assignment is the distributed part)."""
     sample = [
-        r[0] for r in embeddings.select(vec_col).limit(sample_rows).collect()
+        r[0]
+        for r in embeddings.select(vec_col).limit(sample_rows).collect()
+        if r[0] is not None
     ]
+    if not sample:
+        raise ValueError(
+            "fit_centroids_sample: corpus sample is empty (no non-NULL "
+            f"{vec_col!r} rows) — cannot fit a codebook"
+        )
     x = np.asarray(sample, dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1), 1e-12)[:, None]
     rng = np.random.RandomState(seed)
+    # a corpus smaller than the requested codebook yields fewer centroids
+    # (every point its own cell) instead of numpy's replace=False ValueError
+    n_centroids = min(n_centroids, len(x))
     cent = x[rng.choice(len(x), size=n_centroids, replace=False)]
     for _ in range(iters):
         assign = np.argmax(x @ cent.T, axis=1)  # cosine on normalized = dot
@@ -578,29 +575,6 @@ def seed_point_centroids(
         .collect()
     )
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
-
-
-def ivf_cell_expr(vec_col, centroids: list[tuple[int, list[float]]]) -> F.Column:
-    """Nearest-centroid cell id as a pure Catalyst expression: argmax over
-    the codebook of cosine(v, centroid), ties to the smallest cid.
-
-    Implemented as array_max over struct(cos, -cid) — struct comparison is
-    lexicographic, so the max is (highest cosine, then smallest cid) with
-    no window or shuffle; one projection per row.  Like the LSH buckets,
-    this is a write-time column in production (with_ivf_cells)."""
-    from bigdatastructure_a5_spark.functions.vectors import _as_col
-
-    entries = []
-    for cid, cvec in centroids:
-        c_lit = double_array_lit(cvec)
-        entries.append(
-            F.struct(
-                cosine_similarity(_as_col(vec_col), c_lit).alias("cos"),
-                F.lit(-cid).cast("bigint").alias("negcid"),
-            )
-        )
-    best = F.array_max(F.array(*entries))
-    return (-best["negcid"]).cast("int")
 
 
 def with_ivf_cells(
@@ -645,9 +619,15 @@ def with_ivf_cells(
     staged = df.selectExpr(
         "*", f"{dots_sql} AS __ivf_dots", f"{norm_sql} AS __ivf_nv"
     )
+    # the CASE guards ANSI-mode DIVIDE_BY_ZERO on degenerate rows/centroids:
+    # a zero-norm pair scores -2.0 (below any real cosine), so a zero-norm
+    # CENTROID never wins the argmax, and a zero-norm ROW falls through to
+    # the smallest-cid tie-break — consistent with py_cosine's NaN, which
+    # the probe selection excludes.  Non-degenerate values are untouched.
     entries = ",".join(
-        f"struct(element_at(__ivf_dots, {j + 1}) / "
-        f"(__ivf_nv * {_sql_double(py_l2(cvec))}) AS cos, "
+        f"struct(CASE WHEN (__ivf_nv * {_sql_double(py_l2(cvec))}) <> 0.0D "
+        f"THEN element_at(__ivf_dots, {j + 1}) / "
+        f"(__ivf_nv * {_sql_double(py_l2(cvec))}) ELSE -2.0D END AS cos, "
         f"CAST({-cid} AS BIGINT) AS negcid)"
         for j, (cid, cvec) in enumerate(centroids)
     )
@@ -670,7 +650,7 @@ def ivf_topk(
     centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign vectors to their nearest codebook cell
-    (a Catalyst argmax projection — see ivf_cell_expr), probe the
+    (a Catalyst argmax projection — see with_ivf_cells), probe the
     ``n_probe`` cells whose centroids are nearest the query, score only
     those exactly.
 
@@ -720,6 +700,7 @@ def ivf_topk(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), q_lit).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())  # degenerate rows rank nowhere
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatastructure_a5_spark.catalog import load_table
+from bigdatastructure_a5_spark.functions.numeric import dec_sum_double
 from bigdatastructure_a5_spark.registry import query
 
 
@@ -38,7 +39,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        dec_sum_double("value").alias("sum_value"),
     )
 
 
@@ -82,9 +83,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("session_value"),
+            dec_sum_double("value").alias("session_value"),
         )
         .select(
             "user_id", "session_start", "session_end", "n_events", "session_value"
@@ -124,9 +123,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_value"),
+            dec_sum_double("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -276,9 +273,7 @@ def events_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_value"),
+            dec_sum_double("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("hour_ts"),

@@ -145,10 +145,10 @@ _SHINGLES_SQL = f"""
 """
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=_SHINGLES_SQL
-    + """
+#: Exact-Jaccard pair tail shared by BOTH the inverted-index query and the
+#: MinHash+LSH query (they answer the same question and must be held to the
+#: same oracle — one constant so the two can never drift apart).
+_JACCARD_PAIRS_SQL = """
     , ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -162,7 +162,12 @@ _SHINGLES_SQL = f"""
     JOIN sz sa ON sa.doc_id = id_a
     JOIN sz sb ON sb.doc_id = id_b
     WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
-    """,
+    """
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLES_SQL + _JACCARD_PAIRS_SQL,
     tags=("ext:dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,22 +194,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set provably equals the exact one (measured identical at
     # sf0.001/0.01/0.1; pytest asserts it).  Hash-checking against the
     # exact SQL is therefore the HONEST gate for this operator.
-    oracle=_SHINGLES_SQL
-    + """
-    , ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    sz AS (SELECT doc_id, LEN(s) AS n FROM sh WHERE LEN(s) > 0)
-    SELECT id_a, id_b,
-           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN sz sa ON sa.doc_id = id_a
-    JOIN sz sb ON sb.doc_id = id_b
-    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
-    """,
+    oracle=_SHINGLES_SQL + _JACCARD_PAIRS_SQL,
     tags=("ext:dedup",),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,17 +421,24 @@ def _topk_cosine_sql(
     nq = 0.0
     for x in qv:
         nq += float(x) * float(x)
+    # NULLIF guards ANSI-mode DIVIDE_BY_ZERO on a zero-norm corpus row
+    # (same contract as functions.vectors.cosine_similarity: degenerate
+    # rows score NULL and are filtered out — they rank nowhere); for
+    # non-degenerate rows the division value is bit-identical
     return spark.sql(f"""
-        SELECT vec_id,
-               aggregate(zip_with(`embedding`, {q_sql},
-                                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-               / (SQRT(aggregate(transform(`embedding`,
-                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
-                  * {_sql_double(math.sqrt(nq))}) AS cosine
-        FROM {view}
-        WHERE {where}
+        SELECT vec_id, cosine FROM (
+          SELECT vec_id,
+                 aggregate(zip_with(`embedding`, {q_sql},
+                                    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                           CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+                 / NULLIF(SQRT(aggregate(transform(`embedding`,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+                    * {_sql_double(math.sqrt(nq))}, 0.0D) AS cosine
+          FROM {view}
+          WHERE {where}
+        )
+        WHERE cosine IS NOT NULL
         ORDER BY cosine DESC, vec_id
         LIMIT {k}
     """)
@@ -702,8 +699,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pyarrow.parquet as pq
 
+        import heapq
+
         ids = pq.read_table(path, columns=["vec_id"]).column("vec_id")
-        cut = sorted(ids.to_pylist())[:17]
+        # nsmallest over the Arrow column: O(n) with a 17-slot heap, no
+        # full materialize-and-sort of the id column in Python (the x10/
+        # x100 local gates run this path on millions of ids)
+        cut = heapq.nsmallest(17, (i.as_py() for i in ids))
         t = pq.read_table(
             path, filters=[("vec_id", "in", cut)]
         ).sort_by("vec_id")

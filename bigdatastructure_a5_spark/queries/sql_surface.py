@@ -180,9 +180,7 @@ def filter_over_intermediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_qty"),
+        dec_sum_double("l_quantity").alias("sum_qty"),
     )
     return agg.filter(F.col("n_lines") == 30)
 

@@ -106,6 +106,71 @@ def test_simhash_catches_planted_duplicates(docs, shingled, exact_dup_rows):
     assert len(found & planted) >= len(planted) * 0.4
 
 
+def test_zero_and_null_vectors_rank_nowhere(spark):
+    """Spark 4 runs ANSI mode by default, where an unguarded cosine divide
+    aborts the whole job on ONE zero-norm row.  Contract: degenerate
+    (zero-norm or NULL) vectors score NULL and rank nowhere — no crash,
+    no phantom tail entries in a top-k, no pair output."""
+    from bigdatastructure_a5_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_pairs,
+        cosine_pairs_lsh,
+        ivf_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+        (3, None),                   # NULL vector
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], k=10).collect()
+    assert [r.vec_id for r in got] == [0, 1, 4]  # 2 and 3 rank nowhere
+
+    pair_ids = {
+        i
+        for r in cosine_pairs(emb, threshold=-1.0).collect()
+        for i in (r.id_a, r.id_b)
+    }
+    assert 2 not in pair_ids and 3 not in pair_ids
+
+    lsh_ids = {
+        i
+        for r in cosine_pairs_lsh(emb, threshold=-1.0, n_planes=4).collect()
+        for i in (r.id_a, r.id_b)
+    }
+    assert 3 not in lsh_ids  # NULL filtered up front; no ANSI crash
+
+    ivf = ivf_topk(emb.filter("vec_id != 0 and embedding is not null"),
+                   [1.0, 0.0, 0.0, 0.0], k=10, n_centroids=3, n_probe=3)
+    assert 2 not in [r.vec_id for r in ivf.collect()]
+
+
+def test_lloyd_centroids_clamp_to_small_corpus(spark):
+    """fit_centroids_sample on a corpus smaller than the requested codebook
+    returns len(corpus) centroids instead of numpy's replace=False
+    ValueError; an empty corpus raises a clear message."""
+    import pytest
+
+    from bigdatastructure_a5_spark.operators.similarity import (
+        fit_centroids_sample,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = fit_centroids_sample(emb, n_centroids=16)
+    assert cent.shape == (5, 2)
+
+    empty = emb.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        fit_centroids_sample(empty, n_centroids=4)
+
+
 def test_lsh_guards_against_short_signatures(spark, docs):
     """A signature shorter than bands*rows_per_band would hash every doc's
     tail bands to one constant bucket (slice past the end returns []),
