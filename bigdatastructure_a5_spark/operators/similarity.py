@@ -45,12 +45,14 @@ def brute_force_topk(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), q).alias("cosine"),
         )
-        # zero-norm / NULL vectors score NULL (see cosine_similarity) and
-        # rank nowhere — drop them instead of letting NULLS LAST pad the
-        # tail of an under-full top-k
-        .filter(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+        # zero-norm / NULL vectors score NULL (see cosine_similarity) and
+        # rank nowhere.  DESC sorts NULLS LAST, so real matches fill the
+        # top-k first and the filter runs AFTER the limit on <= k rows —
+        # filtering before the sort would push the predicate into the scan
+        # and re-evaluate the whole scoring fold once more per row
+        .filter(F.col("cosine").isNotNull())
     )
 
 
@@ -511,9 +513,12 @@ def ann_lsh_topk(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), q).alias("cosine"),
         )
-        .filter(F.col("cosine").isNotNull())  # degenerate rows rank nowhere
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+        # post-limit on <= k rows (see brute_force_topk): degenerate rows
+        # sort NULLS LAST and rank nowhere; pre-sort filtering would
+        # duplicate the scoring fold into a pushed-down predicate
+        .filter(F.col("cosine").isNotNull())
     )
 
 
@@ -610,26 +615,41 @@ def with_ivf_cells(
             )
     dots_sql = matrix_dots_sql(vec_col, [cvec for _cid, cvec in centroids])
     # identical op structure to functions.vectors.l2_norm (transform-square
-    # then sequential add-fold, then sqrt)
+    # then sequential add-fold, then sqrt).  NULLIF is the ANSI-mode
+    # DIVIDE_BY_ZERO guard for a zero-norm ROW, applied ONCE here in
+    # staging: division by NULL is NULL (never an error), every entry's cos
+    # goes NULL, and the row's final score is NULL downstream — it ranks
+    # nowhere.  Guarding per entry instead (a CASE around each division)
+    # was measured 5x slower: it doubles the staging references, the
+    # expression blows past codegen's subexpression-elimination budget,
+    # and the interpreted fallback re-evaluates the full matrix fold per
+    # entry (53 aggregate() copies in the optimized plan).
     norm_sql = (
-        f"sqrt(aggregate(transform(`{vec_col}`, "
+        f"nullif(sqrt(aggregate(transform(`{vec_col}`, "
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, "
-        "(acc,v) -> acc + v))"
+        "(acc,v) -> acc + v)), 0.0D)"
     )
     staged = df.selectExpr(
         "*", f"{dots_sql} AS __ivf_dots", f"{norm_sql} AS __ivf_nv"
     )
-    # the CASE guards ANSI-mode DIVIDE_BY_ZERO on degenerate rows/centroids:
-    # a zero-norm pair scores -2.0 (below any real cosine), so a zero-norm
-    # CENTROID never wins the argmax, and a zero-norm ROW falls through to
-    # the smallest-cid tie-break — consistent with py_cosine's NaN, which
-    # the probe selection excludes.  Non-degenerate values are untouched.
+
+    # a zero-norm CENTROID is guarded driver-side (its norm is a Python
+    # constant): a literal -2.0 score — below any real cosine — so it
+    # never wins the argmax; non-degenerate entries keep the exact
+    # division, bit-identical to per-centroid cosine_similarity folds
+    def entry_sql(j: int, cid: int, cvec) -> str:
+        cnorm = py_l2(cvec)
+        if cnorm == 0.0:
+            cos = "-2.0D"
+        else:
+            cos = (
+                f"element_at(__ivf_dots, {j + 1}) / "
+                f"(__ivf_nv * {_sql_double(cnorm)})"
+            )
+        return f"struct({cos} AS cos, CAST({-cid} AS BIGINT) AS negcid)"
+
     entries = ",".join(
-        f"struct(CASE WHEN (__ivf_nv * {_sql_double(py_l2(cvec))}) <> 0.0D "
-        f"THEN element_at(__ivf_dots, {j + 1}) / "
-        f"(__ivf_nv * {_sql_double(py_l2(cvec))}) ELSE -2.0D END AS cos, "
-        f"CAST({-cid} AS BIGINT) AS negcid)"
-        for j, (cid, cvec) in enumerate(centroids)
+        entry_sql(j, cid, cvec) for j, (cid, cvec) in enumerate(centroids)
     )
     cell_sql = f"CAST(-(array_max(array({entries})).negcid) AS INT)"
     return staged.selectExpr(
@@ -700,7 +720,8 @@ def ivf_topk(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), q_lit).alias("cosine"),
         )
-        .filter(F.col("cosine").isNotNull())  # degenerate rows rank nowhere
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+        # post-limit on <= k rows (see brute_force_topk)
+        .filter(F.col("cosine").isNotNull())
     )

@@ -423,8 +423,11 @@ def _topk_cosine_sql(
         nq += float(x) * float(x)
     # NULLIF guards ANSI-mode DIVIDE_BY_ZERO on a zero-norm corpus row
     # (same contract as functions.vectors.cosine_similarity: degenerate
-    # rows score NULL and are filtered out — they rank nowhere); for
-    # non-degenerate rows the division value is bit-identical
+    # rows score NULL — DESC sorts them NULLS LAST so real matches fill
+    # the top-k, and the outer filter drops them AFTER the limit, on <= k
+    # rows.  Filtering inside the subquery would push the predicate down
+    # and re-evaluate the whole scoring fold once more per row.)  For
+    # non-degenerate rows the division value is bit-identical.
     return spark.sql(f"""
         SELECT vec_id, cosine FROM (
           SELECT vec_id,
@@ -437,10 +440,10 @@ def _topk_cosine_sql(
                     * {_sql_double(math.sqrt(nq))}, 0.0D) AS cosine
           FROM {view}
           WHERE {where}
+          ORDER BY cosine DESC, vec_id
+          LIMIT {k}
         )
         WHERE cosine IS NOT NULL
-        ORDER BY cosine DESC, vec_id
-        LIMIT {k}
     """)
 
 
