@@ -180,6 +180,19 @@ def materialize_release(result, tracked):
     for df in tracked:
         df.unpersist(blocking=False)
     tracked.clear()
+    # Spark's CacheManager keys cache entries by PLAN, not by DataFrame
+    # object: re-running the same query yields a same-semantics result
+    # whose persist() aliases the existing entry, and unpersisting ANY
+    # alias drops the shared entry.  Left in the window, an old alias
+    # evicted by the LIMIT pop below would therefore unpersist the cache
+    # the CURRENT result just filled, and the caller's terminal action
+    # would recompute the whole multi-pass pipeline with no intermediate
+    # persists (measured 1.4s -> ~18s on dedup_simhash at sf0.1 from the
+    # 5th same-query submission in one session).  Drop same-plan aliases
+    # WITHOUT unpersisting — they share the entry that must stay live.
+    _RESULT_CACHES[:] = [
+        df for df in _RESULT_CACHES if not df.sameSemantics(result)
+    ]
     _RESULT_CACHES.append(result)
     while len(_RESULT_CACHES) > _RESULT_CACHE_LIMIT:
         _RESULT_CACHES.pop(0).unpersist(blocking=False)

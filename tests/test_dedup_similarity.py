@@ -434,6 +434,10 @@ def test_standalone_call_releases_intermediate_caches(spark, sf_dir, docs):
     # module-scoped docs/shingled fixture caches for every later test
     import bigdatastructure_a5_spark.session as S
 
+    # the module fixture's cache() registers its RDD lazily at first
+    # execution — force it now or the first operator call below registers
+    # it AFTER the baseline snapshot and the delta over-counts by one
+    docs.count()
     base = persisted()
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -452,6 +456,40 @@ def test_standalone_call_releases_intermediate_caches(spark, sf_dir, docs):
         f"intermediate caches leaked: {persisted() - base} persisted frames "
         f"above baseline (limit {S._RESULT_CACHE_LIMIT})"
     )
+
+
+def test_repeated_same_plan_materialization_keeps_cache(spark):
+    """Re-submitting the SAME query must not self-evict its result cache.
+
+    Spark's CacheManager keys entries by plan: every same-semantics result
+    persist()ed into the bounded _RESULT_CACHES window aliases one shared
+    entry, and unpersisting any alias (the window's LIMIT pop) drops that
+    entry — so from the (LIMIT+1)th submission the just-filled cache died
+    and the caller's terminal action recomputed the whole pipeline
+    uncached (measured 1.4s -> ~18s on dedup_simhash at sf0.1).
+    materialize_release must dedupe same-plan aliases without unpersisting."""
+    import bigdatastructure_a5_spark.session as S
+
+    saved = list(S._RESULT_CACHES)
+    S._RESULT_CACHES.clear()
+    try:
+        last = None
+        for i in range(S._RESULT_CACHE_LIMIT + 3):
+            tracked = [spark.range(50).persist()]
+            result = spark.range(100).selectExpr("id", "id * 2 AS v")
+            last = S.materialize_release(result, tracked)
+        # the shared entry for this plan survives past the window limit
+        cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+        assert cache_mgr.lookupCachedData(last._jdf).isDefined(), (
+            "result cache was self-evicted by a same-plan alias pop"
+        )
+        # and aliases were deduped instead of filling the window
+        same = [df for df in S._RESULT_CACHES if df.sameSemantics(last)]
+        assert len(same) == 1
+    finally:
+        for df in S._RESULT_CACHES:
+            df.unpersist(blocking=False)
+        S._RESULT_CACHES[:] = saved
 
 
 def test_ann_view_refreshes_after_fixture_rewrite(spark, sf_dir, tmp_path):
