@@ -153,8 +153,19 @@ def load_tables(
 
             try:
                 out[name] = _read_parquet_nanos_safe(spark, path)
-            except AnalysisException:  # PATH_NOT_FOUND -> table absent
-                continue
+            except AnalysisException as exc:
+                # Only "table absent" is skippable.  A corrupt footer,
+                # unsupported type, or access failure also surfaces as an
+                # AnalysisException; swallowing those would hand the caller
+                # a silently-incomplete table dict on a remote corpus.
+                cond = (
+                    exc.getCondition()
+                    if hasattr(exc, "getCondition")
+                    else exc.getErrorClass()
+                ) or ""
+                if "PATH_NOT_FOUND" in cond:
+                    continue
+                raise
         elif os.path.exists(path):
             # the SAME nanos-safe reader load_table uses — a raw read would
             # crash on TIMESTAMP(NANOS) fixtures (or, with the legacy conf

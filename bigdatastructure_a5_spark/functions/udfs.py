@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 @pandas_udf(DoubleType())
@@ -51,10 +51,21 @@ def iqr_outlier_bounds(df: DataFrame, group_col: str, value_col: str) -> DataFra
 
     # the group column keeps its REAL type — hardcoding string would make
     # the Arrow conversion throw for any numeric key (int64 series into a
-    # declared-string field)
-    key_type = df.schema[group_col].dataType.simpleString()
-    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
-        fences, schema=f"{group_col} {key_type}, lo double, hi double, n long"
+    # declared-string field).  Built as a StructType from the column's own
+    # StructField, never a DDL string: a column name with DDL
+    # metacharacters (spaces, backticks, commas) would break the parse.
+    out_schema = StructType(
+        [
+            df.schema[group_col],
+            StructField("lo", DoubleType()),
+            StructField("hi", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+    return (
+        df.select(group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(fences, schema=out_schema)
     )
 
 

@@ -53,6 +53,10 @@ def brute_force_topk(
         # filtering before the sort would push the predicate into the scan
         # and re-evaluate the whole scoring fold once more per row
         .filter(F.col("cosine").isNotNull())
+        # Spark does not contractually preserve sort order through a filter
+        # above a limit; re-sorting <= k rows makes the ordering declared,
+        # not an accident of the TakeOrderedAndProject physical plan
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
     )
 
 
@@ -519,6 +523,8 @@ def ann_lsh_topk(
         # sort NULLS LAST and rank nowhere; pre-sort filtering would
         # duplicate the scoring fold into a pushed-down predicate
         .filter(F.col("cosine").isNotNull())
+        # declared output order (see brute_force_topk) — cheap on <= k rows
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
     )
 
 
@@ -724,4 +730,6 @@ def ivf_topk(
         .limit(k)
         # post-limit on <= k rows (see brute_force_topk)
         .filter(F.col("cosine").isNotNull())
+        # declared output order (see brute_force_topk) — cheap on <= k rows
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
     )

@@ -32,7 +32,7 @@ from bigdatastructure_a5_spark.operators.denormalize import DenormalizationSpec
 _SQL_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>\w+)(?:\s+(?P<alias>(?!JOIN\b|WHERE\b)\w+))?"
     r"(?:\s+JOIN\s+(?P<jtable>\w+)(?:\s+(?P<jalias>(?!ON\b)\w+))?"
-    r"\s+ON\s+(?P<lq>\w+)\.(?P<lf>\w+)\s*=\s*(?P<rq>\w+)\.(?P<rf>\w+))?"
+    r"\s+ON\s+(?:(?P<lq>\w+)\.)?(?P<lf>\w+)\s*=\s*(?:(?P<rq>\w+)\.)?(?P<rf>\w+))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -52,8 +52,8 @@ class SimpleQuery:
     alias: str
     join_table: str | None = None
     join_alias: str | None = None
-    join_left: tuple[str, str] | None = None  # (qualifier, field)
-    join_right: tuple[str, str] | None = None
+    join_left: tuple[str | None, str] | None = None  # (qualifier, field)
+    join_right: tuple[str | None, str] | None = None
     where: tuple[tuple[str | None, str, str], ...] = ()  # (qual, field, literal)
 
 
@@ -161,10 +161,19 @@ def rewrite_for_variant(
         host, hosted, path = embed.target, embed.source, embed.path
         # the rewrite is only sound for the embed's OWN join relationship:
         # host.target_key = hosted.source_key.  Any other ON pair keeps
-        # the explicit join.
+        # the explicit join.  ON-key qualifiers resolve with the SAME
+        # field/columns membership fallback as SELECT/WHERE (an
+        # unqualified `ON l_orderkey = o_orderkey` is legal SQL when the
+        # names are unambiguous); if both sides still land on one owner
+        # the original query was ambiguous — keep the explicit join
+        # rather than guess.
+        left_owner = _owner(q, q.join_left[0], q.join_left[1], columns)
+        right_owner = _owner(q, q.join_right[0], q.join_right[1], columns)
+        if left_owner == right_owner:
+            return sql
         on_keys = {
-            _owner(q, q.join_left[0]): q.join_left[1],
-            _owner(q, q.join_right[0]): q.join_right[1],
+            left_owner: q.join_left[1],
+            right_owner: q.join_right[1],
         }
         if (
             on_keys.get(host) != embed.target_key

@@ -427,7 +427,10 @@ def _topk_cosine_sql(
     # the top-k, and the outer filter drops them AFTER the limit, on <= k
     # rows.  Filtering inside the subquery would push the predicate down
     # and re-evaluate the whole scoring fold once more per row.)  For
-    # non-degenerate rows the division value is bit-identical.
+    # non-degenerate rows the division value is bit-identical.  The outer
+    # ORDER BY re-sorts the <= k surviving rows: Spark does not
+    # contractually preserve sort order through a filter above a limit,
+    # so the output ordering must be declared, not inherited.
     return spark.sql(f"""
         SELECT vec_id, cosine FROM (
           SELECT vec_id,
@@ -444,6 +447,7 @@ def _topk_cosine_sql(
           LIMIT {k}
         )
         WHERE cosine IS NOT NULL
+        ORDER BY cosine DESC, vec_id
     """)
 
 

@@ -47,7 +47,8 @@ def test_render_verdicts_and_flagging():
     # the summary line names both problem queries
     assert "Flagged super-linear" in section
     assert "`quadratic_q` (20.0x)" in section
-    assert "broken_q" in section
+    assert "`broken_q` (FAILED)" in section
+    assert "nan" not in section
 
 
 def test_render_clean_sweep_has_no_flags():

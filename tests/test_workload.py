@@ -116,6 +116,29 @@ def test_unqualified_hosted_field_resolves_with_columns():
     assert "WHERE p_brand" in out_nomap
 
 
+def test_unqualified_on_keys_resolve_with_columns():
+    """ADVICE r5: an unqualified ON clause (legal when names are unambiguous)
+    must resolve its keys by column membership like SELECT/WHERE, so the
+    legitimately-collapsible embed join still collapses."""
+    sql = (
+        "SELECT l_orderkey, l_quantity FROM lineitem JOIN part "
+        "ON l_partkey = p_partkey WHERE p_brand = 'Brand#12'"
+    )
+    cols = {
+        "lineitem": {"l_orderkey", "l_partkey", "l_quantity"},
+        "part": {"p_partkey", "p_brand", "p_name"},
+    }
+    q = parse_simple_sql(sql)
+    assert q is not None and q.join_left == (None, "l_partkey")
+    out = rewrite_for_variant(sql, D2, cols)
+    assert "JOIN" not in out.upper()
+    assert "product.p_brand = 'Brand#12'" in out
+    # without the columns map both ON sides resolve to the FROM table —
+    # ambiguous, so the join passes through untouched (never collapses to
+    # a possibly-different relationship)
+    assert rewrite_for_variant(sql, D2) == sql
+
+
 def test_substituted_star_restores_consumed_key():
     """O15 substitution of `SELECT *`: the embed struct lacks the consumed
     join key, so the rewrite re-emits it under its logical name."""

@@ -99,7 +99,7 @@ def render(
         "allowance included); anything above is flagged.",
         "",
         "| query | " + " s | ".join(labels) + " s | r 1→10 | r 10→100 | "
-        "r 100→1000 | read |",
+        "r 100→1000 | verdict |",
         "| --- | " + " | ".join("---" for _ in labels) + " | --- | --- | "
         "--- | --- |",
     ]
@@ -112,7 +112,7 @@ def render(
         last = ratios[-1]
         if any(t != t for t in ts):  # NaN cell: the query failed there
             verdict = "**FAILED**"
-            flagged.append((name, float("nan")))
+            flagged.append((name, None))
         elif last > SUPER_LINEAR:
             verdict = "**super-linear**"
             flagged.append((name, last))
@@ -122,10 +122,15 @@ def render(
             verdict = "sub-linear"
         else:
             verdict = "~linear"
-        cells = " | ".join(f"{t:.2f}" for t in ts)
-        rcells = " | ".join(f"{r:.1f}x" for r in ratios)
+        cells = " | ".join("FAIL" if t != t else f"{t:.2f}" for t in ts)
+        rcells = " | ".join("—" if r != r else f"{r:.1f}x" for r in ratios)
         lines.append(f"| {name} | {cells} | {rcells} | {verdict} |")
-    totals = [sum(ts[i] for ts in times.values()) for i in range(len(labels))]
+    # NaN cells (failed runs) are excluded so one failure doesn't poison
+    # the totals row into all-NaN
+    totals = [
+        sum(ts[i] for ts in times.values() if ts[i] == ts[i])
+        for i in range(len(labels))
+    ]
     lines.append(
         "| **total** | "
         + " | ".join(f"**{t:.1f}**" for t in totals)
@@ -140,7 +145,10 @@ def render(
         lines.append(
             "Flagged super-linear (last-step ratio > "
             f"{SUPER_LINEAR:.0f}x): "
-            + ", ".join(f"`{n}` ({r:.1f}x)" for n, r in flagged)
+            + ", ".join(
+                f"`{n}` (FAILED)" if r is None else f"`{n}` ({r:.1f}x)"
+                for n, r in flagged
+            )
             + " — each needs a fix or a documented reason before the "
             "100 TB story holds."
         )
