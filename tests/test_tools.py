@@ -65,3 +65,45 @@ def test_render_clean_sweep_has_no_flags():
 def test_super_linear_threshold_is_generous_vs_linear():
     # the threshold must not flag plain linear growth (10x) plus noise
     assert SUPER_LINEAR >= 12.0
+
+
+def test_lifted_oracles_match_full_at_x10():
+    """The linear-in-copies lifted oracles (tools/lifted_oracles.py, the
+    x>10 gate path) must return the IDENTICAL row multiset as the
+    registered full pair oracles at x10 — the largest scale where the
+    full oracles are still tractable.  DuckDB-only: this validates the
+    oracle derivation itself, independent of Spark."""
+    import duckdb
+    from lifted_oracles import lifted_oracles
+    from scale_fixtures import ensure_x10
+
+    from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    sf = ensure_x10("/root/testdata/sf0.01", copies=10)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    lift = lifted_oracles(10)
+    assert set(lift) == {
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "pipeline_curation",
+    }
+
+    def canon(rel):
+        cols, rows = list(rel.columns), rel.fetchall()
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(cols), sorted(
+            "|".join(repr(r[i]) for i in order) for r in rows
+        )
+
+    for name, lifted_sql in lift.items():
+        o_cols, o_rows = canon(con.sql(REGISTRY[name].oracle))
+        l_cols, l_rows = canon(con.sql(lifted_sql))
+        assert o_cols == l_cols, name
+        assert len(o_rows) > 0, f"{name}: empty oracle result proves nothing"
+        assert o_rows == l_rows, f"{name}: lifted oracle drifted from full"

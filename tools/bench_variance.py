@@ -4,10 +4,13 @@ The driver's bench (bench.py) reports min-of-2 wall-clock per query; on a
 shared box that min still wobbles run-to-run (observed ±20% on identical
 code).  This tool quantifies that wobble so a reviewer can tell noise from
 a regression: R reps per query (cache cleared before each), reporting min,
-median, max and the sample standard deviation, then rewrites the
-"Bench variance" section of EXPERIMENTS.md.
+median, max, the sample standard deviation, and a 95% prediction interval
+for a single future observation (median ± 1.96 sd — the band a fresh
+BENCH_r{N} value should land in if nothing changed; r5 showed a 6-rep
+observed-max is thin enough that pure noise lands "above max"), then
+rewrites the "Bench variance" section of EXPERIMENTS.md.
 
-Usage: python tools/bench_variance.py [sf_dir] [reps]
+Usage: python tools/bench_variance.py [sf_dir] [reps]   (default reps: 10)
 """
 
 from __future__ import annotations
@@ -51,23 +54,29 @@ def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
         f"run {reps}x in one session (cache cleared per rep, first rep "
         "carries fresh-plan analysis + codegen).  The driver's bench "
         "records min-of-2; the spread below is the yardstick for reading "
-        "a BENCH_r{N} delta — a change inside ~2 sigma of these numbers "
-        "is box noise, not a code regression.",
+        "a BENCH_r{N} delta.  Read a new value against the **CI95**"
+        " column — a 95% prediction interval for one future observation "
+        "(median ± 1.96 sd): inside it is box noise, not a code "
+        "regression.  The observed max is also shown but is a thin-tailed "
+        "statistic at these rep counts (r5: three sub-0.5s queries landed "
+        "above a 6-rep max on pure noise).",
         "",
-        "| query | min s | median s | max s | stddev s |",
-        "| --- | --- | --- | --- | --- |",
+        "| query | min s | median s | max s | stddev s | CI95 s |",
+        "| --- | --- | --- | --- | --- | --- |",
     ]
     total_min = total_med = 0.0
     for name, ts in sorted(times.items()):
         mn, md, mx = min(ts), statistics.median(ts), max(ts)
         sd = statistics.stdev(ts) if len(ts) > 1 else 0.0
+        lo, hi = max(0.0, md - 1.96 * sd), md + 1.96 * sd
         total_min += mn
         total_med += md
         lines.append(
-            f"| {name} | {mn:.3f} | {md:.3f} | {mx:.3f} | {sd:.3f} |"
+            f"| {name} | {mn:.3f} | {md:.3f} | {mx:.3f} | {sd:.3f} | "
+            f"{lo:.3f}–{hi:.3f} |"
         )
     lines += [
-        f"| **total** | **{total_min:.2f}** | **{total_med:.2f}** |  |  |",
+        f"| **total** | **{total_min:.2f}** | **{total_med:.2f}** |  |  |  |",
         "",
     ]
     return "\n".join(lines)
@@ -75,7 +84,7 @@ def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     section = render(measure(sf_dir, reps), sf_dir, reps)
     path = Path(__file__).resolve().parent.parent / "EXPERIMENTS.md"
     text = path.read_text()

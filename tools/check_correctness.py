@@ -14,11 +14,16 @@ with key-consistent copies — so every query family is oracle-checked at
 scale (VERDICT r4 item 4 asked for x10; x100 works too), with Spark and
 DuckDB still reading identical parquet.
 
-Above x10 the five PAIR-ORACLE queries are skipped (printed as such):
-the Nx construction makes every document an N-way exact-duplicate group,
-so their DuckDB oracles enumerate C(N,2) pairs per group — quadratic in
-the copy count by design of the CHECK, not of the operators (whose
-candidate generation is measured flat to 100x in EXPERIMENTS §4–5).
+Above x10 the four LIFTABLE pair-oracle queries swap their registered
+DuckDB oracle for the exact lifted form (tools/lifted_oracles.py): the Nx
+construction makes every document an N-way exact-duplicate group, so the
+registered oracles' shingle joins explode as copies^2 — the lifted oracle
+computes the base-level answer once and lifts it arithmetically, linear
+in the copy count, returning the identical rows (validated vs the full
+oracles at x10 by tests/test_tools.py).  `neardup_embedding_cosine` is
+not liftable (rotated copies change the fold order, breaking
+bit-exactness) and runs its registered all-pairs oracle in full — the
+same complexity class as the operator itself (exact all-pairs).
 """
 
 from __future__ import annotations
@@ -50,9 +55,11 @@ def _canon_rows(cols, rows):
 
 
 #: Oracles that enumerate duplicate PAIRS: under the xN construction every
-#: doc sits in an N-way exact-dup group, so the oracle side alone is
-#: O(N^2) per group.  Checked in full at x10; above that the check (not
-#: the operator) is the quadratic part, so these are skipped with a note.
+#: doc sits in an N-way exact-dup group, so the registered oracle side
+#: alone is O(N^2) per group.  Checked in full at x10; above that the four
+#: text-family members run the exact LIFTED oracle (tools/lifted_oracles)
+#: instead, and neardup_embedding_cosine runs its registered oracle in
+#: full (exact all-pairs is the operator's own complexity class).
 PAIR_ORACLE_QUERIES = {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -65,7 +72,7 @@ PAIR_ORACLE_QUERIES = {
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    skip: set[str] = set()
+    lifted: dict[str, str] = {}
     m = re.fullmatch(r"x(\d+)(?::(.*))?", sf_dir)
     if m:
         from scale_fixtures import ensure_x10
@@ -75,7 +82,13 @@ def main() -> int:
         sf_dir = ensure_x10(base, copies=copies)
         print(f"x{copies} fixtures: {sf_dir}")
         if copies > 10:
-            skip = PAIR_ORACLE_QUERIES - only
+            from lifted_oracles import lifted_oracles
+
+            lifted = lifted_oracles(copies)
+            print(
+                f"lifted oracles (linear in copies) for: "
+                f"{', '.join(sorted(lifted))}"
+            )
 
     _load_all()
     spark = get_spark("correctness-check")
@@ -86,14 +99,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
-    skipped: set[str] = set()
     for name, qd in sorted(REGISTRY.items()):
         if only and name not in only:
-            continue
-        if name in skip:
-            skipped.add(name)
-            print(f"skip  {name}: pair-enumeration oracle is O(copies^2); "
-                  "checked in full at x10 (name it explicitly to force)")
             continue
         try:
             sdf = qd.builder(spark, sf_dir)
@@ -109,8 +116,9 @@ def main() -> int:
                 failures.append(name)
                 print(f"FAIL  {name}: empty result")
             continue
+        oracle_sql = lifted.get(name, qd.oracle)
         try:
-            rel = con.sql(qd.oracle)
+            rel = con.sql(oracle_sql)
             d_cols = list(rel.columns)
             d_typestrs = [str(t) for t in rel.types]
             d_rows = rel.fetchall()
@@ -165,17 +173,15 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
-            print(f"ok    {name}: rows={len(s_rows)} hash-match")
+            tag = " (lifted oracle)" if name in lifted else ""
+            print(f"ok    {name}: rows={len(s_rows)} hash-match{tag}")
 
     unknown = sorted(only - set(REGISTRY))
     if unknown:
         print(f"FAIL  unknown query name(s): {unknown}")
         failures.extend(unknown)
-    ran = len(
-        [n for n in REGISTRY if (not only or n in only) and n not in skipped]
-    )
-    tail = f" ({len(skipped)} pair-oracle queries skipped)" if skipped else ""
-    print(f"\n{ran - len(set(failures) - set(unknown))}/{ran} queries pass{tail}")
+    ran = len([n for n in REGISTRY if not only or n in only])
+    print(f"\n{ran - len(set(failures) - set(unknown))}/{ran} queries pass")
     return 1 if failures else 0
 
 

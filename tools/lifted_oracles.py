@@ -1,0 +1,150 @@
+"""Non-quadratic xN oracles for the five pair-enumeration gate queries.
+
+VERDICT r5 item 1: above x10 the registered DuckDB oracles for the dedup /
+curation family were skipped because their CHECK is quadratic in the copy
+count — the inverted shingle join explodes as copies^2 per shingle (every
+replica carries the same text), while the operators themselves are
+output-bound.  This module derives, for a `tools/scale_fixtures.ensure_x10`
+corpus, an EXACT xN oracle whose cost is linear in the copy count:
+
+1. run the ORIGINAL registered oracle restricted to the copy-0 documents
+   (`doc_id < OFFSET`) — the base-level answer, the same size as the x1
+   check regardless of N;
+2. LIFT it arithmetically using the replication structure.  Texts are
+   verbatim per copy (scale_fixtures construction), so every pair value
+   between copies is the base value bit-for-bit:
+
+   - pair queries (jaccard / hamming): a base pair (x < y, v) lifts to all
+     copies^2 cross pairs {(x + c1*OFF, y + c2*OFF)} with the SAME value v,
+     oriented by LEAST/GREATEST; and every in-domain base doc contributes
+     C(copies, 2) self pairs at the exact-duplicate value (jaccard 1.0 /
+     hamming 0).  "In-domain" is each operator's own row filter (non-empty
+     shingle set for the trigram family; non-empty normalized text for
+     simhash) — re-stated from the same SQL fragments the registered
+     oracles use, so the two can never drift.
+   - pipeline_curation: survivors lift, they don't multiply.  A copy c>0
+     of any doc with >= 3 tokens is always dropped (its copy-0 twin is an
+     exact duplicate with a smaller id), and copy 0 survives iff the base
+     doc survives — so the xN survivor set IS the base survivor set, plus
+     every copy of the <3-token survivors (empty shingle sets are outside
+     the pair domain and can never be dropped).
+
+The lifted SQL is therefore O(base_pairs * copies^2) in OUTPUT (which is
+the true answer's size — the operator emits the same rows) but never joins
+anything larger than the base corpus.  `neardup_embedding_cosine` is NOT
+liftable: scale_fixtures rotates each copy's vector (to avoid cosine
+ties), and a rotated dot product folds the same terms in a different
+order, so values are not bit-identical to any base-level computation — its
+registered all-pairs oracle matches the operator's own exact-all-pairs
+complexity class and simply runs in full.
+
+Validated by tests/test_tools.py::test_lifted_oracles_match_full_at_x10:
+at x10 (where the full pair oracles are still tractable) the lifted SQL
+returns the identical multiset of rows.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from scale_fixtures import OFFSET  # noqa: E402
+
+from bigdatastructure_a5_spark.queries.pipeline import (  # noqa: E402
+    _NORM_SQL,
+    _SHINGLES_SQL,
+)
+from bigdatastructure_a5_spark.registry import REGISTRY, _load_all  # noqa: E402
+
+_MARKER = "FROM documents"
+
+
+def _base_restricted(sql: str) -> str:
+    """The original oracle, reading only the copy-0 documents."""
+    if sql.count(_MARKER) != 1:
+        raise ValueError(
+            f"expected exactly one '{_MARKER}' in the oracle; the textual "
+            f"restriction would be ambiguous (found {sql.count(_MARKER)})"
+        )
+    return sql.replace(
+        _MARKER,
+        f"FROM (SELECT * FROM documents WHERE doc_id < {OFFSET}) AS documents",
+    )
+
+
+def _lift_pairs(
+    base_sql: str, value_col: str, self_value: str, domain_sql: str, copies: int
+) -> str:
+    """Lift a base-level (id_a, id_b, value) pair oracle to xN."""
+    return f"""
+    WITH bp AS ({base_sql}),
+    dom AS ({domain_sql}),
+    copies AS (SELECT UNNEST(RANGE({copies})) AS c)
+    SELECT LEAST(p.id_a + c1.c * {OFFSET}, p.id_b + c2.c * {OFFSET}) AS id_a,
+           GREATEST(p.id_a + c1.c * {OFFSET}, p.id_b + c2.c * {OFFSET}) AS id_b,
+           p.{value_col} AS {value_col}
+    FROM bp p, copies c1, copies c2
+    UNION ALL
+    SELECT d.doc_id + c1.c * {OFFSET} AS id_a,
+           d.doc_id + c2.c * {OFFSET} AS id_b,
+           {self_value} AS {value_col}
+    FROM dom d, copies c1, copies c2
+    WHERE c1.c < c2.c
+    """
+
+
+def _lift_curation(base_sql: str, copies: int) -> str:
+    """Lift the curation survivor set: base survivors with >= 3 tokens stay
+    singular (their copies are dropped as exact duplicates of copy 0); the
+    <3-token survivors have empty shingle sets, sit outside the pair
+    domain, and keep every copy."""
+    return f"""
+    WITH base_out AS ({base_sql}),
+    copies AS (SELECT UNNEST(RANGE({copies})) AS c)
+    SELECT b.doc_id + c.c * {OFFSET} AS doc_id, b.n_tokens, b.quality
+    FROM base_out b, copies c
+    WHERE b.n_tokens < 3
+    UNION ALL
+    SELECT doc_id, n_tokens, quality FROM base_out WHERE n_tokens >= 3
+    """
+
+
+#: Trigram-family pair domain: base docs with a non-empty shingle set
+#: (the sz CTE of the registered oracle).
+_TRIGRAM_DOMAIN = (
+    _base_restricted(_SHINGLES_SQL) + " SELECT doc_id FROM sh WHERE LEN(s) > 0"
+)
+
+#: SimHash pair domain: the registered oracle's own t-CTE row filter.
+_SIMHASH_DOMAIN = (
+    f"SELECT doc_id FROM (SELECT * FROM documents WHERE doc_id < {OFFSET}) "
+    f"AS documents WHERE text IS NOT NULL AND {_NORM_SQL} <> ''"
+)
+
+
+def lifted_oracles(copies: int) -> dict[str, str]:
+    """name -> exact xN oracle SQL for every liftable pair-family query."""
+    _load_all()
+    out: dict[str, str] = {}
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
+        out[name] = _lift_pairs(
+            _base_restricted(REGISTRY[name].oracle),
+            "jaccard",
+            "CAST(1.0 AS DOUBLE)",
+            _TRIGRAM_DOMAIN,
+            copies,
+        )
+    out["dedup_simhash"] = _lift_pairs(
+        _base_restricted(REGISTRY["dedup_simhash"].oracle),
+        "hamming",
+        "CAST(0 AS INT)",
+        _SIMHASH_DOMAIN,
+        copies,
+    )
+    out["pipeline_curation"] = _lift_curation(
+        _base_restricted(REGISTRY["pipeline_curation"].oracle), copies
+    )
+    return out

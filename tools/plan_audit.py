@@ -423,12 +423,14 @@ def main() -> None:
         "",
         f"Generated by `tools/plan_audit.py` at `{sf_dir}` "
         "(operator counts parsed from the FINAL adaptive plan of an "
-        "executed run — AQE runtime re-planning included).  Queries that "
-        "materialize their result (dedup, curation: materialize_release "
-        "caches the answer) report the terminal cache-read job in THIS "
-        "table; the pipeline that actually does the work is audited "
-        "separately in the 'Materialization pipelines' section below.  "
-        "Shuffle bytes here are complete (they include the cache fill).",
+        "executed run — AQE runtime re-planning included).  Rows marked "
+        "† answer from a cached materialized result "
+        "(materialize_release): every main-table column for them — scans, "
+        "exchanges, shuffle MiB — describes the terminal CACHE-READ job "
+        "only, so zeros there do NOT mean the query is scan- or "
+        "shuffle-free; the pipeline that actually did the work (its real "
+        "scans, exchanges and joins) is audited in the matching "
+        "'Materialization pipelines' rows below.",
         "",
         "| query | scans | cols read | pushed filters | exchanges | broadcast | SMJ | codegen spans | python stages | top-k | scan MiB | shuffle MiB | rows |",
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
@@ -469,6 +471,9 @@ def main() -> None:
         )
         plan = qe.explainString(mode)
         a = audit_plan(plan)
+        # the † cross-reference: this row reads a cached result; its real
+        # work is in the materialization rows (header explains the marker)
+        name = f"{name} †" if captures else name
         lines.append(
             f"| {name} | {a['scans']} | {a['read_cols']} | {a['pushed_filters']} | "
             f"{a['exchanges']} | {a['broadcasts']} | {a['smj']} | {a['codegen']} | "
