@@ -81,21 +81,47 @@ def build_skewed_fact(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(str(out))
 
 
-def _timed_count(df: DataFrame) -> tuple[float, int, str]:
-    """(seconds, row count, executed-plan string after AQE finalization)."""
+def _timed_checksum(df: DataFrame) -> tuple[float, int, int, str]:
+    """(seconds, rows, order-invariant checksum, final-plan string).
+
+    The tail is a global aggregate of a per-row hash over EVERY column:
+    it cannot be column-pruned (a bare count() lets Catalyst strip the
+    payload down to the join key, whose constant-heavy shuffle partitions
+    compress below any skew threshold — measured: no split ever fires),
+    imposes no output partitioning requirement on the join, and doubles
+    as the cross-variant result-equality check (same row multiset <=>
+    same (rows, checksum)).  pmod keeps the ANSI-mode sum within int64.
+    collect() runs the DataFrame's OWN QueryExecution, so executedPlan()
+    afterwards is the FINAL adaptive plan."""
+    chk = df.agg(
+        F.sum(F.pmod(F.xxhash64(*df.columns), F.lit(1_000_000_007))).alias(
+            "chk"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
     t0 = time.perf_counter()
-    n = df.count()
+    row = chk.collect()[0]
     dt = time.perf_counter() - t0
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return dt, n, plan
+    plan = chk._jdf.queryExecution().executedPlan().toString()
+    return dt, int(row["n"]), int(row["chk"]), plan
+
+
+def _final_plan(plan: str) -> str:
+    return plan.split("== Initial Plan ==", 1)[0]
 
 
 def _skew_splits(plan: str) -> int:
-    """Number of AQEShuffleRead operators that report skewed splits."""
+    """AQEShuffleRead operators reporting skewed splits in the final plan."""
     return sum(
         1
-        for line in plan.splitlines()
+        for line in _final_plan(plan).splitlines()
         if "AQEShuffleRead" in line and "skewed" in line
+    )
+
+
+def _exchanges(plan: str) -> int:
+    return sum(
+        1 for line in _final_plan(plan).splitlines() if "Exchange " in line
     )
 
 
@@ -139,14 +165,20 @@ def run(spark: SparkSession) -> list[str]:
             F.count(F.lit(1)).alias("n"),
         )
 
-    rows_join: list[tuple[str, float, int, int]] = []
-    rows_agg: list[tuple[str, float, int, int]] = []
+    rows_join: list[tuple[str, float, int, int, int, int]] = []
+    rows_agg: list[tuple[str, float, int, int, int, int]] = []
+    variants = (
+        ("shuffle join, AQE skew OFF", False, False, plain_join),
+        ("shuffle join, AQE skew ON", True, False, plain_join),
+        ("shuffle join, AQE skew ON + force", True, True, plain_join),
+        ("salted_join(16)", False, False, salted),
+    )
     try:
         # both join sides must shuffle (the 100 TB shape): no broadcast
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        # fixture-scale skew thresholds: the hot partition is ~100 MiB,
-        # under the 256 MiB production default; the RULE is the same,
-        # only the trip point is scaled down
+        # fixture-scale skew thresholds: the hot partition is ~30 MiB
+        # compressed, under the 256 MiB production default; the RULE is
+        # the same, only the trip point is scaled down
         conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB"
         )
@@ -154,30 +186,34 @@ def run(spark: SparkSession) -> list[str]:
         conf.set(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB"
         )
-        for label, skew_on, build in (
-            ("shuffle join, AQE skew OFF", False, plain_join),
-            ("shuffle join, AQE skew ON", True, plain_join),
-            ("salted_join(16)", False, salted),
-        ):
+        for label, skew_on, force, build in variants:
             conf.set(
                 "spark.sql.adaptive.skewJoin.enabled",
                 "true" if skew_on else "false",
             )
-            dt, n, plan = _timed_count(build(fact))
-            rows_join.append((label, dt, n, _skew_splits(plan)))
-            dt2, n2, plan2 = _timed_count(agg_tail(build(fact)))
-            rows_agg.append((label, dt2, n2, _skew_splits(plan2)))
+            conf.set(
+                "spark.sql.adaptive.forceOptimizeSkewedJoin",
+                "true" if force else "false",
+            )
+            dt, n, chk, plan = _timed_checksum(build(fact))
+            rows_join.append(
+                (label, dt, n, chk, _skew_splits(plan), _exchanges(plan))
+            )
+            dt2, n2, chk2, plan2 = _timed_checksum(agg_tail(build(fact)))
+            rows_agg.append(
+                (label, dt2, n2, chk2, _skew_splits(plan2), _exchanges(plan2))
+            )
     finally:
         for k, v in saved.items():
             if v is None:
                 conf.unset(k)
             else:
                 conf.set(k, v)
+        conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
 
-    counts = {n for _, _, n, _ in rows_join}
-    assert len(counts) == 1, f"variants disagree on output rows: {rows_join}"
-    agg_counts = {n for _, _, n, _ in rows_agg}
-    assert len(agg_counts) == 1, f"agg variants disagree: {rows_agg}"
+    for fam, rows in (("join", rows_join), ("agg", rows_agg)):
+        sigs = {(n, chk) for _, _, n, chk, _, _ in rows}
+        assert len(sigs) == 1, f"{fam} variants disagree on results: {rows}"
 
     out = [
         SECTION,
@@ -187,38 +223,49 @@ def run(spark: SparkSession) -> list[str]:
         "joined to the 20k-row part dimension with broadcast DISABLED —",
         "the shape where skew exists at all (a broadcastable dimension is",
         "always the first fix).  AQE thresholds scaled to the fixture",
-        "(8 MiB vs the 256 MiB production default); all variants verified",
-        "to return identical row counts.",
+        "(8 MiB vs the 256 MiB production default); every variant's result",
+        "verified identical (row count + order-invariant row-hash",
+        "checksum).  The timed action is an unprunable whole-row checksum",
+        "aggregate, so the join really moves its payload.",
         "",
-        f"Join only ({rows_join[0][2]:,} output rows):",
+        f"Join only ({rows_join[0][2]:,} rows through the join):",
         "",
-        "| variant | secs | AQE skewed reads |",
-        "| --- | --- | --- |",
+        "| variant | secs | AQE skewed reads | exchanges |",
+        "| --- | --- | --- | --- |",
     ]
-    for label, dt, _, splits in rows_join:
-        out.append(f"| {label} | {dt:.2f} | {splits} |")
+    for label, dt, _, _, splits, ex in rows_join:
+        out.append(f"| {label} | {dt:.2f} | {splits} | {ex} |")
     out += [
         "",
-        f"Join + SUM aggregation on the hot key ({rows_agg[0][2]:,} groups):",
+        "Join + SUM aggregation GROUPED ON THE JOIN KEY "
+        f"({rows_agg[0][2]:,} groups) — the co-partitioning conflict case:",
         "",
-        "| variant | secs | AQE skewed reads |",
-        "| --- | --- | --- |",
+        "| variant | secs | AQE skewed reads | exchanges |",
+        "| --- | --- | --- | --- |",
     ]
-    for label, dt, _, splits in rows_agg:
-        out.append(f"| {label} | {dt:.2f} | {splits} |")
+    for label, dt, _, _, splits, ex in rows_agg:
+        out.append(f"| {label} | {dt:.2f} | {splits} | {ex} |")
     out += [
         "",
-        "Decision rule (recorded in COVERAGE.md §skew): broadcast the",
-        "small side if it fits (no shuffle, no skew); otherwise let AQE",
-        "skew-join split oversized partitions at runtime — it needs no",
-        "query rewrite and its split count shows up in the plan",
-        "(AQEShuffleRead ... skewed).  Reach for operators/skew.salted_join",
-        "when the skew survives AQE: a single key so hot that even split",
-        "partitions overwhelm a task, or a join feeding a SAME-KEY",
-        "aggregation, where AQE's split breaks co-partitioning and forces",
-        "a second full shuffle of the join output while salting spreads",
-        "the partial aggregation itself.  salted_agg remains the",
-        "aggregation-side tool: AQE never splits aggregation partitions.",
+        "Reading, join-only: AQE detects the oversized partition and",
+        "splits it (AQEShuffleRead skewed, SortMergeJoin(skew=true)) with",
+        "no query rewrite.  Join + same-key aggregation: plain AQE",
+        "declines the split — splitting would break the hash",
+        "partitioning the downstream aggregate requires — so the hot",
+        "partition serializes again unless `forceOptimizeSkewedJoin`",
+        "buys the split with an extra exchange of the join output, while",
+        "salted_join spreads the hot key with the same exchange count.",
+        "",
+        "Decision rule (recorded in COVERAGE.md deploy checklist):",
+        "broadcast the small side if it fits (no shuffle, no skew);",
+        "otherwise rely on AQE skew-join for plain join skew — runtime,",
+        "rewrite-free, visible in the plan.  Reach for",
+        "operators/skew.salted_join when the skew survives AQE: a join",
+        "feeding a same-key aggregation (AQE declines or pays an extra",
+        "shuffle; salting spreads the partial aggregation itself), or a",
+        "single key so hot that even split partitions overwhelm a task.",
+        "salted_agg remains the aggregation-side tool: AQE never splits",
+        "aggregation partitions.",
     ]
     return out
 
