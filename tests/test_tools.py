@@ -11,7 +11,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from scaling_sweep import SUPER_LINEAR, render  # noqa: E402
+from scaling_sweep import OUTPUT_QUADRATIC, SUPER_LINEAR, render  # noqa: E402
 
 SCALES = [
     ("sf0.001", 1, "/d/sf0.001"),
@@ -49,6 +49,23 @@ def test_render_verdicts_and_flagging():
     assert "`quadratic_q` (20.0x)" in section
     assert "`broken_q` (FAILED)" in section
     assert "nan" not in section
+
+
+def test_output_quadratic_queries_read_output_bound_not_flagged():
+    """The x10 sweep fixture makes the TRUE pair answer ~copies^2 for the
+    dedup/curation family: a >12x last step there is the answer's size,
+    not an implementation defect — rendered as output-bound with the
+    §4/§5 pointer, never flagged."""
+    name = "dedup_ngram_jaccard"
+    assert name in OUTPUT_QUADRATIC
+    times = {name: [0.5, 0.6, 1.6, 24.0]}  # last step 15x
+    section = render(SCALES, times, reps=2)
+    row = _row(section, name)
+    assert "output-bound" in row and "super-linear" not in row
+    assert "Flagged" not in section
+    # a non-exempt query with the same ratios IS still flagged
+    section2 = render(SCALES, {"plain_q": [0.5, 0.6, 1.6, 24.0]}, reps=2)
+    assert "**super-linear**" in _row(section2, "plain_q")
 
 
 def test_render_clean_sweep_has_no_flags():
