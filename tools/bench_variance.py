@@ -59,7 +59,12 @@ def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
         "(median ± 1.96 sd): inside it is box noise, not a code "
         "regression.  The observed max is also shown but is a thin-tailed "
         "statistic at these rep counts (r5: three sub-0.5s queries landed "
-        "above a 6-rep max on pure noise).",
+        "above a 6-rep max on pure noise).  One caveat: these reps share "
+        "ONE session, while BENCH_r{N} runs in a fresh one — whole-run "
+        "level shifts of ~10% (every query moving together) are "
+        "session-level box noise; read per-query deltas only after "
+        "discounting the uniform shift (compare the query's share of the "
+        "total, not just its absolute seconds).",
         "",
         "| query | min s | median s | max s | stddev s | CI95 s |",
         "| --- | --- | --- | --- | --- | --- |",
