@@ -865,7 +865,9 @@ MAX_BROADCAST_DROP_IDS = 4_000_000
 
 
 def curate_documents(
-    docs: DataFrame, max_broadcast_drop_ids: int | None = None
+    docs: DataFrame,
+    max_broadcast_drop_ids: int | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """The curation flow over an arbitrary (doc_id, text) frame — shared by
     the pipeline_curation gate query and the scale-up experiment
@@ -873,7 +875,14 @@ def curate_documents(
     is oracle-checked at gate scale.
 
     ``max_broadcast_drop_ids`` overrides MAX_BROADCAST_DROP_IDS (0 forces
-    the shuffle-join regime; tests exercise both)."""
+    the shuffle-join regime; tests exercise both).
+
+    ``df_cap`` is the dedup stage's hot-shingle cap (jaccard_pairs): the
+    100 TB configuration.  EXPERIMENTS §4 measures the uncapped inverted
+    index's join volume growing quadratically through corpus-wide
+    boilerplate shingles while df_cap≈64 keeps it exactly linear at a
+    ~0.03% occurrence cost; the gate query runs uncapped (None) so the
+    oracle stays the registered SQL."""
     from bigdatastructure_a5_spark.operators.text import (
         lang_id_from_scores,
         quality_score,
@@ -913,6 +922,7 @@ def curate_documents(
         shingle_sets_from_tokens(kept, "doc_id", "toks", 3),
         threshold=0.8,
         tracker=tracked,
+        df_cap=df_cap,
     )
     # no distinct: LEFT ANTI ignores duplicate keys, so deduplicating the
     # dropped ids first would only add a shuffle.  The broadcast is

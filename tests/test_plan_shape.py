@@ -163,3 +163,41 @@ def test_curation_broadcast_gate_both_regimes(spark):
     # gated regime: no broadcast anti-join anywhere in the plan
     assert not anti_bhj.search(plan_gated)
     assert "LeftAnti" in plan_gated  # ...but the anti-join still ran
+
+
+def test_curation_df_cap_plumbing(spark):
+    """The 100 TB dedup configuration (EXPERIMENTS §4): curate_documents
+    passes df_cap through to jaccard_pairs.  A cap above every shingle's
+    document frequency must be a no-op (identical curated rows); df_cap=1
+    removes every SHARED shingle, so no pair can form and the curated set
+    is exactly the quality/language survivors — both deterministic."""
+    from bigdatastructure_a5_spark.queries.pipeline import curate_documents
+
+    base = (
+        "the cat and the dog walked to the market and it was a good day "
+        "for all of them so they sat down together and watched the boats "
+    )
+    rows = [
+        (i, base + " ".join(f"tail{i}word{j}" for j in range(40)) + " ")
+        for i in range(40)
+    ]
+    rows += [(1000 + i, text) for i, text in rows[:40]]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+
+    uncapped = sorted(map(tuple, curate_documents(docs).collect()))
+    spark.catalog.clearCache()
+    high_cap = sorted(
+        map(tuple, curate_documents(docs, df_cap=10**6).collect())
+    )
+    spark.catalog.clearCache()
+    cap_one = sorted(map(tuple, curate_documents(docs, df_cap=1).collect()))
+    spark.catalog.clearCache()
+
+    assert high_cap == uncapped and len(uncapped) == 40
+    # cap=1: no shared shingles survive -> no near-dup pairs -> every
+    # quality/lang survivor is kept (all 80 docs here pass those gates,
+    # proven by the uncapped run keeping exactly the 40 originals)
+    assert len(cap_one) == 80
+    assert {r[0] for r in cap_one} == set(range(40)) | {
+        1000 + i for i in range(40)
+    }
