@@ -430,7 +430,12 @@ def main() -> None:
         "only, so zeros there do NOT mean the query is scan- or "
         "shuffle-free; the pipeline that actually did the work (its real "
         "scans, exchanges and joins) is audited in the matching "
-        "'Materialization pipelines' rows below.",
+        "'Materialization pipelines' rows below.  The two "
+        "events_streaming rows similarly report the memory-SINK read of "
+        "an already-executed Structured Streaming job — the streaming "
+        "DAG itself is not a batch plan; its stateful operators are "
+        "exercised by tests/test_streaming.py under both state-store "
+        "providers.",
         "",
         "| query | scans | cols read | pushed filters | exchanges | broadcast | SMJ | codegen spans | python stages | top-k | scan MiB | shuffle MiB | rows |",
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
