@@ -124,3 +124,71 @@ def test_lifted_oracles_match_full_at_x10():
         assert o_cols == l_cols, name
         assert len(o_rows) > 0, f"{name}: empty oracle result proves nothing"
         assert o_rows == l_rows, f"{name}: lifted oracle drifted from full"
+
+
+def test_lifted_oracles_property_random_corpora():
+    """Property version of the x10 validation: on RANDOM small corpora —
+    empty docs, sub-shingle docs, cross-base exact duplicates, mixed
+    languages — the lifted xN oracle must return the identical row
+    multiset as the registered full pair oracle, for several copy
+    counts.  DuckDB-only and tiny, so it sweeps edge shapes the fixture
+    never hits (the fixture has no empty or two-word documents)."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from lifted_oracles import lifted_oracles
+    from scale_fixtures import OFFSET
+
+    from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    words = st.sampled_from(
+        "the quick brown fox lazy dog spark shuffle la el der und le et".split()
+    )
+    doc = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+    @given(
+        docs=st.lists(doc, min_size=2, max_size=8),
+        dup_from=st.integers(min_value=0, max_value=7),
+        copies=st.integers(min_value=2, max_value=3),
+    )
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(docs, dup_from, copies):
+        # force a cross-base exact duplicate: last doc repeats an earlier one
+        docs = list(docs) + [docs[dup_from % len(docs)]]
+        rows = [
+            (i + c * OFFSET, t, "en", "gen", len(t))
+            for c in range(copies)
+            for i, t in enumerate(docs)
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        lift = lifted_oracles(copies)
+        for name, lifted_sql in lift.items():
+            full = con.sql(REGISTRY[name].oracle)
+            f_cols, f_rows = list(full.columns), full.fetchall()
+            lifted = con.sql(lifted_sql)
+            l_cols, l_rows = list(lifted.columns), lifted.fetchall()
+            assert sorted(f_cols) == sorted(l_cols), name
+
+            def canon(cols, rws):
+                order = sorted(range(len(cols)), key=lambda i: cols[i])
+                return sorted(
+                    "|".join(repr(r[i]) for i in order) for r in rws
+                )
+
+            assert canon(f_cols, f_rows) == canon(l_cols, l_rows), (
+                name,
+                docs,
+                copies,
+            )
+
+    check()
