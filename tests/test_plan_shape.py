@@ -201,3 +201,83 @@ def test_curation_df_cap_plumbing(spark):
     assert {r[0] for r in cap_one} == set(range(40)) | {
         1000 + i for i in range(40)
     }
+
+
+def test_aqe_skew_split_fires_join_only_and_defers_to_copartitioning(spark):
+    """Pins the mechanism EXPERIMENTS §10 measures: with a skewed shuffle
+    join (broadcast off, fixture-scaled thresholds) AQE splits the hot
+    partition — `AQEShuffleRead skewed` / `SortMergeJoin(skew=true)` in
+    the FINAL plan — but DECLINES the split when a same-key aggregate
+    sits downstream, because splitting would break the hash partitioning
+    the aggregate requires.  That asymmetry is the documented trigger for
+    manual salting (COVERAGE skew decision rule)."""
+    from pyspark.sql import functions as F
+
+    n, hot_share = 400_000, 2  # every 2nd row on one hot key
+    fact = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k_raw"),
+            (F.col("id") % 1000).alias("payload_a"),
+            F.xxhash64("id").alias("payload_b"),
+        )
+        .select(
+            F.when(F.col("k_raw") % hot_share == 0, F.lit(7))
+            .otherwise(F.pmod(F.col("k_raw"), F.lit(20_000)))
+            .alias("k"),
+            "payload_a",
+            "payload_b",
+        )
+    )
+    dim = spark.range(20_000).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("attr")
+    )
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64KB",
+    }
+    prior = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        joined = fact.join(dim, "k")
+        # unprunable whole-row checksum: a bare count would let Catalyst
+        # strip the payload and the tiny key-only shuffle never trips the
+        # threshold (the exact failure mode tools/skew_experiment.py hit)
+        tail = joined.agg(
+            F.sum(
+                F.pmod(F.xxhash64(*joined.columns), F.lit(1_000_000_007))
+            ).alias("chk")
+        )
+        tail.collect()
+        join_only = tail._jdf.queryExecution().executedPlan().toString()
+        join_only = join_only.split("== Initial Plan ==", 1)[0]
+
+        agg = (
+            fact.join(dim, "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("payload_a").alias("s"))
+        )
+        agg_tail = agg.agg(
+            F.sum(
+                F.pmod(F.xxhash64(*agg.columns), F.lit(1_000_000_007))
+            ).alias("chk")
+        )
+        agg_tail.collect()
+        with_agg = agg_tail._jdf.queryExecution().executedPlan().toString()
+        with_agg = with_agg.split("== Initial Plan ==", 1)[0]
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert "skew=true" in join_only, join_only[:2000]
+    # downstream same-key aggregate: AQE declines the split to keep the
+    # join output co-partitioned for the aggregate
+    assert "skew=true" not in with_agg, with_agg[:2000]
