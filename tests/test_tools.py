@@ -192,3 +192,91 @@ def test_lifted_oracles_property_random_corpora():
             )
 
     check()
+
+
+def test_prediction_interval_uses_t_and_inflation():
+    """ADVICE r6: the §8 band must be a real 95% prediction interval —
+    mean-centered, t-quantile, sqrt(1+1/n) inflated — not median±1.96sd."""
+    import statistics
+
+    from bench_variance import prediction_interval
+
+    ts = [1.0, 1.1, 0.9, 1.05, 0.95, 1.2, 0.8, 1.0, 1.1, 0.9]
+    lo, hi = prediction_interval(ts)
+    mean, sd = statistics.fmean(ts), statistics.stdev(ts)
+    half = 2.262 * sd * (1 + 1 / 10) ** 0.5  # t(9,.975)=2.262
+    assert abs((hi - lo) / 2 - half) < 1e-9
+    assert abs((hi + lo) / 2 - mean) < 1e-9
+    # degenerate: single sample -> zero-width band, no crash
+    assert prediction_interval([2.0]) == (2.0, 2.0)
+
+
+def test_read_bench_shift_discount_and_verdicts():
+    """VERDICT r6 item 5: a uniform session shift must verdict all
+    inside-PI; a genuinely moved query must be flagged through the
+    discount; a mild excess lands in 'watch'."""
+    from read_bench import read_bench
+
+    samples = {f"q{i}": [1.0 + 0.02 * j for j in range(10)] for i in range(6)}
+    # uniform 1.28x shift only -> everything inside-PI
+    bench = {q: 1.28 * 1.09 for q in samples}
+    shift, rows = read_bench(bench, samples)
+    assert abs(shift - 1.28) < 0.01
+    assert {r[5] for r in rows} == {"inside-PI"}
+    # one query tripled: REGRESSION, and the median-shift estimate holds
+    bench["q0"] = 3.9
+    shift, rows = read_bench(bench, samples)
+    assert abs(shift - 1.28) < 0.01
+    verdicts = {r[0]: r[5] for r in rows}
+    assert verdicts["q0"] == "REGRESSION"
+    assert all(v == "inside-PI" for q, v in verdicts.items() if q != "q0")
+    # mild excess (just above the band, within grace) -> watch
+    bench["q0"] = 1.28 * (rows[0][4] * 1.08)
+    _, rows = read_bench(bench, samples)
+    assert {r[5] for r in rows if r[0] == "q0"} == {"watch"}
+
+
+def test_scale_fixture_eviction_drops_stale_generations(tmp_path):
+    """VERDICT r6 item 8: cached xN dirs whose construction hash no longer
+    matches HEAD must be evicted so a hand-typed stale path can't
+    validate against an old construction."""
+    from pathlib import Path
+
+    from scale_fixtures import _evict_stale
+
+    stale = Path("/tmp/bds_x7_sfTEST_000000000bad")
+    live = Path("/tmp/bds_x7_sfTEST_000000001234")
+    other_scale = Path("/tmp/bds_x8_sfTEST_000000000bad")
+    for p in (stale, live, other_scale):
+        p.mkdir(exist_ok=True)
+        (p / "_COMPLETE").write_text("ok\n")
+    try:
+        _evict_stale(7, "sfTEST", "000000001234")
+        assert not stale.exists(), "stale generation survived eviction"
+        assert live.exists(), "live generation must not be evicted"
+        assert other_scale.exists(), "other copy-counts are out of scope"
+    finally:
+        import shutil
+
+        for p in (stale, live, other_scale):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def test_oracle_cache_roundtrip(tmp_path, monkeypatch):
+    """The x100-gate DuckDB cache (VERDICT r6 item 7) must return the
+    identical (cols, types, count, canon rows) on a cache hit."""
+    import duckdb
+
+    import check_correctness as cc
+
+    monkeypatch.setattr(cc, "_ORACLE_CACHE_DIR", tmp_path)
+    con = duckdb.connect()
+    sql = "SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, NULL"
+    fresh = cc._run_oracle(con, "/tmp/bds_x99_fake", sql, True)
+    assert fresh[4] is False
+    cached = cc._run_oracle(con, "/tmp/bds_x99_fake", sql, True)
+    assert cached[4] is True
+    assert cached[:4] == fresh[:4]
+    # different fixture dir -> different cache entry (no false sharing)
+    other = cc._run_oracle(con, "/tmp/bds_x99_other", sql, True)
+    assert other[4] is False

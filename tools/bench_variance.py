@@ -4,17 +4,20 @@ The driver's bench (bench.py) reports min-of-2 wall-clock per query; on a
 shared box that min still wobbles run-to-run (observed ±20% on identical
 code).  This tool quantifies that wobble so a reviewer can tell noise from
 a regression: R reps per query (cache cleared before each), reporting min,
-median, max, the sample standard deviation, and a 95% prediction interval
-for a single future observation (median ± 1.96 sd — the band a fresh
-BENCH_r{N} value should land in if nothing changed; r5 showed a 6-rep
-observed-max is thin enough that pure noise lands "above max"), then
-rewrites the "Bench variance" section of EXPERIMENTS.md.
+median, max, the sample standard deviation, a proper 95% prediction
+interval for a single future observation (mean ± t(n-1, 0.975) · sd ·
+sqrt(1 + 1/n) — ADVICE r6 flagged the old median ± 1.96 sd band as
+understating at n=10), and each query's share of the total median (the
+shift-invariant statistic tools/read_bench.py uses), then rewrites the
+"Bench variance" section of EXPERIMENTS.md and drops the raw samples next
+to it as EXPERIMENTS_bench_variance.json for machine consumption.
 
 Usage: python tools/bench_variance.py [sf_dir] [reps]   (default reps: 10)
 """
 
 from __future__ import annotations
 
+import json
 import statistics
 import sys
 import time
@@ -26,6 +29,30 @@ from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
 from bigdatastructure_a5_spark.session import get_spark
 
 SECTION = "## 8. Bench variance"
+
+#: Two-sided 97.5% Student-t quantiles, df 1..30 (abramowitz-stegun values);
+#: beyond 30 the normal 1.96 is within 2%.
+_T975 = {
+    1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571,
+    6: 2.447, 7: 2.365, 8: 2.306, 9: 2.262, 10: 2.228,
+    11: 2.201, 12: 2.179, 13: 2.160, 14: 2.145, 15: 2.131,
+    16: 2.120, 17: 2.110, 18: 2.101, 19: 2.093, 20: 2.086,
+    21: 2.080, 22: 2.074, 23: 2.069, 24: 2.064, 25: 2.060,
+    26: 2.056, 27: 2.052, 28: 2.048, 29: 2.045, 30: 2.042,
+}
+
+
+def prediction_interval(ts: list[float]) -> tuple[float, float]:
+    """95% prediction interval for ONE future observation:
+    mean ± t(n-1, .975) · sd · sqrt(1 + 1/n)."""
+    n = len(ts)
+    if n < 2:
+        v = ts[0] if ts else 0.0
+        return v, v
+    mean, sd = statistics.fmean(ts), statistics.stdev(ts)
+    t = _T975.get(n - 1, 1.96)
+    half = t * sd * (1 + 1 / n) ** 0.5
+    return max(0.0, mean - half), mean + half
 
 
 def measure(sf_dir: str, reps: int) -> dict[str, list[float]]:
@@ -54,34 +81,37 @@ def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
         f"run {reps}x in one session (cache cleared per rep, first rep "
         "carries fresh-plan analysis + codegen).  The driver's bench "
         "records min-of-2; the spread below is the yardstick for reading "
-        "a BENCH_r{N} delta.  Read a new value against the **CI95**"
-        " column — a 95% prediction interval for one future observation "
-        "(median ± 1.96 sd): inside it is box noise, not a code "
-        "regression.  The observed max is also shown but is a thin-tailed "
-        "statistic at these rep counts (r5: three sub-0.5s queries landed "
-        "above a 6-rep max on pure noise).  One caveat: these reps share "
-        "ONE session, while BENCH_r{N} runs in a fresh one — whole-run "
-        "level shifts of ~10% (every query moving together) are "
-        "session-level box noise; read per-query deltas only after "
-        "discounting the uniform shift (compare the query's share of the "
-        "total, not just its absolute seconds).",
+        "a BENCH_r{N} delta.  Read a new value against the **PI95** "
+        "column — a 95% prediction interval for one future observation, "
+        "mean ± t(n-1, .975) · sd · sqrt(1 + 1/n): inside it is box "
+        "noise, not a code regression.  The observed max is also shown "
+        "but is a thin-tailed statistic at these rep counts (r5: three "
+        "sub-0.5s queries landed above a 6-rep max on pure noise).  One "
+        "caveat: these reps share ONE session, while BENCH_r{N} runs in "
+        "a fresh one — whole-run level shifts of ~10-30% (every query "
+        "moving together) are session-level box noise; `tools/"
+        "read_bench.py BENCH_r{N}.json` mechanizes the discounting: it "
+        "estimates the uniform shift, rescales each observation by it, "
+        "and verdicts against PI95 (the **share** column is the "
+        "shift-invariant statistic it uses).",
         "",
-        "| query | min s | median s | max s | stddev s | CI95 s |",
-        "| --- | --- | --- | --- | --- | --- |",
+        "| query | min s | median s | max s | stddev s | PI95 s | share |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
     ]
     total_min = total_med = 0.0
+    for _, ts in times.items():
+        total_min += min(ts)
+        total_med += statistics.median(ts)
     for name, ts in sorted(times.items()):
         mn, md, mx = min(ts), statistics.median(ts), max(ts)
         sd = statistics.stdev(ts) if len(ts) > 1 else 0.0
-        lo, hi = max(0.0, md - 1.96 * sd), md + 1.96 * sd
-        total_min += mn
-        total_med += md
+        lo, hi = prediction_interval(ts)
         lines.append(
             f"| {name} | {mn:.3f} | {md:.3f} | {mx:.3f} | {sd:.3f} | "
-            f"{lo:.3f}–{hi:.3f} |"
+            f"{lo:.3f}–{hi:.3f} | {md / total_med:.3%} |"
         )
     lines += [
-        f"| **total** | **{total_min:.2f}** | **{total_med:.2f}** |  |  |  |",
+        f"| **total** | **{total_min:.2f}** | **{total_med:.2f}** |  |  |  |  |",
         "",
     ]
     return "\n".join(lines)
@@ -90,7 +120,17 @@ def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    section = render(measure(sf_dir, reps), sf_dir, reps)
+    times = measure(sf_dir, reps)
+    # raw samples for tools/read_bench.py — the markdown table is for
+    # humans, the JSON is the machine-readable envelope
+    jpath = (
+        Path(__file__).resolve().parent.parent
+        / "EXPERIMENTS_bench_variance.json"
+    )
+    jpath.write_text(
+        json.dumps({"sf_dir": sf_dir, "reps": reps, "samples": times}, indent=1)
+    )
+    section = render(times, sf_dir, reps)
     path = Path(__file__).resolve().parent.parent / "EXPERIMENTS.md"
     text = path.read_text()
     tail = ""

@@ -28,8 +28,12 @@ same complexity class as the operator itself (exact all-pairs).
 
 from __future__ import annotations
 
+import gzip
+import hashlib
+import json
 import re
 import sys
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import duckdb
@@ -60,6 +64,9 @@ def _canon_rows(cols, rows):
 #: text-family members run the exact LIFTED oracle (tools/lifted_oracles)
 #: instead, and neardup_embedding_cosine runs its registered oracle in
 #: full (exact all-pairs is the operator's own complexity class).
+#: Naming one of these explicitly on the command line FORCES the full
+#: registered oracle even above x10 (the escape hatch ADVICE r6 asked to
+#: restore) — expect quadratic oracle cost in that mode.
 PAIR_ORACLE_QUERIES = {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -67,6 +74,43 @@ PAIR_ORACLE_QUERIES = {
     "neardup_embedding_cosine",
     "pipeline_curation",
 }
+
+#: DuckDB-side result cache (VERDICT r6 item 7): the oracle answer is a pure
+#: function of (fixture dir, oracle SQL).  ensure_x10 dirs are already
+#: content-addressed (source sizes/mtimes + generator bytes in the name), so
+#: the dir path itself is a sound fingerprint; /root/testdata is driver-
+#: frozen.  Cached entries store the post-canonicalization form (cols, type
+#: kinds, sorted row strings) — exactly what the compare consumes.
+_ORACLE_CACHE_DIR = Path("/tmp/bds_oracle_cache")
+
+
+def _oracle_cache_path(sf_dir: str, oracle_sql: str) -> Path:
+    key = hashlib.sha256(f"{sf_dir}\x00{oracle_sql}".encode()).hexdigest()[:24]
+    return _ORACLE_CACHE_DIR / f"{key}.json.gz"
+
+
+def _run_oracle(con, sf_dir: str, oracle_sql: str, use_cache: bool):
+    """-> (cols, typestrs, n_rows, canon_rows); cached per (fixture, SQL)."""
+    cpath = _oracle_cache_path(sf_dir, oracle_sql)
+    if use_cache and cpath.exists():
+        with gzip.open(cpath, "rt") as f:
+            d = json.load(f)
+        return d["cols"], d["types"], d["n"], d["canon"], True
+    rel = con.sql(oracle_sql)
+    cols = list(rel.columns)
+    typestrs = [str(t) for t in rel.types]
+    rows = rel.fetchall()
+    canon = _canon_rows(cols, rows)
+    if use_cache:
+        _ORACLE_CACHE_DIR.mkdir(exist_ok=True)
+        tmp = cpath.with_suffix(".tmp")
+        with gzip.open(tmp, "wt") as f:
+            json.dump(
+                {"cols": cols, "types": typestrs, "n": len(rows), "canon": canon},
+                f,
+            )
+        tmp.replace(cpath)
+    return cols, typestrs, len(rows), canon, False
 
 
 def main() -> int:
@@ -85,10 +129,20 @@ def main() -> int:
             from lifted_oracles import lifted_oracles
 
             lifted = lifted_oracles(copies)
-            print(
-                f"lifted oracles (linear in copies) for: "
-                f"{', '.join(sorted(lifted))}"
-            )
+            if only:
+                forced = sorted(only & set(lifted))
+                for n in forced:
+                    del lifted[n]
+                if forced:
+                    print(
+                        "explicit selection forces the FULL registered "
+                        f"oracle (quadratic) for: {', '.join(forced)}"
+                    )
+            if lifted:
+                print(
+                    f"lifted oracles (linear in copies) for: "
+                    f"{', '.join(sorted(lifted))}"
+                )
 
     _load_all()
     spark = get_spark("correctness-check")
@@ -98,10 +152,21 @@ def main() -> int:
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # xN fixture dirs are content-addressed by ensure_x10, so oracle answers
+    # there are safely cacheable; driver-frozen /root/testdata dirs are not
+    # content-addressed and stay uncached (they're fast anyway).
+    use_cache = "/tmp/bds_x" in sf_dir
+    pool = ThreadPoolExecutor(max_workers=1)  # DuckDB side, overlapped
     failures = []
     for name, qd in sorted(REGISTRY.items()):
         if only and name not in only:
             continue
+        oracle_sql = lifted.get(name, qd.oracle) if qd.oracle else None
+        duck_fut = (
+            pool.submit(_run_oracle, con, sf_dir, oracle_sql, use_cache)
+            if oracle_sql
+            else None
+        )
         try:
             sdf = qd.builder(spark, sf_dir)
             s_cols = sdf.columns
@@ -109,6 +174,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
+            if duck_fut:
+                duck_fut.result()  # drain; keep the single-connection invariant
             continue
         if qd.oracle is None:
             print(f"ok*   {name}: rows={len(s_rows)} (no oracle — rows-only check)")
@@ -116,12 +183,8 @@ def main() -> int:
                 failures.append(name)
                 print(f"FAIL  {name}: empty result")
             continue
-        oracle_sql = lifted.get(name, qd.oracle)
         try:
-            rel = con.sql(oracle_sql)
-            d_cols = list(rel.columns)
-            d_typestrs = [str(t) for t in rel.types]
-            d_rows = rel.fetchall()
+            d_cols, d_typestrs, d_n, d_canon, cached = duck_fut.result()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -154,10 +217,10 @@ def main() -> int:
                     problems.append(
                         f"dtype[{c}] spark={s_types[c]} duck={d_types[c]}"
                     )
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if len(s_rows) != d_n:
+            problems.append(f"rowcount spark={len(s_rows)} duck={d_n}")
         if not problems:
-            sc, dc = _canon_rows(s_cols, s_rows), _canon_rows(d_cols, d_rows)
+            sc, dc = _canon_rows(s_cols, s_rows), d_canon
             if sc != dc:
                 diff = next(
                     (i for i, (a, b) in enumerate(zip(sc, dc)) if a != b), None
@@ -174,6 +237,7 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
             tag = " (lifted oracle)" if name in lifted else ""
+            tag += " (cached oracle)" if cached else ""
             print(f"ok    {name}: rows={len(s_rows)} hash-match{tag}")
 
     unknown = sorted(only - set(REGISTRY))

@@ -45,6 +45,7 @@ returns the identical multiset of rows.
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -59,19 +60,22 @@ from bigdatastructure_a5_spark.queries.pipeline import (  # noqa: E402
 )
 from bigdatastructure_a5_spark.registry import REGISTRY, _load_all  # noqa: E402
 
-_MARKER = "FROM documents"
+#: Word-bounded so an identifier like `documents_meta` can neither satisfy
+#: the count guard nor be corrupted by the rewrite (ADVICE r6).
+_MARKER_RE = re.compile(r"\bFROM\s+documents\b", flags=re.IGNORECASE)
 
 
 def _base_restricted(sql: str) -> str:
     """The original oracle, reading only the copy-0 documents."""
-    if sql.count(_MARKER) != 1:
+    hits = _MARKER_RE.findall(sql)
+    if len(hits) != 1:
         raise ValueError(
-            f"expected exactly one '{_MARKER}' in the oracle; the textual "
-            f"restriction would be ambiguous (found {sql.count(_MARKER)})"
+            "expected exactly one word-bounded 'FROM documents' in the "
+            f"oracle; the textual restriction would be ambiguous (found {len(hits)})"
         )
-    return sql.replace(
-        _MARKER,
+    return _MARKER_RE.sub(
         f"FROM (SELECT * FROM documents WHERE doc_id < {OFFSET}) AS documents",
+        sql,
     )
 
 

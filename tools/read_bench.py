@@ -1,0 +1,107 @@
+"""Mechanical BENCH_r{N}.json reader: shift-discounted per-query verdicts.
+
+VERDICT r6 item 5: every round the judge (and builder) had to hand-derive
+"is this row a regression or session noise?" by comparing each query's
+share-of-total against the §8 envelope.  This tool does that arithmetic:
+
+1. load the driver bench (min-of-2 per query) and the §8 raw samples
+   (EXPERIMENTS_bench_variance.json, written by tools/bench_variance.py);
+2. estimate the UNIFORM SESSION SHIFT as the median over queries of
+   bench_value / envelope_median — fresh-session JVM/box effects move every
+   query together (observed 1.0-1.3x between sessions), and the median
+   ratio is robust to the few genuinely-moved queries we're hunting;
+3. discount: value_adj = value / shift, then verdict against the 95%
+   prediction interval (mean ± t(n-1,.975) · sd · sqrt(1+1/n)) of the
+   envelope samples:
+     - below the band          -> improved
+     - inside                  -> inside-PI (noise)
+     - above by <= GRACE       -> watch  (single observation, sub-second
+                                  excess; re-check next round)
+     - above by more           -> REGRESSION
+   GRACE: 15% of the upper bound or 0.15 s, whichever is larger — a
+   min-of-2 observation against a 10-rep band has fat single-sample tails.
+
+Exit code: 0 if no REGRESSION rows, else 1.
+
+Usage: python tools/read_bench.py BENCH_r07.json [envelope.json]
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bench_variance import prediction_interval  # noqa: E402
+
+REPO = Path(__file__).resolve().parent.parent
+DEFAULT_ENVELOPE = REPO / "EXPERIMENTS_bench_variance.json"
+
+
+def read_bench(
+    bench: dict[str, float], samples: dict[str, list[float]]
+) -> tuple[float, list[tuple[str, float, float, float, float, str]]]:
+    """-> (shift, rows); row = (name, raw, adj, pi_lo, pi_hi, verdict)."""
+    common = sorted(set(bench) & set(samples))
+    if not common:
+        raise ValueError("bench and envelope share no query names")
+    shift = statistics.median(
+        bench[q] / statistics.median(samples[q]) for q in common
+    )
+    rows = []
+    for q in common:
+        raw = bench[q]
+        adj = raw / shift
+        lo, hi = prediction_interval(samples[q])
+        grace = max(0.15 * hi, 0.15)
+        if adj < lo:
+            verdict = "improved"
+        elif adj <= hi:
+            verdict = "inside-PI"
+        elif adj <= hi + grace:
+            verdict = "watch"
+        else:
+            verdict = "REGRESSION"
+        rows.append((q, raw, adj, lo, hi, verdict))
+    return shift, rows
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    bench_doc = json.loads(Path(sys.argv[1]).read_text())
+    env_path = Path(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_ENVELOPE
+    env = json.loads(env_path.read_text())
+    shift, rows = read_bench(bench_doc["queries"], env["samples"])
+
+    print(
+        f"uniform session shift: {shift:.3f}x "
+        f"(bench total {sum(bench_doc['queries'].values()):.2f}s vs envelope "
+        f"median total "
+        f"{sum(statistics.median(v) for v in env['samples'].values()):.2f}s)"
+    )
+    print(f"{'query':34s} {'raw':>7s} {'adj':>7s} {'PI95':>15s}  verdict")
+    flagged = 0
+    for q, raw, adj, lo, hi, verdict in rows:
+        if verdict != "inside-PI":
+            print(
+                f"{q:34s} {raw:7.3f} {adj:7.3f} "
+                f"{lo:7.3f}–{hi:<7.3f} {verdict}"
+            )
+        if verdict == "REGRESSION":
+            flagged += 1
+    n_in = sum(1 for r in rows if r[5] == "inside-PI")
+    print(f"\n{n_in}/{len(rows)} inside-PI after shift discount; "
+          f"{flagged} regression(s)")
+    missing = sorted(set(bench_doc["queries"]) - set(env["samples"]))
+    if missing:
+        print(f"note: no envelope for {missing} (new queries?) — unverdicted")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -93,9 +93,24 @@ def _rotate_lists(col: pa.ChunkedArray, k: int) -> pa.Array:
     return pa.array(out, type=col.type)
 
 
+def _evict_stale(copies: int, base_name: str, live_tag: str) -> None:
+    """Drop cached builds of this (copies, base) whose construction hash no
+    longer matches HEAD (VERDICT r6 item 8): a stale generation left on
+    disk could otherwise be picked up by a hand-typed path and silently
+    validate against an old construction."""
+    import re
+    import shutil
+
+    pat = re.compile(rf"^bds_x{copies}_{re.escape(base_name)}_[0-9a-f]{{12}}$")
+    for p in Path("/tmp").glob(f"bds_x{copies}_{base_name}_*"):
+        if pat.match(p.name) and not p.name.endswith(live_tag):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def ensure_x10(base_dir: str, copies: int = 10) -> str:
     """Build (or reuse) the x10 directory for ``base_dir``; returns its path."""
     tag = _fingerprint(base_dir)
+    _evict_stale(copies, Path(base_dir).name, tag)
     final_dir = Path(f"/tmp/bds_x{copies}_{Path(base_dir).name}_{tag}")
     marker = final_dir / "_COMPLETE"
     if marker.exists():

@@ -53,11 +53,23 @@ HOT_SHARE_MOD = 2  # every 2nd row -> hot key: 50% of the fact on one key
 HOT_KEY = 1
 
 
+def _source_tag() -> str:
+    """Content-address the cache by the source parquet (size+mtime) and the
+    construction knobs, so a regenerated sf0.1 fixture can't be silently
+    served stale data (ADVICE r6)."""
+    import hashlib
+    import os
+
+    st = os.stat(f"{TESTDATA}/lineitem.parquet")
+    key = f"{COPIES}:{HOT_SHARE_MOD}:{HOT_KEY}:{st.st_size}:{st.st_mtime_ns}"
+    return hashlib.md5(key.encode()).hexdigest()[:12]
+
+
 def build_skewed_fact(spark: SparkSession) -> DataFrame:
     """~6M-row lineitem with half of all part keys collapsed onto HOT_KEY.
     Cached as parquet in /tmp so reruns (and both halves of the
     experiment) read the same stable input."""
-    out = Path(f"/tmp/bds_skew_fact_x{COPIES}_m{HOT_SHARE_MOD}")
+    out = Path(f"/tmp/bds_skew_fact_x{COPIES}_m{HOT_SHARE_MOD}_{_source_tag()}")
     if not (out / "_SUCCESS").exists():
         li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet").select(
             "l_orderkey", "l_partkey", "l_quantity"
