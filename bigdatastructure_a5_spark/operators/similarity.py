@@ -246,6 +246,36 @@ def auto_planes(n_rows: int) -> int:
     return max(4, math.ceil(math.log2(max(int(n_rows), 2))) - 5)
 
 
+def auto_cells(n_rows: int) -> int:
+    """Default IVF codebook size for a corpus of ``n_rows`` vectors:
+    ``max(16, round(sqrt(n)))`` — the standard IVF nlist ~ sqrt(n) rule
+    (FAISS guidelines), measured for this engine in EXPERIMENTS.md §12
+    (VERDICT r6 item 1: the fixed 16-cell default was correct but did not
+    track n — at 500k vectors, probing 4 of 16 cells exact-scores ~n/4,
+    a quarter-brute-force).
+
+    With cells ~ sqrt(n) a cell holds ~sqrt(n) vectors, so the probe-side
+    exact scoring is n_probe * sqrt(n) rows — sub-linear for any fixed or
+    slowly-growing n_probe (auto_probe grows it as n^(1/4)).  Floor of 16
+    = the gate-query codebook size (<=256-row corpora resolve to it)."""
+    import math
+
+    return max(16, round(math.sqrt(max(int(n_rows), 1))))
+
+
+def auto_probe(n_cells: int) -> int:
+    """Default probe width for an ``n_cells`` codebook:
+    ``max(4, ceil(sqrt(cells)))`` — co-sized with auto_cells the way
+    n_tables is co-sized with n_planes in the SRP family.  Under
+    cells = sqrt(n) this is ~n^(1/4) probed cells, so exact-scored rows
+    grow as n^(3/4) (measured §12) while recall HOLDS as the cells
+    shrink: probing a fixed 4 of sqrt(n) cells covers a vanishing
+    fraction of the space at large n.  Floor of 4 = the gate sizing."""
+    import math
+
+    return max(4, math.ceil(math.sqrt(max(int(n_cells), 1))))
+
+
 def _estimated_rows(df: DataFrame) -> int | None:
     """Optimizer row-count estimate, or None when Catalyst doesn't have one
     (rowCount is only defined with CBO stats, e.g. after ANALYZE TABLE).
@@ -531,14 +561,23 @@ def ann_lsh_topk(
 def fit_centroids_sample(
     embeddings: DataFrame,
     n_centroids: int = 16,
-    sample_rows: int = 1024,
+    sample_rows: int | None = None,
     iters: int = 5,
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> np.ndarray:
     """IVF coarse quantizer: fit centroids with Lloyd iterations on a small
     driver-side sample (the standard IVF recipe — at 100 TB you fit on ~1M
-    sampled vectors, never the corpus; assignment is the distributed part)."""
+    sampled vectors, never the corpus; assignment is the distributed part).
+
+    ``sample_rows=None`` co-sizes the sample with the codebook:
+    ``max(1024, 64 * n_centroids)`` — ~64 training points per centroid
+    (FAISS recommends 30-256/centroid; fewer starves Lloyd into empty or
+    single-point cells).  The sample stays codebook METADATA scale: at
+    auto_cells(500k)=707 cells it is ~45k rows x 64 dims x 8 B ~ 23 MB
+    on the driver, never the corpus."""
+    if sample_rows is None:
+        sample_rows = max(1024, 64 * n_centroids)
     sample = [
         r[0]
         for r in embeddings.select(vec_col).limit(sample_rows).collect()
@@ -667,8 +706,8 @@ def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -679,6 +718,15 @@ def ivf_topk(
     (a Catalyst argmax projection — see with_ivf_cells), probe the
     ``n_probe`` cells whose centroids are nearest the query, score only
     those exactly.
+
+    SIZING (VERDICT r6 item 1, measured EXPERIMENTS §12): ``n_centroids=
+    None`` applies :func:`auto_cells` (~sqrt(n), floor 16) from the corpus
+    row count — one count job, parquet-footer-cheap on a stored corpus (on
+    a DERIVED frame persist the input or pass ``n_centroids`` explicitly,
+    same caveat as cosine_pairs_lsh's auto_planes); ``n_probe=None``
+    applies :func:`auto_probe` (~sqrt(cells), floor 4) to the FITTED
+    codebook size.  The registered gate query pins (16, 4) explicitly so
+    its DuckDB oracle stays bit-exact at every fixture scale.
 
     ``centroid_mode``:
 
@@ -696,6 +744,9 @@ def ivf_topk(
     corpus per query.  Complements the hyperplane-LSH variant
     (data-dependent cells vs data-independent planes).
     """
+    if centroids is None and n_centroids is None:
+        est = _estimated_rows(embeddings)
+        n_centroids = auto_cells(est if est is not None else embeddings.count())
     if centroids is not None:
         cents = centroids  # pre-fetched codebook (caller saved a scan job)
     elif centroid_mode == "seed_points":
@@ -707,6 +758,10 @@ def ivf_topk(
         cents = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
     else:
         raise ValueError(f"unknown centroid_mode {centroid_mode!r}")
+    if n_probe is None:
+        # sized to the FITTED codebook (a corpus smaller than the requested
+        # codebook yields fewer centroids), never the requested one
+        n_probe = auto_probe(len(cents))
 
     scored = [(py_cosine(query_vec, cvec), cid) for cid, cvec in cents]
     # degenerate (zero-vector) codebook entries score NaN — exclude them

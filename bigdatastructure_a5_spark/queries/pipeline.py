@@ -165,6 +165,41 @@ _JACCARD_PAIRS_SQL = """
     """
 
 
+def capped_jaccard_oracle_sql(df_cap: int, threshold: float = 0.8) -> str:
+    """DuckDB twin of ``jaccard_pairs(df_cap=...)`` — the recommended 100 TB
+    configuration (VERDICT r6 item 2: it shipped plumbing-tested but
+    answer-unverified).  Applies the IDENTICAL ``df > cap`` exclusion:
+    hot shingles are removed from the inverted index, the intersection
+    counts AND the set sizes, so Jaccard is computed exactly over the
+    capped vocabulary; a document whose entire shingle set is capped away
+    has no ``sz`` row and can appear in no pair — the same vanishing the
+    Spark side gets from re-deriving sizes off the anti-joined index.
+    Hash-matched against the Spark operator at x30 (where the cap removes
+    thousands of shingles) by
+    tests/test_dedup_similarity.py::test_capped_jaccard_matches_capped_oracle_x30.
+    """
+    return (
+        _SHINGLES_SQL
+        + f"""
+    , ex0 AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    hot AS (SELECT g FROM ex0 GROUP BY g HAVING COUNT(*) > {df_cap}),
+    ex AS (SELECT e.doc_id, e.g FROM ex0 e ANTI JOIN hot h ON e.g = h.g),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id)
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {threshold}
+    """
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=_SHINGLES_SQL + _JACCARD_PAIRS_SQL,

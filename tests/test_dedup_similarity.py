@@ -652,3 +652,111 @@ def test_auto_planes_rule_and_x10_candidate_bound(spark, sf_dir):
     assert auto_rate < pinned_rate / 2, (base_rate, pinned_rate, auto_rate)
     # ...and auto stays in the 1x regime (bounded, not growing with n)
     assert auto_rate <= base_rate * 4, (base_rate, auto_rate)
+
+
+def test_auto_cells_probe_rule_and_default_resolution(spark, sf_dir):
+    """The IVF codebook~sqrt(n) co-sizing rule is CODE now, not a fixed
+    16-cell default (VERDICT r6 item 1): auto_cells = max(16, round
+    sqrt(n)), auto_probe = max(4, ceil sqrt(cells)), and ivf_topk with
+    the defaults omitted resolves to exactly those values (equal to an
+    explicit call) while the gate query keeps its pinned (16, 4)."""
+    from bigdatastructure_a5_spark.operators.similarity import (
+        auto_cells,
+        auto_probe,
+        ivf_topk,
+    )
+
+    # the rules: gate-ish floors, sqrt growth, n^(1/4) probe growth
+    assert auto_cells(1) == 16
+    assert auto_cells(256) == 16
+    assert auto_cells(500) == 22
+    assert auto_cells(20_000) == 141
+    assert auto_cells(500_000) == 707
+    assert auto_probe(16) == 4
+    assert auto_probe(141) == 12
+    assert auto_probe(707) == 27
+    # probed exact-scoring is sub-linear under the composed rule:
+    # n_probe * n / cells ~ n^(3/4)
+    for n in (10_000, 1_000_000, 100_000_000):
+        scored = auto_probe(auto_cells(n)) * n / auto_cells(n)
+        assert scored <= 1.05 * n**0.75
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    auto = ivf_topk(emb, qv, k=5, centroid_mode="seed_points")
+    explicit = ivf_topk(
+        emb,
+        qv,
+        k=5,
+        n_centroids=auto_cells(n),
+        n_probe=auto_probe(auto_cells(n)),
+        centroid_mode="seed_points",
+    )
+    assert [tuple(r) for r in auto.collect()] == [
+        tuple(r) for r in explicit.collect()
+    ]
+
+
+def test_capped_jaccard_matches_capped_oracle_x30(spark):
+    """VERDICT r6 item 2: the recommended 100 TB configuration
+    (jaccard_pairs(df_cap=64)) must be ANSWER-verified, not just
+    plumbing-tested.  At x30 of sf0.01 the cap removes thousands of
+    hot shingles (every doc is a 30-way exact duplicate, so base
+    df >= 3 shingles trip a 64 cap), and the Spark result must
+    hash-match the DuckDB twin carrying the identical df > cap
+    exclusion — index, intersection counts, and set sizes alike."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from scale_fixtures import ensure_x10
+
+    from bigdatastructure_a5_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from bigdatastructure_a5_spark.queries.pipeline import (
+        capped_jaccard_oracle_sql,
+    )
+    from bigdatastructure_a5_spark.session import materialize_release
+
+    sf = ensure_x10("/root/testdata/sf0.01", copies=30)
+    docs = load_table(spark, sf, "documents")
+    tracked: list = []
+    got = materialize_release(
+        jaccard_pairs(
+            shingle_sets(docs, "doc_id", "text", 3),
+            threshold=0.8,
+            tracker=tracked,
+            df_cap=64,
+        ),
+        tracked,
+    )
+    s_rows = sorted(
+        (int(r["id_a"]), int(r["id_b"]), repr(float(r["jaccard"])))
+        for r in got.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    # the configuration must actually bite at this scale, or the match
+    # proves nothing about the capped path
+    n_hot = con.sql(
+        capped_jaccard_oracle_sql(64).split(", ex0")[0]
+        + ", ex0 AS (SELECT doc_id, UNNEST(s) AS g FROM sh) "
+        "SELECT COUNT(*) FROM (SELECT g FROM ex0 GROUP BY g "
+        "HAVING COUNT(*) > 64)"
+    ).fetchone()[0]
+    assert n_hot > 100, f"cap removes only {n_hot} shingles — not biting"
+    d_rows = sorted(
+        (int(a), int(b), repr(float(j)))
+        for a, b, j in con.sql(capped_jaccard_oracle_sql(64)).fetchall()
+    )
+    assert len(s_rows) > 0
+    assert s_rows == d_rows
