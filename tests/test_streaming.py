@@ -563,3 +563,43 @@ def test_streaming_gate_queries_hash_match_under_both_providers(
     assert sorted(s_cols) == sorted(d_cols)
     assert len(s_rows) == len(d_rows) and len(s_rows) > 0
     assert _canon_rows(s_cols, s_rows) == _canon_rows(d_cols, d_rows)
+
+
+def test_streaming_observer_captures_state_operator_progress(spark, sf_dir):
+    """The STREAMING_OBSERVER hook (VERDICT r6 item 3) must hand
+    tools/plan_audit.py the per-microbatch StreamingQueryProgress of the
+    run itself — with the stateOperators metrics (state rows, memory,
+    watermark drops) the audit's streaming section is built from — and
+    must stay unset after the run."""
+    import bigdatastructure_a5_spark.streaming.events as ev_mod
+    from bigdatastructure_a5_spark.queries.events_queries import (
+        events_streaming_rollup,
+    )
+
+    caps = []
+    ev_mod.STREAMING_OBSERVER = lambda name, progress: caps.append(
+        (name, progress)
+    )
+    try:
+        events_streaming_rollup(spark, sf_dir).collect()
+    finally:
+        ev_mod.STREAMING_OBSERVER = None
+
+    assert len(caps) == 1
+    name, progress = caps[0]
+    assert name == "events_streaming_rollup_sink"
+    assert len(progress) >= 1  # at least the data microbatch
+    state_ops = [op for p in progress for op in p.get("stateOperators", [])]
+    assert state_ops, "rollup is a stateful aggregation - must report state"
+    op = state_ops[0]
+    # the exact fields the audit table emits
+    for key in (
+        "operatorName",
+        "numRowsTotal",
+        "numRowsUpdated",
+        "numRowsDroppedByWatermark",
+        "memoryUsedBytes",
+        "numShufflePartitions",
+    ):
+        assert key in op, (key, sorted(op))
+    assert any(op["numRowsTotal"] > 0 for op in state_ops)
