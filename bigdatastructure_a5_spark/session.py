@@ -24,18 +24,67 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+#: The reference cluster the deploy checklist is written against:
+#: 1000 executors x 8 cores (COVERAGE.md "Deploy checklist").
+CLUSTER_TOTAL_CORES = 8000
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def cluster_overrides(total_cores: int = CLUSTER_TOTAL_CORES) -> dict[str, str]:
+    """The COVERAGE.md deploy-table overrides as an EXECUTABLE conf dict
+    (VERDICT r6 item 6: the checklist could drift from code while it was
+    prose).  ``get_spark(profile="cluster")`` applies it; on a real
+    deployment the same dict is the ``--conf`` list for spark-submit.
+    tests/test_smoke.py::test_cluster_profile_matches_coverage_deploy_table
+    asserts every entry here matches the documented table row — edit
+    either side and the drift test fails.
+
+    Values are the table's rationale, mechanized:
+    - shuffle partitions / default parallelism: 3x total cores as the
+      INITIAL number (AQE coalesces down; too few is the direction AQE
+      cannot repair),
+    - advisory partition size 256 MiB, co-sized with executor memory,
+    - maxPartitionBytes 256 MiB (scan tasks over ~1 GiB row groups),
+    - driver memory 64g (broadcast relations + bounded driver fetches),
+    - RocksDB state store, set before the FIRST checkpoint (provider is
+      checkpoint-sticky).
+    The broadcast threshold deliberately does NOT appear: the 64 MiB code
+    default is the documented production setting (kept co-sized with
+    MAX_BROADCAST_DROP_IDS)."""
+    p = str(3 * total_cores)
+    return {
+        "spark.sql.shuffle.partitions": p,
+        "spark.default.parallelism": p,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.driver.memory": "64g",
+        "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER,
+    }
+
+
 def get_spark(
     app_name: str = "bigdatastructure-a5-spark",
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
     rocksdb_state: bool = False,
+    profile: str = "local",
 ) -> SparkSession:
     """Build (or fetch) the session.
 
     On a real cluster the master/memory settings come from spark-submit:
     ``.master()`` is skipped whenever the process looks spark-submit-launched
     or a master is already configured (forcing local[] over --master would
-    silently run the whole job single-node on the driver).  Two guards
+    silently run the whole job single-node on the driver).
+
+    ``profile="cluster"`` layers :func:`cluster_overrides` (the COVERAGE.md
+    deploy checklist, executable) over the defaults; ``extra_conf`` still
+    wins over both.  Note most of those are STATIC confs — the profile
+    takes effect on a fresh session, not via getOrCreate against a live
+    one.  Two guards
     because each alone has a blind spot: SparkConf() only sees spark.*
     JVM system properties once the py4j gateway exists (before that it
     reads an empty dict — exactly the state of the FIRST get_spark call in
@@ -87,9 +136,14 @@ def get_spark(
     # restart compatibility for existing checkpoints.
     if rocksdb_state or os.environ.get("SPARK_GRAFT_ROCKSDB") == "1":
         builder = builder.config(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
+    if profile == "cluster":
+        for k, v in cluster_overrides().items():
+            builder = builder.config(k, v)
+    elif profile != "local":
+        raise ValueError(
+            f"unknown profile {profile!r}: expected 'local' or 'cluster'"
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

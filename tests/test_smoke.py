@@ -33,3 +33,58 @@ def test_all_queries_run_nonempty_at_sf0001(spark, sf_dir):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_dir)
         assert df.count() > 0, f"{name} returned no rows at sf0.001"
+
+
+def test_cluster_profile_matches_coverage_deploy_table():
+    """VERDICT r6 item 6: the COVERAGE.md deploy checklist is executable
+    (session.cluster_overrides / get_spark(profile='cluster')) and this
+    test is the drift lock — every conf the profile emits must appear,
+    with its value, in the checklist's table row; editing either side
+    alone fails here."""
+    import re
+    from pathlib import Path
+
+    from bigdatastructure_a5_spark.session import (
+        CLUSTER_TOTAL_CORES,
+        cluster_overrides,
+    )
+
+    section = (
+        (Path(__file__).resolve().parent.parent / "COVERAGE.md")
+        .read_text()
+        .split("## Deploy checklist", 1)[1]
+    )
+    ov = cluster_overrides()
+    assert ov["spark.sql.shuffle.partitions"] == str(3 * CLUSTER_TOTAL_CORES)
+    # spark.default.parallelism rides the shuffle-partitions row (the code
+    # default sets both from one number; the override must keep them equal)
+    assert ov["spark.default.parallelism"] == ov["spark.sql.shuffle.partitions"]
+    row_token = {
+        "spark.sql.shuffle.partitions": ov["spark.sql.shuffle.partitions"],
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256",
+        "spark.sql.files.maxPartitionBytes": "256 MiB",
+        "spark.driver.memory": "64g",
+        "spark.sql.streaming.stateStore.providerClass": "RocksDB",
+    }
+    for key, token in row_token.items():
+        rows = [
+            line
+            for line in section.splitlines()
+            if line.startswith(f"| `{key}`")
+        ]
+        assert len(rows) == 1, f"deploy table must have exactly one {key} row"
+        # the token must sit in the OVERRIDE column (3rd), not just anywhere
+        override_col = rows[0].split("|")[3]
+        assert token in override_col, (key, token, override_col)
+    # value sanity: the emitted strings are what the table's prose means
+    assert ov["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == "256m"
+    assert ov["spark.sql.files.maxPartitionBytes"] == "256m"
+    assert re.search(r"RocksDBStateStoreProvider$",
+                     ov["spark.sql.streaming.stateStore.providerClass"])
+    # and an unknown profile is a loud error, not a silent local session
+    import pytest
+
+    from bigdatastructure_a5_spark.session import get_spark
+
+    with pytest.raises(ValueError, match="profile"):
+        get_spark(profile="staging")
