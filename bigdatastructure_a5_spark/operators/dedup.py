@@ -24,7 +24,10 @@ from bigdatastructure_a5_spark.functions.hashing import (
     tokens,
     word_shingles_from_tokens,
 )
-from bigdatastructure_a5_spark.session import ensure_min_partitions
+from bigdatastructure_a5_spark.session import (
+    ensure_min_partitions,
+    persist_df,
+)
 
 
 def shingle_sets(
@@ -175,7 +178,7 @@ def lsh_candidate_pairs(
     from bigdatastructure_a5_spark.session import adopt_tracker
 
     tracker, finish = adopt_tracker(tracker)
-    banded = banded.persist()
+    banded = persist_df(banded)
     tracker.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
     result = (
@@ -264,7 +267,7 @@ def jaccard_pairs(
     # first, since a one-split source would otherwise tokenize and
     # cache-encode in a single task.  Same calls at 100 TB, just
     # StorageLevel.DISK_ONLY or a checkpoint.
-    nonempty = ensure_min_partitions(nonempty).persist()
+    nonempty = persist_df(ensure_min_partitions(nonempty))
     tracker.append(nonempty)
     sizes = nonempty.select("id", F.size("shingles").alias("n"))
     exploded = nonempty.select("id", F.explode("shingles").alias("g"))
@@ -278,7 +281,7 @@ def jaccard_pairs(
             .select("g")
         )
         exploded = exploded.join(F.broadcast(hot), "g", "left_anti")
-        exploded = exploded.persist()
+        exploded = persist_df(exploded)
         tracker.append(exploded)
         sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -335,9 +338,9 @@ def near_duplicates_minhash(
     tracker, finish = adopt_tracker(tracker)
     # Consumed by both the signature branch and the verification joins;
     # one parallel shingling pass instead of three.
-    shingled = ensure_min_partitions(
-        shingle_sets(df, id_col, text_col, shingle_n)
-    ).persist()
+    shingled = persist_df(
+        ensure_min_partitions(shingle_sets(df, id_col, text_col, shingle_n))
+    )
     tracker.append(shingled)
     sigs = minhash_signatures(shingled, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, tracker=tracker)
@@ -498,7 +501,7 @@ def simhash_chunk_candidates(
     from bigdatastructure_a5_spark.session import adopt_tracker
 
     tracker, finish = adopt_tracker(tracker)
-    chunked = chunked.persist()
+    chunked = persist_df(chunked)
     tracker.append(chunked)
     a, b = chunked.alias("a"), chunked.alias("b")
     result = (

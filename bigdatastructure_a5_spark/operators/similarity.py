@@ -105,7 +105,7 @@ def cosine_pairs(
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
-    from bigdatastructure_a5_spark.session import adopt_tracker
+    from bigdatastructure_a5_spark.session import adopt_tracker, persist_df
 
     tracker, finish = adopt_tracker(tracker)
     # NULL vectors can neither be packed (np.stack shape error in the tile
@@ -121,14 +121,15 @@ def cosine_pairs(
         )
         .groupBy("bid")
         .agg(F.collect_list("iv").alias("members"))
-        # consumed by BOTH tile-join sides: without the persist Catalyst
-        # evaluates the groupBy+collect_list subtree once per side — two
-        # full corpus scans and two pack shuffles (verified in the
-        # optimized plan).  Same cache contract as the other self-join
-        # operators (jaccard, LSH): caller releases via tracker, or the
-        # function materializes its own result and releases on return.
-        .persist()
     )
+    # consumed by BOTH tile-join sides: without the persist Catalyst
+    # evaluates the groupBy+collect_list subtree once per side — two
+    # full corpus scans and two pack shuffles (verified in the
+    # optimized plan).  Same cache contract as the other self-join
+    # operators (jaccard, LSH): caller releases via tracker, or the
+    # function materializes its own result and releases on return;
+    # storage level via session.persist_df (SPARK_GRAFT_PERSIST_LEVEL).
+    packed = persist_df(packed)
     tracker.append(packed)
     spark = embeddings.sparkSession
     pair_grid = spark.createDataFrame(
@@ -402,6 +403,7 @@ def cosine_pairs_lsh(
     from bigdatastructure_a5_spark.session import (
         adopt_tracker,
         ensure_min_partitions,
+        persist_df,
     )
 
     tracker, finish = adopt_tracker(tracker)
@@ -431,7 +433,7 @@ def cosine_pairs_lsh(
             )
         ).alias("tb"),
     ).select("id", "tb.t", "tb.b")
-    melted = melted.persist()
+    melted = persist_df(melted)
     tracker.append(melted)
     a, b = melted.alias("a"), melted.alias("b")
     cands = (

@@ -947,11 +947,16 @@ def curate_documents(
     # kept in the cache instead of the raw text: shingling consumes it
     # directly (shingle_sets_from_tokens), so the tokenizer regex — the
     # heaviest per-row map in the flow — runs exactly once per document.
-    from bigdatastructure_a5_spark.session import materialize_release
+    from bigdatastructure_a5_spark.session import (
+        materialize_release,
+        persist_df,
+    )
 
-    kept = scored.filter(
-        (F.col("quality") >= 0.5) & (F.col("detected_lang") == "en")
-    ).persist()
+    kept = persist_df(
+        scored.filter(
+            (F.col("quality") >= 0.5) & (F.col("detected_lang") == "en")
+        )
+    )
     tracked: list = [kept]
     pairs = jaccard_pairs(
         shingle_sets_from_tokens(kept, "doc_id", "toks", 3),
@@ -970,7 +975,7 @@ def curate_documents(
     # persisted (the anti-join reuses the cache, so the pipeline still
     # runs once) and counted; only a set under the bound gets the hint,
     # anything larger is left to AQE to pick the join strategy.
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).persist()
+    dropped = persist_df(pairs.select(F.col("id_b").alias("doc_id")))
     tracked.append(dropped)
     limit = (
         MAX_BROADCAST_DROP_IDS

@@ -150,6 +150,38 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def persist_df(df):
+    """Persist at the session-selected storage level.
+
+    ``SPARK_GRAFT_PERSIST_LEVEL`` (a ``pyspark.StorageLevel`` attribute
+    name, e.g. ``DISK_ONLY`` or ``MEMORY_AND_DISK``) overrides the
+    engine-wide level for every tracked intermediate and result cache;
+    unset keeps Spark's DataFrame default (MEMORY_AND_DISK_DESER).
+
+    Why a knob (EXPERIMENTS §11): the deserialized default builds each
+    cached partition ON HEAP (``MemoryStore.putIteratorAsValues``), so in
+    a memory-starved executor a cache fill can OOM while a concurrent
+    hash-aggregate is merging its spills — measured at x100 curation in a
+    2 g JVM.  ``DISK_ONLY`` streams partitions through the serializer to
+    local disk, which is the documented 100 TB setting for the multi-pass
+    operators' big intermediates (their cache exists to avoid recompute
+    across self-join sides, not for memory-speed reads)."""
+    name = os.environ.get("SPARK_GRAFT_PERSIST_LEVEL")
+    if not name:
+        return df.persist()
+    from pyspark import StorageLevel
+
+    try:
+        level = getattr(StorageLevel, name)
+    except AttributeError:
+        raise ValueError(
+            f"SPARK_GRAFT_PERSIST_LEVEL={name!r} is not a "
+            "pyspark.StorageLevel attribute (try DISK_ONLY, "
+            "MEMORY_AND_DISK, MEMORY_AND_DISK_DESER)"
+        ) from None
+    return df.persist(level)
+
+
 _PYFILES_SENT: set[str] = set()
 
 
@@ -227,7 +259,7 @@ def materialize_release(result, tracked):
     """
     if not tracked:
         return result
-    result = result.persist()
+    result = persist_df(result)
     result.count()
     if MATERIALIZATION_OBSERVER is not None:
         MATERIALIZATION_OBSERVER(result)

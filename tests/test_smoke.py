@@ -88,3 +88,29 @@ def test_cluster_profile_matches_coverage_deploy_table():
 
     with pytest.raises(ValueError, match="profile"):
         get_spark(profile="staging")
+
+
+def test_persist_df_honors_storage_level_env(spark, monkeypatch):
+    """session.persist_df routes every tracked-intermediate persist through
+    the SPARK_GRAFT_PERSIST_LEVEL knob (EXPERIMENTS §11: DISK_ONLY is the
+    starved-executor mitigation); an unknown level is a loud error."""
+    import pytest
+
+    from bigdatastructure_a5_spark.session import persist_df
+
+    df = spark.range(10)
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_PERSIST_LEVEL", "DISK_ONLY")
+        p = persist_df(df)
+        assert p.storageLevel.useDisk and not p.storageLevel.useMemory
+        p.unpersist()
+
+        monkeypatch.setenv("SPARK_GRAFT_PERSIST_LEVEL", "NOT_A_LEVEL")
+        with pytest.raises(ValueError, match="NOT_A_LEVEL"):
+            persist_df(df)
+
+        monkeypatch.delenv("SPARK_GRAFT_PERSIST_LEVEL")
+        p = persist_df(df)
+        assert p.storageLevel.useMemory  # Spark's DataFrame default
+    finally:
+        df.unpersist()
