@@ -17,6 +17,7 @@ reproducible run-to-run.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -269,9 +270,14 @@ def auto_probe(n_cells: int) -> int:
     ``max(4, ceil(sqrt(cells)))`` — co-sized with auto_cells the way
     n_tables is co-sized with n_planes in the SRP family.  Under
     cells = sqrt(n) this is ~n^(1/4) probed cells, so exact-scored rows
-    grow as n^(3/4) (measured §12) while recall HOLDS as the cells
-    shrink: probing a fixed 4 of sqrt(n) cells covers a vanishing
-    fraction of the space at large n.  Floor of 4 = the gate sizing."""
+    grow as n^(3/4) (measured §12) instead of the fixed codebook's ~n/4;
+    probing a fixed 4 of sqrt(n) cells would instead cover a vanishing
+    fraction of the space at large n.  This is a STARTING point, not a
+    recall guarantee: §12 measures recall@10 falling with the probed
+    SHARE on a near-uniform corpus, and n_probe is the per-query dial
+    that buys it back (~linear scan cost per extra probe at fixed
+    cells) — the FAISS nlist/nprobe split.  Floor of 4 = the gate
+    sizing."""
     import math
 
     return max(4, math.ceil(math.sqrt(max(int(n_cells), 1))))
@@ -629,26 +635,96 @@ def seed_point_centroids(
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
+#: Codebook size above which ``with_ivf_cells(method="auto")`` switches the
+#: assignment from the rendered-SQL argmax to the Arrow/BLAS stage.  The SQL
+#: projection embeds the (dim x cells) weight matrix as a literal expression:
+#: past a few dozen centroids it blows the whole-stage-codegen budget and
+#: runs interpreted, re-walking a cells-wide fold per row (measured in
+#: EXPERIMENTS §12: the 447-cell literal was the entire 67 s/query wall
+#: before the r7 split), and at a production codebook (sqrt(1e9) ~ 31k
+#: cells) the expression would not even parse.  Below the threshold the SQL
+#: path wins: zero Python stages and bit-exact oracle arithmetic.
+IVF_SQL_MAX_CELLS = 32
+
+
+def _with_ivf_cells_blas(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """Arrow-batched BLAS twin of the rendered-SQL cell assignment: one
+    (batch x dim) @ (dim x cells) matmul per Arrow batch — the same shape
+    as cosine_pairs' tile scorer, and the only way a sqrt(n) codebook
+    scales (per-row work is a BLAS3 row, not an interpreted cells-wide
+    fold).  Row norms are irrelevant to the argmax (a positive per-row
+    scale), so cos reduces to dots / |centroid| per column.
+
+    Parity with the SQL path: centroids are ranked in ascending-cid order
+    and numpy's argmax takes the FIRST max, matching the SQL
+    max-by-(cos, -cid) tie-break; degenerate zero-norm centroids score
+    -inf (the SQL path's literal -2.0) so they never win.  NULL/zero-norm
+    ROWS differ harmlessly (both paths park them in an arbitrary cell;
+    their cosine is NULL downstream and ranks nowhere).  Not bit-exact vs
+    the SQL fold (pairwise/SIMD vs sequential summation can flip an
+    argmax only when two cells tie within float noise) — the gate query
+    pins the SQL path; parity on real corpora is pinned by
+    test_ivf_blas_assignment_matches_sql."""
+    ranked = sorted(centroids, key=lambda t: int(t[0]))
+    cids = np.array([int(cid) for cid, _ in ranked], dtype=np.int64)
+    cmat = np.array([cv for _, cv in ranked], dtype=np.float64)  # cells x dim
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    degenerate = cnorm == 0.0
+    scale = 1.0 / np.where(degenerate, 1.0, cnorm)
+
+    @F.pandas_udf("int")
+    def _cell(vecs: pd.Series) -> pd.Series:
+        mat = np.zeros((len(vecs), cmat.shape[1]), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == cmat.shape[1]:
+                mat[i] = v
+        scores = (mat @ cmat.T) * scale
+        scores[:, degenerate] = -np.inf
+        return pd.Series(cids[np.argmax(scores, axis=1)].astype("int32"))
+
+    return df.withColumn(cell_col, _cell(F.col(vec_col)))
+
+
 def with_ivf_cells(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
+    method: str = "auto",
 ) -> DataFrame:
     """Materialize the IVF cell id as a column — the write-time step: at
     100 TB the corpus is written partitioned/sorted by cell so a probe
     query prunes to n_probe partitions before any scoring.
 
-    Same two-stage one-pass trick as with_lsh_buckets (the shared fold is
-    functions.vectors.matrix_dots_sql): all codebook dot products in a
-    single fold against one (dim x centroids) literal matrix + one shared
-    row-norm fold, then the argmax over
+    ``method``: ``"sql"`` — rendered-SQL argmax (bit-exact vs the DuckDB
+    oracle, zero Python stages; only viable up to a few dozen cells);
+    ``"blas"`` — Arrow-batched matmul (_with_ivf_cells_blas, the scale
+    path for sqrt(n) codebooks); ``"auto"`` (default) — sql at
+    <= IVF_SQL_MAX_CELLS cells, blas above, so small/gate codebooks keep
+    the exact zero-Python plan and corpus-tracking codebooks get the one
+    that finishes.
+
+    SQL path: same two-stage one-pass trick as with_lsh_buckets (the
+    shared fold is functions.vectors.matrix_dots_sql): all codebook dot
+    products in a single fold against one (dim x centroids) literal
+    matrix + one shared row-norm fold, then the argmax over
     cos = dots[c] / (norm_v * |centroid_c|) — element order and operation
     structure identical to per-centroid cosine_similarity folds, so cell
     ids (and the oracle hash) are unchanged bit-for-bit.  Centroid norms
     are Python-folded with the same sequential arithmetic (py_l2).  Both
     projections are rendered SQL (see matrix_dots_sql for the measured
     py4j-per-node cost this avoids)."""
+    if method == "auto":
+        method = "sql" if len(centroids) <= IVF_SQL_MAX_CELLS else "blas"
+    if method == "blas":
+        return _with_ivf_cells_blas(df, centroids, vec_col, cell_col)
+    if method != "sql":
+        raise ValueError(f"unknown with_ivf_cells method {method!r}")
     from bigdatastructure_a5_spark.functions.vectors import (
         _sql_double,
         matrix_dots_sql,
@@ -715,6 +791,9 @@ def ivf_topk(
     seed: int = 42,
     centroid_mode: str = "seed_points",
     centroids: list[tuple[int, list[float]]] | None = None,
+    assign_method: str = "auto",
+    celled: DataFrame | None = None,
+    cell_col: str = "__cell",
 ) -> DataFrame:
     """IVF approximate top-k: assign vectors to their nearest codebook cell
     (a Catalyst argmax projection — see with_ivf_cells), probe the
@@ -742,10 +821,23 @@ def ivf_topk(
 
     Plan shape either way: ONE scan with a per-row argmax projection +
     IN-filter + scan-speed scoring + TakeOrderedAndProject.  ZERO Python
-    stages — the previous design paid a mapInPandas pass over the full
-    corpus per query.  Complements the hyperplane-LSH variant
-    (data-dependent cells vs data-independent planes).
+    stages on the sql assignment path — the previous design paid a
+    mapInPandas pass over the full corpus per query.  Complements the
+    hyperplane-LSH variant (data-dependent cells vs data-independent
+    planes).
+
+    ``assign_method`` is forwarded to :func:`with_ivf_cells` ("auto":
+    rendered SQL up to IVF_SQL_MAX_CELLS cells, Arrow/BLAS above).
+
+    ``celled``: a frame that ALREADY carries the cell assignment in
+    ``cell_col`` (built once by with_ivf_cells, persisted or written
+    partitioned-by-cell) — the amortized serving shape: at 100 TB the
+    assignment is a write-time cost paid once per corpus, and every query
+    is probe-rank (codebook-sized, driver) + cell filter + exact scoring.
+    ``centroids`` must be the same codebook the cells were built from.
     """
+    if celled is not None and centroids is None:
+        raise ValueError("ivf_topk(celled=...) requires the matching centroids")
     if centroids is None and n_centroids is None:
         est = _estimated_rows(embeddings)
         n_centroids = auto_cells(est if est is not None else embeddings.count())
@@ -775,10 +867,13 @@ def ivf_topk(
 
     # deliberately NO repartition (see ann_lsh_topk: the exchange costs more
     # than the one-task argmax projection it would spread on a test corpus)
-    celled = with_ivf_cells(embeddings, cents, vec_col, "__cell")
+    if celled is None:
+        celled = with_ivf_cells(
+            embeddings, cents, vec_col, cell_col, method=assign_method
+        )
     q_lit = double_array_lit(query_vec)
     return (
-        celled.filter(F.col("__cell").isin(probe))
+        celled.filter(F.col(cell_col).isin(probe))
         .select(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), q_lit).alias("cosine"),

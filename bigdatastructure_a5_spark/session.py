@@ -16,6 +16,7 @@ knob is chosen so the same code runs unchanged on a large cluster:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -183,6 +184,11 @@ def persist_df(df):
 
 
 _PYFILES_SENT: set[str] = set()
+#: Serializes the provision step: under concurrent query submission (the
+#: gate's worker pool) two threads could both miss _PYFILES_SENT and each
+#: addPyFile a same-named zip from a different tempdir — the second add is
+#: a SparkException (same filename, different path).
+_PYFILES_LOCK = threading.Lock()
 
 
 def ensure_workers_can_import(spark: SparkSession) -> None:
@@ -208,15 +214,18 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     key = sc.applicationId
     if key in _PYFILES_SENT:
         return
-    pkg_dir = Path(__file__).resolve().parent
-    zip_path = Path(tempfile.mkdtemp(prefix="bds_pyfiles_")) / (
-        pkg_dir.name + ".zip"
-    )
-    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for py in sorted(pkg_dir.rglob("*.py")):
-            zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
-    sc.addPyFile(str(zip_path))
-    _PYFILES_SENT.add(key)
+    with _PYFILES_LOCK:
+        if key in _PYFILES_SENT:  # lost the race: another thread shipped it
+            return
+        pkg_dir = Path(__file__).resolve().parent
+        zip_path = Path(tempfile.mkdtemp(prefix="bds_pyfiles_")) / (
+            pkg_dir.name + ".zip"
+        )
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+        sc.addPyFile(str(zip_path))
+        _PYFILES_SENT.add(key)
 
 
 #: Most-recent materialize_release result caches, oldest first.  Result
@@ -226,6 +235,12 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
 #: hits the cache) while bounding session-lifetime cache growth.
 _RESULT_CACHES: list = []
 _RESULT_CACHE_LIMIT = 4
+#: Guards the _RESULT_CACHES window: concurrent query submission (Spark
+#: sessions are thread-safe and tools/check_correctness.py runs the gate
+#: with a worker pool) would otherwise interleave the replace/append/evict
+#: sequence below — worst case unpersisting a cache another thread just
+#: filled, which recomputes silently (correct but slow) rather than erring.
+_RESULT_CACHES_LOCK = threading.Lock()
 
 #: Optional observer called with each materialized result DataFrame right
 #: after its cache-filling count() — i.e. at the exact moment the
@@ -276,12 +291,16 @@ def materialize_release(result, tracked):
     # persists (measured 1.4s -> ~18s on dedup_simhash at sf0.1 from the
     # 5th same-query submission in one session).  Drop same-plan aliases
     # WITHOUT unpersisting — they share the entry that must stay live.
-    _RESULT_CACHES[:] = [
-        df for df in _RESULT_CACHES if not df.sameSemantics(result)
-    ]
-    _RESULT_CACHES.append(result)
-    while len(_RESULT_CACHES) > _RESULT_CACHE_LIMIT:
-        _RESULT_CACHES.pop(0).unpersist(blocking=False)
+    with _RESULT_CACHES_LOCK:
+        _RESULT_CACHES[:] = [
+            df for df in _RESULT_CACHES if not df.sameSemantics(result)
+        ]
+        _RESULT_CACHES.append(result)
+        evicted = []
+        while len(_RESULT_CACHES) > _RESULT_CACHE_LIMIT:
+            evicted.append(_RESULT_CACHES.pop(0))
+    for df in evicted:
+        df.unpersist(blocking=False)
     return result
 
 

@@ -698,6 +698,80 @@ def test_auto_cells_probe_rule_and_default_resolution(spark, sf_dir):
     ]
 
 
+def test_ivf_blas_assignment_matches_sql(spark, sf_dir):
+    """The Arrow/BLAS cell assignment — auto-selected above
+    IVF_SQL_MAX_CELLS, where the rendered-SQL argmax leaves the codegen
+    budget (and at sqrt(1e9) cells would not parse at all) — must agree
+    with the bit-exact SQL path cell-for-cell on a real corpus and a
+    corpus-sized Lloyd codebook.  Both paths are deterministic; argmax
+    could only differ where two cells tie within float-summation noise,
+    which this pins as not happening on the fixture."""
+    from bigdatastructure_a5_spark.operators.similarity import (
+        IVF_SQL_MAX_CELLS,
+        fit_centroids_sample,
+        with_ivf_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_cells = 45  # > IVF_SQL_MAX_CELLS: the regime the blas path exists for
+    assert n_cells > IVF_SQL_MAX_CELLS
+    mat = fit_centroids_sample(emb, n_cells)
+    cents = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+
+    sql_cells = {
+        r.vec_id: r.c
+        for r in with_ivf_cells(emb, cents, "embedding", "c", method="sql")
+        .select("vec_id", "c")
+        .collect()
+    }
+    blas_cells = {
+        r.vec_id: r.c
+        for r in with_ivf_cells(emb, cents, "embedding", "c", method="blas")
+        .select("vec_id", "c")
+        .collect()
+    }
+    assert sql_cells == blas_cells
+    assert len(set(sql_cells.values())) > 1  # a real partition of the corpus
+
+    # auto routing: <= threshold keeps the zero-Python rendered-SQL plan,
+    # above it takes the Arrow stage
+    small = with_ivf_cells(
+        emb, cents[:IVF_SQL_MAX_CELLS], "embedding", "c", method="auto"
+    )
+    big = with_ivf_cells(emb, cents, "embedding", "c", method="auto")
+    assert "Python" not in small._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in big._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_topk_prebuilt_celled_matches_inline(spark, sf_dir):
+    """ivf_topk(celled=...) — the amortized serving shape over a corpus
+    whose cell assignment was built once at write time — must return
+    exactly what the inline-assignment path returns for the same codebook
+    and probes."""
+    from bigdatastructure_a5_spark.operators.similarity import (
+        fit_centroids_sample,
+        ivf_topk,
+        with_ivf_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    mat = fit_centroids_sample(emb, 45)
+    cents = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    celled = with_ivf_cells(emb, cents, "embedding", "__cell").persist()
+    try:
+        prebuilt = ivf_topk(
+            emb, qv, k=10, centroids=cents, n_probe=7, celled=celled
+        ).collect()
+        inline = ivf_topk(emb, qv, k=10, centroids=cents, n_probe=7).collect()
+        assert [tuple(r) for r in prebuilt] == [tuple(r) for r in inline]
+        assert len(prebuilt) == 10
+    finally:
+        celled.unpersist()
+    with pytest.raises(ValueError, match="requires the matching centroids"):
+        ivf_topk(emb, qv, k=10, n_centroids=16, celled=celled)
+
+
 def test_capped_jaccard_matches_capped_oracle_x30(spark):
     """VERDICT r6 item 2: the recommended 100 TB configuration
     (jaccard_pairs(df_cap=64)) must be ANSWER-verified, not just

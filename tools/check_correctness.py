@@ -5,7 +5,13 @@ parquet fixtures, then compares row count, sorted column names, and the
 order-insensitive multiset of stringified row values (a stricter stand-in for
 the driver's value hash: exact string equality per cell).
 
-Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+Usage:  python tools/check_correctness.py [--jobs=N] [sf_dir] [query ...]
+
+``--jobs`` (default 4) runs the per-query checks in a thread pool — Spark
+job submission is thread-safe, each check's oracle runs on its own DuckDB
+cursor, and only the two real Structured Streaming queries are held back
+to a serial tail (SERIAL_QUERIES: they scope session-global conf around
+their start() call).  ``--jobs=1`` restores strictly sequential order.
 
 ``sf_dir`` may also be ``x<N>`` or ``x<N>:<base_dir>`` (default base
 /root/testdata/sf0.01): the gate then runs on a synthetic Nx fixture set
@@ -31,8 +37,11 @@ from __future__ import annotations
 import gzip
 import hashlib
 import json
+import os
 import re
 import sys
+import tempfile
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
@@ -103,19 +112,44 @@ def _run_oracle(con, sf_dir: str, oracle_sql: str, use_cache: bool):
     canon = _canon_rows(cols, rows)
     if use_cache:
         _ORACLE_CACHE_DIR.mkdir(exist_ok=True)
-        tmp = cpath.with_suffix(".tmp")
-        with gzip.open(tmp, "wt") as f:
+        # tmp name unique PER WRITER, not per key: two registry queries can
+        # share an identical oracle SQL (dedup_ngram_jaccard and
+        # dedup_minhash_lsh lift to the same pair-set SQL), so under the
+        # --jobs pool two threads race the same cache key — with a shared
+        # tmp path the loser's replace() hits ENOENT.  Distinct tmp files +
+        # atomic replace make the race benign (identical content, last wins).
+        fd, tmp_name = tempfile.mkstemp(
+            dir=_ORACLE_CACHE_DIR, prefix=cpath.stem, suffix=".tmp"
+        )
+        with gzip.open(os.fdopen(fd, "wb"), "wt") as f:
             json.dump(
                 {"cols": cols, "types": typestrs, "n": len(rows), "canon": canon},
                 f,
             )
-        tmp.replace(cpath)
+        Path(tmp_name).replace(cpath)
     return cols, typestrs, len(rows), canon, False
 
 
+#: Queries that must run OUTSIDE the worker pool: the two real Structured
+#: Streaming runs mutate session-global conf (run_stream_to_memory scopes
+#: spark.sql.shuffle.partitions around its start() call) — a concurrent
+#: batch query could compile against the temporary value, and two streaming
+#: runs would race the save/restore itself.  Everything else in the
+#: registry is pool-safe: Spark job submission is thread-safe, DuckDB gets
+#: a cursor per check, and the one shared mutable (the materialize_release
+#: result-cache window) is lock-guarded in session.py.
+SERIAL_QUERIES = {"events_streaming_rollup", "events_streaming_interval_join"}
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    jobs = 4
+    for a in list(argv):
+        if a.startswith("--jobs="):
+            jobs = max(1, int(a.split("=", 1)[1]))
+            argv.remove(a)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     lifted: dict[str, str] = {}
     m = re.fullmatch(r"x(\d+)(?::(.*))?", sf_dir)
     if m:
@@ -156,14 +190,34 @@ def main() -> int:
     # there are safely cacheable; driver-frozen /root/testdata dirs are not
     # content-addressed and stay uncached (they're fast anyway).
     use_cache = "/tmp/bds_x" in sf_dir
-    pool = ThreadPoolExecutor(max_workers=1)  # DuckDB side, overlapped
+    oracle_pool = ThreadPoolExecutor(max_workers=max(jobs, 1))
+    print_lock = threading.Lock()
     failures = []
-    for name, qd in sorted(REGISTRY.items()):
-        if only and name not in only:
-            continue
+
+    def _kind(t: str) -> str:
+        # dtype kinds must align too (the driver checks schema, not just
+        # names): compare via arrow-ish buckets int/float/str/ts/bool
+        t = t.lower()
+        for k in ("int", "long", "short", "byte", "hugeint"):
+            if k in t:
+                return "int"
+        for k in ("double", "float", "decimal", "real"):
+            if k in t:
+                return "float"
+        if "bool" in t:
+            return "bool"
+        if "timestamp" in t or "date" in t:
+            return "temporal"
+        return "str"
+
+    def check_one(name, qd) -> None:
         oracle_sql = lifted.get(name, qd.oracle) if qd.oracle else None
+        # a cursor per check: DuckDB connections are one-thread-at-a-time;
+        # cursors share the root connection's view catalog
         duck_fut = (
-            pool.submit(_run_oracle, con, sf_dir, oracle_sql, use_cache)
+            oracle_pool.submit(
+                _run_oracle, con.cursor(), sf_dir, oracle_sql, use_cache
+            )
             if oracle_sql
             else None
         )
@@ -172,44 +226,34 @@ def main() -> int:
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
-            if duck_fut:
-                duck_fut.result()  # drain; keep the single-connection invariant
-            continue
-        if qd.oracle is None:
-            print(f"ok*   {name}: rows={len(s_rows)} (no oracle — rows-only check)")
-            if not s_rows:
+            with print_lock:
                 failures.append(name)
-                print(f"FAIL  {name}: empty result")
-            continue
+                print(f"FAIL  {name}: spark error: {e}")
+            if duck_fut:
+                duck_fut.cancel()
+            return
+        if qd.oracle is None:
+            with print_lock:
+                print(
+                    f"ok*   {name}: rows={len(s_rows)} "
+                    "(no oracle — rows-only check)"
+                )
+                if not s_rows:
+                    failures.append(name)
+                    print(f"FAIL  {name}: empty result")
+            return
         try:
             d_cols, d_typestrs, d_n, d_canon, cached = duck_fut.result()
         except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
-            continue
+            with print_lock:
+                failures.append(name)
+                print(f"FAIL  {name}: duckdb error: {e}")
+            return
 
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
         else:
-            # dtype kinds must align too (the driver checks schema, not just
-            # names): compare via arrow-ish buckets int/float/str/ts/bool
-            def _kind(t: str) -> str:
-                t = t.lower()
-                for k in ("int", "long", "short", "byte", "hugeint"):
-                    if k in t:
-                        return "int"
-                for k in ("double", "float", "decimal", "real"):
-                    if k in t:
-                        return "float"
-                if "bool" in t:
-                    return "bool"
-                if "timestamp" in t or "date" in t:
-                    return "temporal"
-                return "str"
-
             s_types = {c: _kind(t) for c, t in sdf.dtypes}
             d_types = {c: _kind(t) for c, t in zip(d_cols, d_typestrs)}
             for c in s_types:
@@ -232,13 +276,31 @@ def main() -> int:
                 )
         if len(s_rows) == 0:
             problems.append("empty result (driver wants >= 1 row)")
-        if problems:
-            failures.append(name)
-            print(f"FAIL  {name}: " + "; ".join(problems))
-        else:
-            tag = " (lifted oracle)" if name in lifted else ""
-            tag += " (cached oracle)" if cached else ""
-            print(f"ok    {name}: rows={len(s_rows)} hash-match{tag}")
+        with print_lock:
+            if problems:
+                failures.append(name)
+                print(f"FAIL  {name}: " + "; ".join(problems))
+            else:
+                tag = " (lifted oracle)" if name in lifted else ""
+                tag += " (cached oracle)" if cached else ""
+                print(f"ok    {name}: rows={len(s_rows)} hash-match{tag}")
+
+    selected = [
+        (name, qd)
+        for name, qd in sorted(REGISTRY.items())
+        if not only or name in only
+    ]
+    pooled = [(n, q) for n, q in selected if n not in SERIAL_QUERIES]
+    serial = [(n, q) for n, q in selected if n in SERIAL_QUERIES]
+    if jobs > 1 and len(pooled) > 1:
+        with ThreadPoolExecutor(max_workers=jobs) as query_pool:
+            for fut in [query_pool.submit(check_one, n, q) for n, q in pooled]:
+                fut.result()
+    else:
+        for n, q in pooled:
+            check_one(n, q)
+    for n, q in serial:
+        check_one(n, q)
 
     unknown = sorted(only - set(REGISTRY))
     if unknown:

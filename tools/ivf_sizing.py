@@ -6,18 +6,23 @@ saturation at x10; IVF had the same failure shape — a fixed 16-cell
 codebook probes n/4 vectors per query at any corpus size (a
 quarter-brute-force) — but no equivalent table.  This tool produces it:
 for corpora at x1/x10/x100 of the sf0.1 embeddings (2k/20k/200k vectors,
-the §4 rotation construction), it measures BOTH configurations
+the §4 rotation construction), it measures
 
-- fixed  n_centroids=16, n_probe=4        (the old default), and
+- fixed  n_centroids=16, n_probe=4        (the old default),
 - auto   auto_cells(n) ~ sqrt(n), auto_probe(cells) ~ cells^0.5
-  (ivf_topk's default since r7 when the parameters are omitted)
+  (ivf_topk's default since r7 when the parameters are omitted), and
+- auto with DOUBLED probes — the recall dial at constant codebook,
 
 on a Lloyd codebook (fit_centroids_sample, the production quantizer,
-sample co-sized at 64 points/centroid), recording exact-scored rows
-(corpus rows inside probed cells — the per-query work), their corpus
-share, recall@10 against brute force over held-out query vectors, and
-per-query wall.  Owns the "## 12." section of EXPERIMENTS.md (same
-splice protocol as bench_variance / skew_experiment).
+sample co-sized at 64 points/centroid).  The index BUILD (codebook fit +
+cell assignment over the corpus, with_ivf_cells) is timed separately and
+amortized: it is the write-time cost — at 100 TB the corpus is stored
+partitioned by cell — so charging it to every query (as the pre-r7
+version of this tool did) mismeasured the serving path by ~40x at the
+447-cell point.  Per-query wall is probe-rank + cell filter + exact
+scoring over a prebuilt celled corpus, the ivf_topk(celled=...) shape.
+Owns the "## 12." section of EXPERIMENTS.md (same splice protocol as
+bench_variance / skew_experiment).
 
 Usage: python tools/ivf_sizing.py
 """
@@ -92,16 +97,24 @@ def measure(spark) -> list[str]:
             i: [r.vec_id for r in brute_force_topk(emb, qv, k=10).collect()]
             for i, qv in enumerate(qvs)
         }
-        for label, cells_req, probe_req in (
-            ("fixed 16/4", 16, 4),
-            ("auto sqrt(n)", auto_cells(n), None),
+        auto_n = auto_cells(n)
+        for label, cells_req, probe_mult in (
+            ("fixed 16/4", 16, None),  # pinned 4 probes
+            ("auto sqrt(n)", auto_n, 1),
+            ("auto, 2x probes", auto_n, 2),
         ):
+            # ---- index build (write-time, amortized over all queries) ----
+            t0 = time.perf_counter()
             mat = fit_centroids_sample(emb, cells_req)
             cents = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
-            probe_n = probe_req or auto_probe(len(cents))
+            celled = with_ivf_cells(emb, cents, "embedding", "__cell").persist()
+            celled.count()  # materialize the assignment
+            t_build = time.perf_counter() - t0
+            probe_n = 4 if probe_mult is None else probe_mult * auto_probe(
+                len(cents)
+            )
             # exact-scored rows: corpus rows inside the probed cells of the
             # FIRST query (cells are query-dependent; one representative)
-            celled = with_ivf_cells(emb, cents, "embedding", "__cell")
             scored_cells = sorted(
                 ((py_cosine(qvs[0], cv), cid) for cid, cv in cents),
                 key=lambda t: (-t[0], t[1]),
@@ -119,15 +132,17 @@ def measure(spark) -> list[str]:
                         k=10,
                         centroids=cents,
                         n_probe=probe_n,
+                        celled=celled,
                     ).collect()
                 ]
                 hits += len(set(got) & set(exact[i]))
                 total += len(exact[i])
             per_q = (time.perf_counter() - t0) / len(qvs)
+            celled.unpersist()
             rows.append(
                 f"| {copies}x | {n:,} | {label} | {len(cents)} | {probe_n} | "
                 f"{scanned:,} | {scanned / n:.1%} | {hits / total:.0%} | "
-                f"{per_q:.2f} |"
+                f"{t_build:.1f} | {per_q:.2f} |"
             )
             print(rows[-1])
         emb.unpersist()
@@ -143,31 +158,46 @@ def main() -> None:
             SECTION,
             "",
             "`tools/ivf_sizing.py`: Lloyd-codebook IVF on x1/x10/x100 of",
-            "the sf0.1 embeddings (the §4 rotation construction), fixed",
+            "the sf0.1 embeddings (the §4 rotation construction): fixed",
             "(16 cells, 4 probes — the pre-r7 default) vs the",
             "corpus-tracking rule now defaulted by `ivf_topk`",
             "(`auto_cells ~ sqrt(n)`, `auto_probe ~ sqrt(cells)`,",
-            "Lloyd sample co-sized at 64 points/centroid).  'exact-scored'",
-            "is the corpus rows inside the probed cells — the per-query",
-            "work; recall@10 is against brute force over",
-            f"{N_QUERIES} held-out query vectors.  The registered gate",
-            "query `sim_ann_ivf` keeps its pinned (16, 4) seed-point",
-            "codebook so its DuckDB oracle stays bit-exact.",
+            "Lloyd sample co-sized at 64 points/centroid), plus the same",
+            "codebook at DOUBLED probes — the recall dial.  'build' is the",
+            "write-time cost paid ONCE per corpus (codebook fit + cell",
+            "assignment, with_ivf_cells — Arrow/BLAS above",
+            "IVF_SQL_MAX_CELLS=32 cells, rendered SQL below); secs/query",
+            "is the serving path over the prebuilt celled corpus",
+            "(`ivf_topk(celled=...)`: probe-rank + IN-filter + exact",
+            "scoring).  'exact-scored' is the corpus rows inside the",
+            "probed cells — the per-query work; recall@10 is against",
+            f"brute force over {N_QUERIES} held-out query vectors.  The",
+            "registered gate query `sim_ann_ivf` keeps its pinned (16, 4)",
+            "seed-point codebook on the rendered-SQL assignment so its",
+            "DuckDB oracle stays bit-exact.",
             "",
             "| corpus | n vecs | config | cells | probes | exact-scored | "
-            "% of corpus | recall@10 | secs/query |",
-            "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+            "% of corpus | recall@10 | build secs | secs/query |",
+            "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
             *rows,
             "",
             "Reading: the fixed 16-cell codebook holds its scanned share",
             "~constant (~n/4 at 4 probes) — per-query work grows linearly",
             "with the corpus, a quarter-brute-force at any scale.  The",
             "sqrt(n) rule's scanned share FALLS with n (probe_n * n /",
-            "cells ~ n^(3/4)) while recall stays in the same band, because",
-            "probing sqrt(cells) of the shrinking cells tracks the",
-            "query's true neighborhood.  Same shape as §4's planes table:",
-            "the knob must track log-or-root of n, or the structure",
-            "saturates into brute force.",
+            "cells ~ n^(3/4)), which is the whole point: at 100x it",
+            "exact-scores ~5% of the corpus instead of ~25%.  What the",
+            "falling share costs is recall — on this near-uniform rotated",
+            "corpus (the hardest case for a clustering index: true",
+            "neighbors spread across cells) recall@10 drops as the probed",
+            "share shrinks, and the dial that buys it back at unchanged",
+            "codebook and ~2x scan is n_probe (the doubled-probe rows).",
+            "Production rule: size cells by sqrt(n) for the storage",
+            "layout, then tune n_probe to the recall target — identical",
+            "in spirit to FAISS's nlist/nprobe split.  Same shape as §4's",
+            "planes table: the structural knob must track root-of-n or",
+            "the structure saturates into brute force; the per-query knob",
+            "(probes) then prices recall in scanned rows.",
         ]
     )
     path = Path(__file__).resolve().parent.parent / "EXPERIMENTS.md"
