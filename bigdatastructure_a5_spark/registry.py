@@ -54,6 +54,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # functools convention: inspect.unwrap works
         if name in REGISTRY:
             # a silent overwrite would drop a query from the driver's gate
             # (last import wins) — collisions must be loud

@@ -262,6 +262,52 @@ def test_scale_fixture_eviction_drops_stale_generations(tmp_path):
             shutil.rmtree(p, ignore_errors=True)
 
 
+def test_gate_pool_partition_is_sound():
+    """The gate's worker pool must hold back exactly the queries that
+    mutate session-global conf (the two real Structured Streaming runs
+    scope spark.sql.shuffle.partitions around start()) — and every
+    SERIAL_QUERIES member must actually exist in the registry, so the
+    serial tail can't silently go stale if a query is renamed."""
+    import check_correctness as cc
+
+    from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
+
+    import inspect
+    import re
+
+    _load_all()
+
+    def src_closure(fn) -> str:
+        """Builder source plus any same-module helpers it calls (builders
+        may delegate, e.g. events_streaming_interval_join -> the shared
+        run_error_click_stream_join flow)."""
+        mod = inspect.getmodule(fn)
+        seen, todo, out = set(), [fn], []
+        while todo:
+            f = todo.pop()
+            if f in seen:
+                continue
+            seen.add(f)
+            src = inspect.getsource(f)
+            out.append(src)
+            for called in re.findall(r"\b(\w+)\s*\(", src):
+                g = getattr(mod, called, None)
+                if callable(g) and inspect.getmodule(g) is mod:
+                    todo.append(g)
+        return "\n".join(out)
+
+    # the conf-scoping entry point is run_stream_to_memory: the serial set
+    # must be EXACTLY the registry queries whose builders route through it
+    streaming = {
+        name
+        for name, qd in REGISTRY.items()
+        if "run_stream_to_memory" in src_closure(inspect.unwrap(qd.builder))
+    }
+    assert streaming == cc.SERIAL_QUERIES, (
+        streaming ^ cc.SERIAL_QUERIES
+    )
+
+
 def test_oracle_cache_roundtrip(tmp_path, monkeypatch):
     """The x100-gate DuckDB cache (VERDICT r6 item 7) must return the
     identical (cols, types, count, canon rows) on a cache hit."""
