@@ -98,10 +98,19 @@ def measure(spark) -> list[str]:
             for i, qv in enumerate(qvs)
         }
         auto_n = auto_cells(n)
-        for label, cells_req, probe_mult in (
-            ("fixed 16/4", 16, None),  # pinned 4 probes
-            ("auto sqrt(n)", auto_n, 1),
-            ("auto, 2x probes", auto_n, 2),
+        # one index build per CODEBOOK; probe width is a per-query knob on
+        # the same structure, so the probe-dial row reuses the auto build
+        # (charging it a second build would both waste the run and print a
+        # confusingly-variant 'build secs' for identical work)
+        for cells_req, probe_cfgs in (
+            (16, [("fixed 16/4", 4)]),
+            (
+                auto_n,
+                [
+                    ("auto sqrt(n)", None),  # auto_probe of the fitted size
+                    ("auto, 2x probes", -2),  # 2x auto_probe
+                ],
+            ),
         ):
             # ---- index build (write-time, amortized over all queries) ----
             t0 = time.perf_counter()
@@ -110,41 +119,46 @@ def measure(spark) -> list[str]:
             celled = with_ivf_cells(emb, cents, "embedding", "__cell").persist()
             celled.count()  # materialize the assignment
             t_build = time.perf_counter() - t0
-            probe_n = 4 if probe_mult is None else probe_mult * auto_probe(
-                len(cents)
-            )
-            # exact-scored rows: corpus rows inside the probed cells of the
-            # FIRST query (cells are query-dependent; one representative)
-            scored_cells = sorted(
-                ((py_cosine(qvs[0], cv), cid) for cid, cv in cents),
-                key=lambda t: (-t[0], t[1]),
-            )
-            probed = [cid for _, cid in scored_cells[:probe_n]]
-            scanned = celled.filter(F.col("__cell").isin(probed)).count()
-            hits = total = 0
-            t0 = time.perf_counter()
-            for i, qv in enumerate(qvs):
-                got = [
-                    r.vec_id
-                    for r in ivf_topk(
-                        emb,
-                        qv,
-                        k=10,
-                        centroids=cents,
-                        n_probe=probe_n,
-                        celled=celled,
-                    ).collect()
-                ]
-                hits += len(set(got) & set(exact[i]))
-                total += len(exact[i])
-            per_q = (time.perf_counter() - t0) / len(qvs)
+            for label, probe_req in probe_cfgs:
+                if probe_req is None:
+                    probe_n = auto_probe(len(cents))
+                elif probe_req < 0:
+                    probe_n = -probe_req * auto_probe(len(cents))
+                else:
+                    probe_n = probe_req
+                # exact-scored rows: corpus rows inside the probed cells of
+                # the FIRST query (cells are query-dependent; representative)
+                scored_cells = sorted(
+                    ((py_cosine(qvs[0], cv), cid) for cid, cv in cents),
+                    key=lambda t: (-t[0], t[1]),
+                )
+                probed = [cid for _, cid in scored_cells[:probe_n]]
+                scanned = celled.filter(F.col("__cell").isin(probed)).count()
+                hits = total = 0
+                t0 = time.perf_counter()
+                for i, qv in enumerate(qvs):
+                    got = [
+                        r.vec_id
+                        for r in ivf_topk(
+                            emb,
+                            qv,
+                            k=10,
+                            centroids=cents,
+                            n_probe=probe_n,
+                            celled=celled,
+                        ).collect()
+                    ]
+                    hits += len(set(got) & set(exact[i]))
+                    total += len(exact[i])
+                per_q = (time.perf_counter() - t0) / len(qvs)
+                build_cell = f"{t_build:.1f}" if label != "auto, 2x probes" else "(shared)"
+                rows.append(
+                    f"| {copies}x | {n:,} | {label} | {len(cents)} | "
+                    f"{probe_n} | {scanned:,} | {scanned / n:.1%} | "
+                    f"{hits / total:.0%} | {build_cell} | {per_q:.2f} |"
+                )
+                print(rows[-1])
             celled.unpersist()
-            rows.append(
-                f"| {copies}x | {n:,} | {label} | {len(cents)} | {probe_n} | "
-                f"{scanned:,} | {scanned / n:.1%} | {hits / total:.0%} | "
-                f"{t_build:.1f} | {per_q:.2f} |"
-            )
-            print(rows[-1])
         emb.unpersist()
     return rows
 
@@ -163,7 +177,9 @@ def main() -> None:
             "corpus-tracking rule now defaulted by `ivf_topk`",
             "(`auto_cells ~ sqrt(n)`, `auto_probe ~ sqrt(cells)`,",
             "Lloyd sample co-sized at 64 points/centroid), plus the same",
-            "codebook at DOUBLED probes — the recall dial.  'build' is the",
+            "codebook at DOUBLED probes — the recall dial, which reuses",
+            "the auto build ('(shared)': probe width is a per-query knob,",
+            "not an index property).  'build' is the",
             "write-time cost paid ONCE per corpus (codebook fit + cell",
             "assignment, with_ivf_cells — Arrow/BLAS above",
             "IVF_SQL_MAX_CELLS=32 cells, rendered SQL below); secs/query",
