@@ -676,16 +676,22 @@ def _with_ivf_cells_blas(
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     degenerate = cnorm == 0.0
     scale = 1.0 / np.where(degenerate, 1.0, cnorm)
+    # codebook-sized state rides a TorrentBroadcast, not the task closure:
+    # at the production codebook (sqrt(1e9) ~ 31k cells x 128 dims) the
+    # matrix is ~32 MB — broadcast ships it once per EXECUTOR and the
+    # serialized UDF command stays metadata-sized per task
+    bc = df.sparkSession.sparkContext.broadcast((cids, cmat, scale, degenerate))
 
     @F.pandas_udf("int")
     def _cell(vecs: pd.Series) -> pd.Series:
-        mat = np.zeros((len(vecs), cmat.shape[1]), dtype=np.float64)
+        b_cids, b_cmat, b_scale, b_degen = bc.value
+        mat = np.zeros((len(vecs), b_cmat.shape[1]), dtype=np.float64)
         for i, v in enumerate(vecs):
-            if v is not None and len(v) == cmat.shape[1]:
+            if v is not None and len(v) == b_cmat.shape[1]:
                 mat[i] = v
-        scores = (mat @ cmat.T) * scale
-        scores[:, degenerate] = -np.inf
-        return pd.Series(cids[np.argmax(scores, axis=1)].astype("int32"))
+        scores = (mat @ b_cmat.T) * b_scale
+        scores[:, b_degen] = -np.inf
+        return pd.Series(b_cids[np.argmax(scores, axis=1)].astype("int32"))
 
     return df.withColumn(cell_col, _cell(F.col(vec_col)))
 
