@@ -583,14 +583,37 @@ def fit_centroids_sample(
     (FAISS recommends 30-256/centroid; fewer starves Lloyd into empty or
     single-point cells).  The sample stays codebook METADATA scale: at
     auto_cells(500k)=707 cells it is ~45k rows x 64 dims x 8 B ~ 23 MB
-    on the driver, never the corpus."""
+    on the driver, never the corpus.
+
+    The sample is a deterministic pseudo-random draw: rows whose md5 (of
+    the vector rendered as text) falls below a cutoff sized for ~1.25x
+    ``sample_rows`` — one predicate scan, layout-independent, then a
+    driver-side trim to the smallest hashes.  A bare ``limit`` was
+    partition-layout-dependent (repartition the corpus and the codebook —
+    hence every recall number downstream — silently changed), and a
+    TakeOrdered top-k by hash was measured shipping each partition's k
+    candidate VECTORS through the driver merge (~35 s at a 28k sample of
+    200k rows); the hash-range filter collects only ~the sample itself."""
     if sample_rows is None:
         sample_rows = max(1024, 64 * n_centroids)
-    sample = [
-        r[0]
-        for r in embeddings.select(vec_col).limit(sample_rows).collect()
-        if r[0] is not None
-    ]
+    nonnull = embeddings.select(vec_col).where(F.col(vec_col).isNotNull())
+    n = nonnull.count()
+    h = F.md5(F.col(vec_col).cast("string").cast("binary"))
+    # first 8 hex chars as an integer in [0, 2^32): keep below the cutoff
+    hash32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    rows: list = []
+    if n > 0:
+        frac = min(1.0, 1.25 * sample_rows / n)
+        cutoff = int(frac * 2**32)
+        rows = (
+            nonnull.withColumn("__h", hash32)
+            .where(F.col("__h") < cutoff)
+            .collect()
+        )
+        if len(rows) < min(n, sample_rows):  # binomial shortfall: widen
+            rows = nonnull.withColumn("__h", hash32).collect()
+    rows.sort(key=lambda r: r["__h"])
+    sample = [r[0] for r in rows[:sample_rows]]
     if not sample:
         raise ValueError(
             "fit_centroids_sample: corpus sample is empty (no non-NULL "
