@@ -219,11 +219,12 @@ def main() -> None:
             "with the corpus, a quarter-brute-force at any scale.  The",
             "sqrt(n) rule's scanned share FALLS with n (probe_n * n /",
             "cells ~ n^(3/4)), which is the whole point: ~5% of the corpus",
-            "at 100x and ~2.7% at 1000x (2M vectors, a 1,414-cell",
+            "at 100x and ~2.6% at 1000x (2M vectors, a 1,414-cell",
             "codebook — the regime where the assignment MUST be the",
             "Arrow/BLAS stage: a 1,414-entry literal SQL argmax does not",
-            "realistically compile, and the BLAS build lands in ~20 s,",
-            "write-time).  What the",
+            "realistically compile, and the whole build — hash-range",
+            "sample, driver Lloyd on 90k vectors, BLAS assignment over",
+            "2M — lands under 40 s, write-time).  What the",
             "falling share costs is recall — on this near-uniform rotated",
             "corpus (the hardest case for a clustering index: true",
             "neighbors spread across cells) recall@10 drops as the probed",
