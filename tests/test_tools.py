@@ -9,6 +9,8 @@ only runs inside a ~15-minute full sweep.
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from scaling_sweep import OUTPUT_QUADRATIC, SUPER_LINEAR, render  # noqa: E402
@@ -234,6 +236,37 @@ def test_read_bench_shift_discount_and_verdicts():
     bench["q0"] = 1.28 * (rows[0][4] * 1.08)
     _, rows = read_bench(bench, samples)
     assert {r[5] for r in rows if r[0] == "q0"} == {"watch"}
+
+
+def test_read_bench_cli_reads_driver_envelope():
+    """VERDICT r7 item 1: the CLI must read the driver's actual
+    BENCH_r{N}.json (queries nested under "parsed"), not just bench.py's
+    flat line — r7 shipped with a KeyError on its primary input.  Feed the
+    literal committed BENCH_r07.json and assert the judge's verdict:
+    49/50 inside-PI, 1 watch (denorm_join_elimination), 0 regressions."""
+    import json
+    import subprocess
+
+    repo = Path(__file__).resolve().parent.parent
+    bench_path = repo / "BENCH_r07.json"
+    res = subprocess.run(
+        [sys.executable, str(repo / "tools" / "read_bench.py"),
+         str(bench_path)],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "49/50 inside-PI" in res.stdout
+    assert "0 regression(s)" in res.stdout
+    assert "denorm_join_elimination" in res.stdout  # the r7 watch row
+
+    # unwrap helper accepts both shapes and rejects garbage
+    from read_bench import unwrap_bench_doc
+
+    envelope = json.loads(bench_path.read_text())
+    flat = envelope["parsed"]
+    assert unwrap_bench_doc(envelope) == unwrap_bench_doc(flat)
+    with pytest.raises(ValueError, match="parsed.queries"):
+        unwrap_bench_doc({"n": 7, "rc": 0})
 
 
 def test_scale_fixture_eviction_drops_stale_generations(tmp_path):

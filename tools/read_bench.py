@@ -23,6 +23,10 @@ share-of-total against the §8 envelope.  This tool does that arithmetic:
 
 Exit code: 0 if no REGRESSION rows, else 1.
 
+Accepts both shapes of the bench artifact: the driver's envelope
+(``{"n": .., "parsed": {"queries": {...}}}`` — what BENCH_r{N}.json files
+actually contain) and bench.py's own flat line (``{"queries": {...}}``).
+
 Usage: python tools/read_bench.py BENCH_r07.json [envelope.json]
 """
 
@@ -69,18 +73,34 @@ def read_bench(
     return shift, rows
 
 
+def unwrap_bench_doc(doc: dict) -> dict[str, float]:
+    """Extract the per-query seconds map from either bench-artifact shape.
+
+    The driver wraps bench.py's JSON line in an envelope under "parsed";
+    bench.py itself prints the flat shape with "queries" at top level.
+    """
+    inner = doc.get("parsed", doc)
+    try:
+        return inner["queries"]
+    except (TypeError, KeyError):
+        raise ValueError(
+            "bench doc has neither top-level 'queries' nor 'parsed.queries' "
+            f"(keys: {sorted(doc) if isinstance(doc, dict) else type(doc)})"
+        ) from None
+
+
 def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
-    bench_doc = json.loads(Path(sys.argv[1]).read_text())
+    bench_queries = unwrap_bench_doc(json.loads(Path(sys.argv[1]).read_text()))
     env_path = Path(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_ENVELOPE
     env = json.loads(env_path.read_text())
-    shift, rows = read_bench(bench_doc["queries"], env["samples"])
+    shift, rows = read_bench(bench_queries, env["samples"])
 
     print(
         f"uniform session shift: {shift:.3f}x "
-        f"(bench total {sum(bench_doc['queries'].values()):.2f}s vs envelope "
+        f"(bench total {sum(bench_queries.values()):.2f}s vs envelope "
         f"median total "
         f"{sum(statistics.median(v) for v in env['samples'].values()):.2f}s)"
     )
@@ -97,7 +117,7 @@ def main() -> int:
     n_in = sum(1 for r in rows if r[5] == "inside-PI")
     print(f"\n{n_in}/{len(rows)} inside-PI after shift discount; "
           f"{flagged} regression(s)")
-    missing = sorted(set(bench_doc["queries"]) - set(env["samples"]))
+    missing = sorted(set(bench_queries) - set(env["samples"]))
     if missing:
         print(f"note: no envelope for {missing} (new queries?) — unverdicted")
     return 1 if flagged else 0
