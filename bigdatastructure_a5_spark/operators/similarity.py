@@ -585,40 +585,60 @@ def fit_centroids_sample(
     auto_cells(500k)=707 cells it is ~45k rows x 64 dims x 8 B ~ 23 MB
     on the driver, never the corpus.
 
-    The sample is a deterministic pseudo-random draw: rows whose md5 (of
-    the vector rendered as text) falls below a cutoff sized for ~1.25x
-    ``sample_rows`` — one predicate scan, layout-independent, then a
-    driver-side trim to the smallest hashes.  A bare ``limit`` was
-    partition-layout-dependent (repartition the corpus and the codebook —
-    hence every recall number downstream — silently changed), and a
-    TakeOrdered top-k by hash was measured shipping each partition's k
-    candidate VECTORS through the driver merge (~35 s at a 28k sample of
-    200k rows); the hash-range filter collects only ~the sample itself."""
+    The sample is a deterministic pseudo-random draw over DISTINCT vectors:
+    rows whose md5 (of the vector rendered as text) falls below a cutoff
+    sized for ~1.25x ``sample_rows``, deduplicated on the digest (exact
+    duplicates share one md5, so each distinct vector is ONE candidate —
+    Lloyd trains unweighted on distinct points; on a duplicate-heavy corpus
+    the old per-row draw collapsed to ~sample_rows/dup distinct training
+    points, starving the fit), ordered by the FULL 128-bit digest (32-bit
+    prefix ties were broken by collect order, a residual layout
+    dependence), and capped with ``limit(sample_rows)`` so the driver
+    collect is ALWAYS <= sample_rows rows.  A binomial/duplication
+    shortfall widens the cutoff by stepped doublings (2x, 4x, ...) up to
+    the full hash range — never a collect of the whole corpus (the old
+    fallback materialized all n rows on the driver; at 1e9 vectors that is
+    catastrophic, and duplicate lumping made it LIKELIER exactly on dedup
+    corpora).  A bare ``limit`` was partition-layout-dependent (repartition
+    the corpus and the codebook — hence every recall number downstream —
+    silently changed), and an unfiltered TakeOrdered top-k by hash was
+    measured shipping each partition's k candidate VECTORS through the
+    driver merge (~35 s at a 28k sample of 200k rows); the hash-range
+    filter keeps each step's ordered-limit collect at ~the sample itself."""
     if sample_rows is None:
         sample_rows = max(1024, 64 * n_centroids)
     nonnull = embeddings.select(vec_col).where(F.col(vec_col).isNotNull())
     n = nonnull.count()
-    h = F.md5(F.col(vec_col).cast("string").cast("binary"))
-    # first 8 hex chars as an integer in [0, 2^32): keep below the cutoff
-    hash32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
-    rows: list = []
-    if n > 0:
-        frac = min(1.0, 1.25 * sample_rows / n)
-        cutoff = int(frac * 2**32)
-        rows = (
-            nonnull.withColumn("__h", hash32)
-            .where(F.col("__h") < cutoff)
-            .collect()
-        )
-        if len(rows) < min(n, sample_rows):  # binomial shortfall: widen
-            rows = nonnull.withColumn("__h", hash32).collect()
-    rows.sort(key=lambda r: r["__h"])
-    sample = [r[0] for r in rows[:sample_rows]]
-    if not sample:
+    if n == 0:
         raise ValueError(
             "fit_centroids_sample: corpus sample is empty (no non-NULL "
             f"{vec_col!r} rows) — cannot fit a codebook"
         )
+    h = F.md5(F.col(vec_col).cast("string").cast("binary"))
+    # first 8 hex chars as an integer in [0, 2^32) for the range predicate;
+    # hex-lexicographic order of the full digest refines the prefix order
+    hash32 = F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("bigint")
+    hashed = nonnull.withColumn("__h", h).withColumn("__h32", hash32)
+    frac = min(1.0, 1.25 * sample_rows / n)
+    sample: list = []
+    widened = 0.0
+    step = 0
+    while widened < 1.0:
+        widened = min(1.0, frac * 2**step)
+        step += 1
+        rows = (
+            hashed.where(F.col("__h32") < int(widened * 2**32))
+            # one candidate per DISTINCT vector; all rows of a digest group
+            # carry the identical vector, so the kept representative is
+            # value-deterministic
+            .dropDuplicates(["__h"])
+            .orderBy("__h")
+            .limit(sample_rows)
+            .collect()
+        )
+        sample = [r[0] for r in rows]
+        if len(sample) >= sample_rows:
+            break
     x = np.asarray(sample, dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1), 1e-12)[:, None]
     rng = np.random.RandomState(seed)
