@@ -270,29 +270,80 @@ def test_read_bench_cli_reads_driver_envelope():
 
 
 def test_scale_fixture_eviction_drops_stale_generations(tmp_path):
-    """VERDICT r6 item 8: cached xN dirs whose construction hash no longer
-    matches HEAD must be evicted so a hand-typed stale path can't
-    validate against an old construction."""
+    """VERDICT r6 item 8 + ADVICE r7: cached xN dirs whose construction
+    hash no longer matches HEAD must be evicted so a hand-typed stale path
+    can't validate against an old construction — but only once older than
+    the age guard, so a concurrent gate from an older checkout can't have
+    its fixture rmtree'd mid-read."""
+    import os
+    import time
     from pathlib import Path
 
-    from scale_fixtures import _evict_stale
+    from scale_fixtures import _EVICT_MIN_AGE_SECS, _evict_stale
 
     stale = Path("/tmp/bds_x7_sfTEST_000000000bad")
+    recent = Path("/tmp/bds_x7_sfTEST_00000000feed")
     live = Path("/tmp/bds_x7_sfTEST_000000001234")
     other_scale = Path("/tmp/bds_x8_sfTEST_000000000bad")
-    for p in (stale, live, other_scale):
+    for p in (stale, recent, live, other_scale):
         p.mkdir(exist_ok=True)
         (p / "_COMPLETE").write_text("ok\n")
+    old = time.time() - _EVICT_MIN_AGE_SECS - 60
+    os.utime(stale / "_COMPLETE", (old, old))
     try:
         _evict_stale(7, "sfTEST", "000000001234")
-        assert not stale.exists(), "stale generation survived eviction"
+        assert not stale.exists(), "aged stale generation survived eviction"
+        assert recent.exists(), (
+            "recently-touched stale generation (possibly in use by a "
+            "concurrent run) must be skipped"
+        )
         assert live.exists(), "live generation must not be evicted"
         assert other_scale.exists(), "other copy-counts are out of scope"
     finally:
         import shutil
 
-        for p in (stale, live, other_scale):
+        for p in (stale, recent, live, other_scale):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_spill_run_case_records_timeout(monkeypatch):
+    """ADVICE r7: a hung constrained-heap child (the exact pathology the
+    spill experiment probes) must land as a TIMEOUT status row through the
+    normal retry path, not abort the whole run with an uncaught
+    TimeoutExpired and lose every previously measured row."""
+    import subprocess
+
+    import spill_experiment as se
+
+    calls = []
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 3600))
+
+    monkeypatch.setattr(se.subprocess, "run", fake_run)
+    out = se.run_case("some_query", "/tmp/sf", "2g", 4, None)
+    assert out["status"] == "TIMEOUT (3600s) x2"
+    assert out["rows"] == -1
+    assert len(calls) == 2  # both attempts made, neither raised out
+
+
+def test_oracle_cache_key_includes_schema_version(monkeypatch):
+    """ADVICE r7: cached oracle entries store POST-canonicalization rows,
+    so the cache key must change when _canon_rows (or DuckDB's rendering)
+    changes — otherwise stale /tmp entries produce spurious verdicts."""
+    import check_correctness as cc
+
+    p1 = cc._oracle_cache_path("/some/dir", "select 1")
+    monkeypatch.setattr(cc, "_CACHE_SCHEMA_VERSION", "a-different-version")
+    p2 = cc._oracle_cache_path("/some/dir", "select 1")
+    assert p1 != p2
+    # and the version itself is derived from duckdb + the canonicalizer
+    import duckdb
+
+    v1 = cc._cache_schema_version()
+    monkeypatch.setattr(duckdb, "__version__", "999.0.0-fake")
+    assert cc._cache_schema_version() != v1
 
 
 def test_gate_pool_partition_is_sound():

@@ -93,8 +93,27 @@ PAIR_ORACLE_QUERIES = {
 _ORACLE_CACHE_DIR = Path("/tmp/bds_oracle_cache")
 
 
+def _cache_schema_version() -> str:
+    """Version tag folded into every cache key (ADVICE r7): entries store
+    POST-canonicalization rows, so a change to _canon_rows — or a DuckDB
+    upgrade that changes value rendering — must invalidate them, else stale
+    /tmp entries get compared against freshly-canonicalized Spark rows and
+    produce spurious verdicts with no hint the cache is the cause."""
+    import inspect
+
+    src = inspect.getsource(_canon_rows)
+    return hashlib.sha256(
+        f"{duckdb.__version__}\x00{src}".encode()
+    ).hexdigest()[:12]
+
+
+_CACHE_SCHEMA_VERSION = _cache_schema_version()
+
+
 def _oracle_cache_path(sf_dir: str, oracle_sql: str) -> Path:
-    key = hashlib.sha256(f"{sf_dir}\x00{oracle_sql}".encode()).hexdigest()[:24]
+    key = hashlib.sha256(
+        f"{_CACHE_SCHEMA_VERSION}\x00{sf_dir}\x00{oracle_sql}".encode()
+    ).hexdigest()[:24]
     return _ORACLE_CACHE_DIR / f"{key}.json.gz"
 
 

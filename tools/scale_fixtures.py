@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import sys
 from pathlib import Path
 
 import pyarrow as pa
@@ -93,18 +94,42 @@ def _rotate_lists(col: pa.ChunkedArray, k: int) -> pa.Array:
     return pa.array(out, type=col.type)
 
 
+#: Stale generations younger than this are left alone (ADVICE r7): a
+#: concurrently running gate from an older checkout may still be reading
+#: its fixture — unconditional rmtree would delete it mid-read and fail
+#: that run confusingly.  Reuse touches the _COMPLETE marker, so "recent"
+#: means "recently built OR recently picked up by a run"; a full pooled
+#: gate finishes in well under this window.
+_EVICT_MIN_AGE_SECS = 2 * 3600
+
+
 def _evict_stale(copies: int, base_name: str, live_tag: str) -> None:
     """Drop cached builds of this (copies, base) whose construction hash no
     longer matches HEAD (VERDICT r6 item 8): a stale generation left on
     disk could otherwise be picked up by a hand-typed path and silently
-    validate against an old construction."""
+    validate against an old construction.  Generations touched within
+    _EVICT_MIN_AGE_SECS are skipped (possibly in use by a concurrent run);
+    evictions are logged."""
     import re
     import shutil
+    import time
 
     pat = re.compile(rf"^bds_x{copies}_{re.escape(base_name)}_[0-9a-f]{{12}}$")
+    now = time.time()
     for p in Path("/tmp").glob(f"bds_x{copies}_{base_name}_*"):
-        if pat.match(p.name) and not p.name.endswith(live_tag):
-            shutil.rmtree(p, ignore_errors=True)
+        if not pat.match(p.name) or p.name.endswith(live_tag):
+            continue
+        try:
+            marker_mtime = (p / "_COMPLETE").stat().st_mtime
+        except OSError:  # no marker: half-built leftover, dir mtime decides
+            marker_mtime = p.stat().st_mtime if p.exists() else 0.0
+        if now - marker_mtime < _EVICT_MIN_AGE_SECS:
+            print(f"scale_fixtures: stale generation {p.name} is recent "
+                  "(possibly in use) — skipping eviction", file=sys.stderr)
+            continue
+        print(f"scale_fixtures: evicting stale generation {p.name}",
+              file=sys.stderr)
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def ensure_x10(base_dir: str, copies: int = 10) -> str:
@@ -114,6 +139,10 @@ def ensure_x10(base_dir: str, copies: int = 10) -> str:
     final_dir = Path(f"/tmp/bds_x{copies}_{Path(base_dir).name}_{tag}")
     marker = final_dir / "_COMPLETE"
     if marker.exists():
+        # freshen the marker: reuse counts as "in use" for the eviction
+        # age guard, so a long chain of gate runs on an old checkout keeps
+        # its generation alive while it is actively read
+        os.utime(marker)
         return str(final_dir)
     # build into a process-private staging dir, then atomically rename:
     # two concurrent gate runs can both build, but neither ever reads a

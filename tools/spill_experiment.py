@@ -171,9 +171,18 @@ def run_case(
     last_status = "?"
     saw_oom = False
     for attempt in (1, 2):
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=3600, cwd=str(REPO)
-        )
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3600,
+                cwd=str(REPO),
+            )
+        except subprocess.TimeoutExpired:
+            # a hung constrained-heap child is exactly the pathology this
+            # experiment probes — record it through the same retry/row path
+            # instead of aborting the whole run and losing measured rows
+            # (subprocess.run already killed the child before raising)
+            last_status = "TIMEOUT (3600s)"
+            continue
         for line in proc.stdout.splitlines():
             if line.startswith("SPILL_RESULT "):
                 out = json.loads(line[len("SPILL_RESULT "):])
