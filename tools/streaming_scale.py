@@ -141,10 +141,13 @@ def main() -> None:
             "(HDFSBackedStateStore) provider, rows/s = input rows over",
             "the whole run wall (cold session, includes planning +",
             "checkpoint setup — a per-run floor of a few seconds, not a",
-            "steady-state throughput).  The rollup runs 2 microbatches",
-            "(data + AvailableNow's watermark-finalize); the inner",
-            "interval join runs single_batch (its finalize provably",
-            "emits nothing).",
+            "steady-state throughput).  Both queries complete in ONE data",
+            "microbatch: the rollup runs in complete output mode (every",
+            "window re-emitted per batch, so no watermark-finalize batch",
+            "is needed), and the inner interval join runs single_batch",
+            "(its finalize provably emits nothing).  The join's input",
+            "rows are 2x the fixture: the file source is read once per",
+            "stream side (errors + clicks).",
             "",
             "| corpus | query | batch | input rows | state rows | "
             "state MB | batch secs | out rows | rows/s (run) |",
