@@ -346,6 +346,59 @@ def test_oracle_cache_key_includes_schema_version(monkeypatch):
     assert cc._cache_schema_version() != v1
 
 
+def test_streaming_scale_summarize_progress():
+    """§13's table folds raw StreamingQueryProgress dicts; the r7 lesson
+    (read_bench's CLI shipped broken on its primary input) says pin the
+    consuming shape: multi-operator batches sum state rows/bytes, missing
+    metrics default to 0, peak is across batches."""
+    from streaming_scale import summarize_progress
+
+    caps = [
+        (
+            "sink_a",
+            [
+                {
+                    "batchId": 0,
+                    "numInputRows": 100,
+                    "durationMs": {"triggerExecution": 1500},
+                    "stateOperators": [
+                        {"numRowsTotal": 10, "memoryUsedBytes": 1000},
+                        {"numRowsTotal": 5, "memoryUsedBytes": 500},
+                    ],
+                },
+                {"batchId": 1, "numInputRows": 0},  # finalize: no state ops
+            ],
+        )
+    ]
+    r = summarize_progress("q", caps, wall=2.0, out_rows=7)
+    assert r["input_rows"] == 100
+    assert r["rows_per_sec"] == 50.0
+    assert [b["state_rows"] for b in r["batches"]] == [15, 0]
+    assert [b["state_bytes"] for b in r["batches"]] == [1500, 0]
+    assert r["batches"][0]["batch_ms"] == 1500
+    assert r["batches"][1]["batch_ms"] is None
+    assert r["peak_state_rows"] == 15
+    assert r["peak_state_bytes"] == 1500
+
+
+def test_ivf_sizing_jitter_breaks_exact_duplicates(spark):
+    """VERDICT r7 item 4 plumbing: above the dim=64 rotation period the
+    pure xN construction yields exact duplicates; the hash-seeded jitter
+    must make every vector distinct (deterministically) while an
+    unjittered build reproduces the duplicate degeneracy."""
+    from ivf_sizing import scaled_embeddings
+
+    copies = 130  # > 2 full rotation periods of dim 64
+    jittered = scaled_embeddings(spark, copies, jitter=0.03)
+    base_n = jittered.count()
+    assert jittered.select("embedding").distinct().count() == base_n
+    # determinism: same construction twice -> identical corpus
+    again = scaled_embeddings(spark, copies, jitter=0.03)
+    assert jittered.exceptAll(again).count() == 0
+    plain = scaled_embeddings(spark, copies, jitter=0.0)
+    assert plain.select("embedding").distinct().count() < base_n
+
+
 def test_gate_pool_partition_is_sound():
     """The gate's worker pool must hold back exactly the queries that
     mutate session-global conf (the two real Structured Streaming runs

@@ -38,24 +38,14 @@ BASE = "/root/testdata/sf0.01"
 QUERIES = ("events_streaming_rollup", "events_streaming_interval_join")
 
 
-def run_one(spark, query: str, sf_dir: str) -> dict:
-    """Run one streaming gate query over ``sf_dir``; -> summary dict with
-    per-microbatch stateOperators metrics from the query's own progress."""
-    import bigdatastructure_a5_spark.streaming.events as _stream_events
-    from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
-
-    _load_all()
-    caps: list[tuple[str, list[dict]]] = []
-    _stream_events.STREAMING_OBSERVER = lambda sink, progress: caps.append(
-        (sink, progress)
-    )
-    t0 = time.perf_counter()
-    try:
-        df = REGISTRY[query].builder(spark, sf_dir)
-        out_rows = df.count()
-    finally:
-        _stream_events.STREAMING_OBSERVER = None
-    wall = time.perf_counter() - t0
+def summarize_progress(
+    query: str, caps: list[tuple[str, list[dict]]], wall: float, out_rows: int
+) -> dict:
+    """Fold captured per-microbatch StreamingQueryProgress dicts into the
+    summary the table renders.  Pure (testable without Spark): the input is
+    exactly what STREAMING_OBSERVER receives — (sink name, recentProgress
+    list) pairs, each progress a dict with numInputRows / durationMs /
+    stateOperators (numRowsTotal, memoryUsedBytes)."""
     batches = []
     input_rows = 0
     for _sink, progress in caps:
@@ -91,6 +81,27 @@ def run_one(spark, query: str, sf_dir: str) -> dict:
             (b["state_bytes"] for b in batches), default=0
         ),
     }
+
+
+def run_one(spark, query: str, sf_dir: str) -> dict:
+    """Run one streaming gate query over ``sf_dir``; -> summary dict with
+    per-microbatch stateOperators metrics from the query's own progress."""
+    import bigdatastructure_a5_spark.streaming.events as _stream_events
+    from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    caps: list[tuple[str, list[dict]]] = []
+    _stream_events.STREAMING_OBSERVER = lambda sink, progress: caps.append(
+        (sink, progress)
+    )
+    t0 = time.perf_counter()
+    try:
+        df = REGISTRY[query].builder(spark, sf_dir)
+        out_rows = df.count()
+    finally:
+        _stream_events.STREAMING_OBSERVER = None
+    wall = time.perf_counter() - t0
+    return summarize_progress(query, caps, wall, out_rows)
 
 
 def measure(spark, copy_points) -> list[str]:
