@@ -1,0 +1,279 @@
+"""Product quantization (PQ) for embedding columns: train, encode, ADC rank.
+
+The ANN family's memory-scale path.  IVF (operators/similarity.py) prunes
+WHICH rows a probe scans; PQ compresses WHAT each row stores: a
+``dim``-float vector (64 x 8 B = 512 B here; 768 x 4 B = 3 KB for a
+typical text embedding) becomes ``m`` codebook indices (8 small ints —
+~8 B bit-packed in parquet), a 30-100x footprint cut that is the
+difference between "the corpus fits in the page cache / executor memory"
+and "every probe is a disk scan" at 10^9+ vectors.  Public-knowledge
+design: Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011) — the FAISS IVF-PQ shape.  The reference repo has no
+PQ operator (its ANN surface stops at exact scoring,
+reference: challenge/simulator.py scan costing); this extends the build
+brief's similarity-search mandate the same way IVF does.
+
+Spark-first split, mirroring the IVF design one file over:
+
+- TRAIN (driver, sample-sized): ``fit_pq_codebook`` — m independent
+  k-means fits on the sub-slices of the shared bounded sample draw
+  (similarity.sample_vectors: distinct vectors, hash-ordered, every
+  collect <= sample_rows).
+- ENCODE (distributed, write-time): ``with_pq_codes`` — one Arrow batch
+  x (m x n_codes) BLAS distance per sub-slice, codebook rides a
+  TorrentBroadcast.  Codes are an ``array<int>`` column: parquet
+  bit-packs values < 256 to ~1 B each, so the stored footprint is the
+  claimed m-ish bytes without a custom binary packing (measured in
+  EXPERIMENTS §14).
+- SERVE (distributed, per query): ``pq_adc_topk`` — asymmetric distance
+  computation: the query is NOT quantized; a (m x n_codes) look-up table
+  of exact sub-inner-products is built driver-side (codebook metadata,
+  like IVF's probe ranking) and the score is a pure Catalyst fold over
+  the code array — ZERO Python in the serving path below
+  PQ_SQL_MAX_LUT entries, the same rendered-SQL-vs-Arrow split as
+  with_ivf_cells.  An optional exact re-rank over the ADC top
+  candidates (``refine``) recovers exact-ordering quality at
+  candidates/corpus cost, the standard FAISS refine stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd  # noqa: F401  (pandas_udf resolves annotations here)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, double_array_lit
+from .similarity import sample_vectors
+
+#: LUT entries (m * n_codes) above which pq_adc_topk switches the score
+#: fold from a rendered-SQL literal to the Arrow/BLAS gather stage — the
+#: same codegen-budget reasoning as similarity.IVF_SQL_MAX_CELLS: the
+#: default 8x256 LUT is 2048 double literals (fine); a 64x4096 production
+#: LUT would not realistically compile as an expression.
+PQ_SQL_MAX_LUT = 4096
+
+
+def fit_pq_codebook(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_rows: int | None = None,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Train a product-quantizer codebook: split ``dim`` into ``m``
+    contiguous sub-vectors and k-means each sub-space to ``n_codes``
+    centroids on the shared driver-side sample (sample_vectors: bounded,
+    deterministic, duplicate-invariant).  -> array (m, k, dim//m) with
+    k = min(n_codes, sample size); sub-quantizer j encodes slice
+    ``[j*dsub, (j+1)*dsub)``.
+
+    ``sample_rows=None`` co-sizes the sample at ``max(1024, 64*n_codes)``
+    (~64 training points per code, shared across all m sub-quantizers —
+    they train on different COLUMNS of the same rows).  Training is on RAW
+    (un-normalized) vectors: ADC approximates the inner product, and the
+    fixture corpus is unit-norm so IP == cosine; for an un-normalized
+    corpus, normalize upstream if cosine (not IP) is the target metric."""
+    if m < 1:
+        raise ValueError(f"fit_pq_codebook: m must be >= 1, got {m}")
+    if sample_rows is None:
+        sample_rows = max(1024, 64 * n_codes)
+    x = sample_vectors(embeddings, sample_rows, vec_col=vec_col)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(
+            f"fit_pq_codebook: dim {dim} is not divisible into m={m} "
+            "sub-vectors"
+        )
+    dsub = dim // m
+    k = min(n_codes, len(x))
+    book = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        rng = np.random.RandomState(seed + j)  # decorrelate sub-space seeds
+        cent = sub[rng.choice(len(sub), size=k, replace=False)]
+        for _ in range(iters):
+            # L2 argmin via the expansion trick: |s-c|^2 = |s|^2 - 2 s.c +
+            # |c|^2; |s|^2 is constant per row, so argmin over c drops it
+            d2 = -2.0 * (sub @ cent.T) + (cent * cent).sum(axis=1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        book[j] = cent
+    return book
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebook: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode ``vec_col`` to PQ codes: per Arrow batch, one
+    (batch x dsub) @ (dsub x k) BLAS distance per sub-quantizer, argmin
+    per row — the write-time stage of the PQ pipeline (at 100 TB the
+    codes column is what gets stored and served; the raw vector column is
+    dropped or kept only for a refine tier).  Codebook rides a
+    TorrentBroadcast like the IVF assignment's.  NULL or wrong-length
+    vectors encode to NULL (they rank nowhere downstream, matching the
+    NULL-cosine convention)."""
+    book = np.ascontiguousarray(codebook, dtype=np.float64)
+    # precompute |c|^2 per sub-quantizer for the expansion-trick distance
+    cnorm2 = (book * book).sum(axis=2)  # (m, k)
+    bc = df.sparkSession.sparkContext.broadcast((book, cnorm2))
+
+    @F.pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        b_book, b_cnorm2 = bc.value
+        mm, kk, dd = b_book.shape
+        valid = np.zeros(len(vecs), dtype=bool)
+        mat = np.zeros((len(vecs), mm * dd), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == mm * dd:
+                mat[i] = v
+                valid[i] = True
+        codes = np.empty((len(vecs), mm), dtype=np.int64)
+        for j in range(mm):
+            sub = mat[:, j * dd : (j + 1) * dd]
+            d2 = -2.0 * (sub @ b_book[j].T) + b_cnorm2[j]
+            codes[:, j] = np.argmin(d2, axis=1)
+        out = [
+            [int(c) for c in codes[i]] if valid[i] else None
+            for i in range(len(vecs))
+        ]
+        return pd.Series(out)
+
+    return df.withColumn(code_col, _encode(F.col(vec_col)))
+
+
+def adc_lut(codebook: np.ndarray, query_vec: list[float]) -> np.ndarray:
+    """Asymmetric-distance look-up table: LUT[j][c] = <q_j, codebook[j,c]>
+    (exact sub-inner-products of the UNquantized query).  sum_j LUT[j,
+    code_j] approximates <q, v> with only the corpus side quantized —
+    codebook-metadata-sized driver work, like IVF's probe ranking."""
+    book = np.asarray(codebook, dtype=np.float64)
+    m, k, dsub = book.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(
+            f"adc_lut: query dim {q.shape[0]} != codebook dim {m * dsub}"
+        )
+    return np.stack([book[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)])
+
+
+def _adc_score_sql(lut: np.ndarray, code_col: str) -> str:
+    """Rendered-SQL ADC fold: element_at into a literal (m x k) LUT,
+    summed — stays inside whole-stage codegen, zero Python stages."""
+    rows = ",".join(
+        "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
+        for row in lut
+    )
+    return (
+        f"aggregate(zip_with(`{code_col}`, sequence(1, {lut.shape[0]}), "
+        f"(c, j) -> element_at(element_at(array({rows}), j), c + 1)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebook: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    refine: str | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Approximate top-k by ADC score over a PQ-coded corpus.  The scan
+    reads only (id, codes) — the compressed representation — and the score
+    is a Catalyst fold over the code array when the LUT fits the rendered-
+    SQL budget (m*k <= PQ_SQL_MAX_LUT), else an Arrow gather stage with
+    the LUT broadcast.  Output: (id_col, adc_ip [, cosine if refined]).
+
+    ``refine``: name of a raw-vector column present in ``codes_df`` —
+    re-rank the ``refine_factor * k`` best ADC candidates by EXACT cosine
+    (the FAISS refine tier).  The exact scorer touches only
+    refine_factor*k rows, so its cost is independent of corpus size."""
+    lut = adc_lut(codebook, query_vec)
+    m, n_codes = lut.shape
+    if m * n_codes <= PQ_SQL_MAX_LUT:
+        scored = codes_df.where(F.col(code_col).isNotNull()).withColumn(
+            "adc_ip", F.expr(_adc_score_sql(lut, code_col))
+        )
+    else:
+        bc = codes_df.sparkSession.sparkContext.broadcast(lut)
+
+        @F.pandas_udf("double")
+        def _adc(codes: pd.Series) -> pd.Series:
+            b_lut = bc.value
+            mm = b_lut.shape[0]
+            arr = np.stack(codes.to_numpy())  # (batch, m), no NULLs here
+            return pd.Series(b_lut[np.arange(mm), arr].sum(axis=1))
+
+        scored = codes_df.where(F.col(code_col).isNotNull()).withColumn(
+            "adc_ip", _adc(F.col(code_col))
+        )
+    cand_k = k if refine is None else max(k, refine_factor * k)
+    top = (
+        scored.select(id_col, "adc_ip", *([refine] if refine else []))
+        .orderBy(F.col("adc_ip").desc(), F.col(id_col))
+        .limit(cand_k)
+    )
+    if refine is None:
+        return top
+    q = double_array_lit([float(v) for v in query_vec])
+    return (
+        top.select(
+            F.col(id_col),
+            F.col("adc_ip"),
+            cosine_similarity(F.col(refine), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+        .filter(F.col("cosine").isNotNull())
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+    )
+
+
+def ivf_pq_topk(
+    celled_codes: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebook: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    cell_col: str = "__cell",
+    code_col: str = "pq_code",
+    refine: str | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ serving: probe the ``n_probe`` nearest cells of a corpus that
+    carries BOTH a write-time IVF cell column (with_ivf_cells, ideally the
+    partitionBy(cell) stored layout so the filter prunes at the source)
+    and a write-time PQ code column (with_pq_codes), then ADC-rank only
+    the probed rows — the FAISS IVFPQ composition: IVF bounds rows
+    SCANNED, PQ bounds bytes PER ROW, so a probe reads
+    n/cells*n_probe rows x ~m bytes instead of n x dim floats."""
+    from .similarity import py_cosine
+
+    scored = [(py_cosine(query_vec, cvec), cid) for cid, cvec in centroids]
+    ranked = sorted(
+        ((c, cid) for c, cid in scored if c == c), key=lambda t: (-t[0], t[1])
+    )
+    probe = [cid for _, cid in ranked[:n_probe]]
+    return pq_adc_topk(
+        celled_codes.filter(F.col(cell_col).isin(probe)),
+        codebook,
+        query_vec,
+        k=k,
+        id_col=id_col,
+        code_col=code_col,
+        refine=refine,
+        refine_factor=refine_factor,
+    )

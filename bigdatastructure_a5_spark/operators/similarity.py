@@ -566,6 +566,53 @@ def ann_lsh_topk(
     )
 
 
+def sample_vectors(
+    embeddings: DataFrame, sample_rows: int, vec_col: str = "embedding"
+) -> np.ndarray:
+    """Bounded, deterministic, layout-independent driver-side sample of
+    DISTINCT vectors — the shared training-draw for every sampled quantizer
+    (IVF's fit_centroids_sample, PQ's fit_pq_codebook).  Mechanics and the
+    scale/duplication rationale are documented on fit_centroids_sample
+    (whose contract this implements); the guarantees are: every collect
+    returns <= sample_rows rows, exact-duplicate vectors contribute ONE
+    candidate, ordering is by the full 128-bit md5 digest (no tie
+    ambiguity), and a shortfall widens by stepped cutoff doublings up to
+    the full hash range — never a collect of the whole corpus."""
+    nonnull = embeddings.select(vec_col).where(F.col(vec_col).isNotNull())
+    n = nonnull.count()
+    if n == 0:
+        raise ValueError(
+            "sample_vectors: corpus sample is empty (no non-NULL "
+            f"{vec_col!r} rows) — cannot fit a codebook"
+        )
+    h = F.md5(F.col(vec_col).cast("string").cast("binary"))
+    # first 8 hex chars as an integer in [0, 2^32) for the range predicate;
+    # hex-lexicographic order of the full digest refines the prefix order
+    hash32 = F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("bigint")
+    hashed = nonnull.withColumn("__h", h).withColumn("__h32", hash32)
+    frac = min(1.0, 1.25 * sample_rows / n)
+    sample: list = []
+    widened = 0.0
+    step = 0
+    while widened < 1.0:
+        widened = min(1.0, frac * 2**step)
+        step += 1
+        rows = (
+            hashed.where(F.col("__h32") < int(widened * 2**32))
+            # one candidate per DISTINCT vector; all rows of a digest group
+            # carry the identical vector, so the kept representative is
+            # value-deterministic
+            .dropDuplicates(["__h"])
+            .orderBy("__h")
+            .limit(sample_rows)
+            .collect()
+        )
+        sample = [r[0] for r in rows]
+        if len(sample) >= sample_rows:
+            break
+    return np.asarray(sample, dtype=np.float64)
+
+
 def fit_centroids_sample(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -607,39 +654,7 @@ def fit_centroids_sample(
     filter keeps each step's ordered-limit collect at ~the sample itself."""
     if sample_rows is None:
         sample_rows = max(1024, 64 * n_centroids)
-    nonnull = embeddings.select(vec_col).where(F.col(vec_col).isNotNull())
-    n = nonnull.count()
-    if n == 0:
-        raise ValueError(
-            "fit_centroids_sample: corpus sample is empty (no non-NULL "
-            f"{vec_col!r} rows) — cannot fit a codebook"
-        )
-    h = F.md5(F.col(vec_col).cast("string").cast("binary"))
-    # first 8 hex chars as an integer in [0, 2^32) for the range predicate;
-    # hex-lexicographic order of the full digest refines the prefix order
-    hash32 = F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("bigint")
-    hashed = nonnull.withColumn("__h", h).withColumn("__h32", hash32)
-    frac = min(1.0, 1.25 * sample_rows / n)
-    sample: list = []
-    widened = 0.0
-    step = 0
-    while widened < 1.0:
-        widened = min(1.0, frac * 2**step)
-        step += 1
-        rows = (
-            hashed.where(F.col("__h32") < int(widened * 2**32))
-            # one candidate per DISTINCT vector; all rows of a digest group
-            # carry the identical vector, so the kept representative is
-            # value-deterministic
-            .dropDuplicates(["__h"])
-            .orderBy("__h")
-            .limit(sample_rows)
-            .collect()
-        )
-        sample = [r[0] for r in rows]
-        if len(sample) >= sample_rows:
-            break
-    x = np.asarray(sample, dtype=np.float64)
+    x = sample_vectors(embeddings, sample_rows, vec_col=vec_col)
     x /= np.maximum(np.linalg.norm(x, axis=1), 1e-12)[:, None]
     rng = np.random.RandomState(seed)
     # a corpus smaller than the requested codebook yields fewer centroids

@@ -1,0 +1,187 @@
+"""Product quantization: train / encode / ADC serve / IVF-PQ composition.
+
+Mirrors the IVF test strategy (test_dedup_similarity.py): recall floors
+against brute force on the real fixture, plan-shape pins for the
+zero-Python SQL serving path, determinism, and NULL handling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.catalog import load_table
+from bigdatastructure_a5_spark.operators.quantization import (
+    PQ_SQL_MAX_LUT,
+    adc_lut,
+    fit_pq_codebook,
+    ivf_pq_topk,
+    pq_adc_topk,
+    with_pq_codes,
+)
+from bigdatastructure_a5_spark.operators.similarity import brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def pq_book(emb):
+    # 64 codes (not 256): the sf fixture has ~2k distinct vectors, and 64
+    # keeps >= 30 training points per code (the FAISS floor); m=16 (4-dim
+    # sub-vectors) because a near-uniform unit-norm corpus is PQ's hardest
+    # case — measured ADC recall@10 here: m=8 ~40%, m=16 ~50%, with the
+    # exact refine tier at 100% for both
+    return fit_pq_codebook(emb, m=16, n_codes=64, iters=10)
+
+
+def test_pq_codebook_shape_and_determinism(emb):
+    book = fit_pq_codebook(emb, m=8, n_codes=64, iters=3)
+    assert book.shape == (8, 64, 8)  # dim 64 -> 8 sub-vectors of 8
+    again = fit_pq_codebook(emb, m=8, n_codes=64, iters=3)
+    assert (book == again).all()
+    # sub-space seeds are decorrelated: two sub-quantizers of identical
+    # shape must not share a codebook (the corpus is not block-symmetric)
+    assert not np.allclose(book[0], book[1])
+    with pytest.raises(ValueError, match="divisible"):
+        fit_pq_codebook(emb, m=7)
+
+
+def test_pq_encode_codes_and_nulls(spark, emb, pq_book):
+    coded = with_pq_codes(emb, pq_book)
+    rows = coded.select("pq_code").limit(50).collect()
+    for r in rows:
+        assert len(r.pq_code) == 16
+        assert all(0 <= c < 64 for c in r.pq_code)
+    # NULL and wrong-length vectors encode to NULL
+    weird = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.pq_code
+        for r in with_pq_codes(weird, pq_book).collect()
+    }
+    assert got[1] is None and got[2] is None
+
+
+def test_adc_lut_matches_reconstruction_dot(pq_book):
+    """sum_j LUT[j, code_j] must equal <q, reconstruction(code)> exactly
+    — ADC's defining identity (the approximation error lives entirely in
+    quantizing v, not in the table)."""
+    q = [float(i % 5) / 7.0 for i in range(64)]
+    lut = adc_lut(pq_book, q)
+    assert lut.shape == (16, 64)
+    codes = [3, 0, 17, 63, 8, 21, 42, 5, 60, 1, 33, 2, 9, 48, 11, 27]
+    recon = np.concatenate([pq_book[j][c] for j, c in enumerate(codes)])
+    want = float(np.asarray(q) @ recon)
+    got = float(sum(lut[j, c] for j, c in enumerate(codes)))
+    assert abs(got - want) < 1e-9
+    with pytest.raises(ValueError, match="dim"):
+        adc_lut(pq_book, [1.0, 2.0])
+
+
+def test_pq_adc_recall_and_refine(emb, pq_book):
+    """ADC top-k over 64x-compressed codes must stay close to exact
+    brute force, and the exact refine tier must recover most of the gap
+    while touching only refine_factor*k rows."""
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in brute_force_topk(corpus, qv, k=10).collect()]
+    coded = with_pq_codes(corpus, pq_book).cache()
+    try:
+        adc = pq_adc_topk(coded, pq_book, qv, k=10).collect()
+        assert len(adc) == 10
+        recall = len({r.vec_id for r in adc} & set(exact)) / 10
+        assert recall >= 0.4, (recall, exact, [r.vec_id for r in adc])
+        refined = pq_adc_topk(
+            coded, pq_book, qv, k=10, refine="embedding", refine_factor=8
+        ).collect()
+        r_recall = len({r.vec_id for r in refined} & set(exact)) / 10
+        assert r_recall >= recall, (r_recall, recall)
+        assert r_recall >= 0.8, (r_recall, exact)
+        # refined output is exact-cosine ordered
+        cos = [r.cosine for r in refined]
+        assert cos == sorted(cos, reverse=True)
+    finally:
+        coded.unpersist()
+
+
+def test_pq_adc_sql_path_has_no_python_and_matches_blas(
+    spark, emb, pq_book, tmp_path
+):
+    """Below PQ_SQL_MAX_LUT the ADC fold must be pure Catalyst (zero
+    Python stages — the serving-path promise; encoding is write-time, so
+    the serve reads STORED codes like production does), and the
+    Arrow/BLAS gather used above the threshold must score identically."""
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    store = str(tmp_path / "pq_codes")
+    with_pq_codes(emb, pq_book).select("vec_id", "pq_code").write.parquet(
+        store
+    )
+    coded = spark.read.parquet(store)
+    assert 16 * 64 <= PQ_SQL_MAX_LUT
+    sql_top = pq_adc_topk(coded, pq_book, qv, k=25)
+    plan = sql_top._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # stored codes -> pure JVM serve
+    import bigdatastructure_a5_spark.operators.quantization as qz
+
+    sql_rows = [(r.vec_id, r.adc_ip) for r in sql_top.collect()]
+    orig = qz.PQ_SQL_MAX_LUT
+    qz.PQ_SQL_MAX_LUT = 1  # force the Arrow gather path
+    try:
+        blas_rows = [
+            (r.vec_id, r.adc_ip)
+            for r in pq_adc_topk(coded, pq_book, qv, k=25).collect()
+        ]
+    finally:
+        qz.PQ_SQL_MAX_LUT = orig
+    assert [i for i, _ in sql_rows] == [i for i, _ in blas_rows]
+    for (_, a), (_, b) in zip(sql_rows, blas_rows):
+        assert abs(a - b) < 1e-9
+
+
+def test_ivf_pq_composition(emb, pq_book):
+    """The FAISS IVFPQ shape: write-time cell + code columns, probe prunes
+    rows, ADC compresses bytes; with all cells probed the result must
+    equal plain ADC over the full corpus, and a real probe must return k
+    rows with sane recall against it."""
+    from bigdatastructure_a5_spark.operators.similarity import (
+        seed_point_centroids,
+        with_ivf_cells,
+    )
+
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    cents = seed_point_centroids(emb, 16)
+    stored = with_pq_codes(
+        with_ivf_cells(emb, cents, "embedding", "__cell"), pq_book
+    ).cache()
+    try:
+        full = [
+            r.vec_id
+            for r in ivf_pq_topk(
+                stored, cents, pq_book, qv, k=10, n_probe=16
+            ).collect()
+        ]
+        plain = [
+            r.vec_id
+            for r in pq_adc_topk(stored, pq_book, qv, k=10).collect()
+        ]
+        assert full == plain  # all-cells probe == no IVF filter
+        probed = [
+            r.vec_id
+            for r in ivf_pq_topk(
+                stored, cents, pq_book, qv, k=10, n_probe=4
+            ).collect()
+        ]
+        assert len(probed) == 10
+        assert len(set(probed) & set(plain)) >= 5
+    finally:
+        stored.unpersist()
