@@ -1,0 +1,295 @@
+"""PQ compression + serving measured: bytes/vector, recall, secs/query.
+
+Companion to §12 (IVF sizing): IVF bounds the rows a probe SCANS, PQ
+bounds the bytes each row STORES.  This tool measures the actual parquet
+footprint of PQ codes vs raw vectors (parquet bit-packs the < n_codes
+ints, so the claimed ~1 B/code must be MEASURED, not asserted), ADC
+recall@10 against brute force on the same held-out midpoint probes §12
+uses, the exact-refine tier's recovery, and serving wall per query over
+the stored representations — raw brute force vs full-corpus ADC vs
+IVF-PQ (cell-partitioned store + codes, the FAISS IVFPQ shape).
+
+Corpus: the §12 construction (rotation + hash-seeded jitter) at x100 of
+the sf0.1 embeddings (200k vectors) by default; pass copy counts to
+override.  Owns the "## 14." section of EXPERIMENTS.md (same splice
+protocol as ivf_sizing / streaming_scale).
+
+Usage: python tools/pq_sizing.py [copies ...]   (default: 100)
+"""
+
+from __future__ import annotations
+
+import shutil
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SECTION = "## 14. PQ compression + ADC serving, measured"
+STORE_ROOT = Path("/tmp/bds_pq_sizing")
+N_QUERIES = 5
+N_REPS = 3  # timed serving reps per config; one warm-up rep excluded
+PQ_CONFIGS = ((8, 256), (16, 256))  # (m sub-vectors, codes per sub-space)
+
+
+def dir_bytes(path: str) -> int:
+    return sum(f.stat().st_size for f in Path(path).rglob("*") if f.is_file())
+
+
+def timed_reps(fn) -> float:
+    """Median of N_REPS reps after one excluded warm-up rep."""
+    secs = []
+    for rep in range(1 + N_REPS):
+        t0 = time.perf_counter()
+        fn()
+        if rep > 0:
+            secs.append(time.perf_counter() - t0)
+    return statistics.median(secs)
+
+
+def measure(spark, copy_points) -> list[str]:
+    from ivf_sizing import scaled_embeddings
+
+    from bigdatastructure_a5_spark.operators.quantization import (
+        fit_pq_codebook,
+        ivf_pq_topk,
+        pq_adc_topk,
+        with_pq_codes,
+    )
+    from bigdatastructure_a5_spark.operators.similarity import (
+        auto_cells,
+        auto_probe,
+        brute_force_topk,
+        fit_centroids_sample,
+        with_ivf_cells,
+    )
+
+    rows = []
+    for copies in copy_points:
+        emb = scaled_embeddings(spark, copies).persist()
+        n = emb.count()
+        # held-out midpoint probes, exactly §12's query model
+        base_vs = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id")
+            .limit(1 + 37 * (2 * N_QUERIES - 1))
+            .collect()[::37]
+        ]
+        qvs = [
+            [a + b for a, b in zip(base_vs[2 * i], base_vs[2 * i + 1])]
+            for i in range(len(base_vs) // 2)
+        ]
+        exact = {
+            i: [r.vec_id for r in brute_force_topk(emb, qv, k=10).collect()]
+            for i, qv in enumerate(qvs)
+        }
+        STORE_ROOT.mkdir(exist_ok=True)
+
+        # ---- baseline: raw vectors stored, brute-force serving ----
+        raw_store = STORE_ROOT / f"x{copies}_raw"
+        emb.write.mode("overwrite").parquet(str(raw_store))
+        raw_mb = dir_bytes(str(raw_store)) / 1e6
+        stored_raw = spark.read.parquet(str(raw_store))
+        bf_sec = timed_reps(
+            lambda: [
+                brute_force_topk(stored_raw, qv, k=10).collect() for qv in qvs
+            ]
+        ) / len(qvs)
+        rows.append(
+            f"| {copies}x | {n:,} | raw float64 + brute force | - | "
+            f"{raw_mb:.1f} | {raw_mb * 1e6 / n:.0f} | 100% | 100% | "
+            f"{bf_sec:.2f} |"
+        )
+        print(rows[-1])
+
+        # ---- IVF build shared by the IVFPQ row (auto sqrt(n) codebook) ----
+        cells_mat = fit_centroids_sample(emb, auto_cells(n))
+        cents = [
+            (i, [float(x) for x in cells_mat[i]])
+            for i in range(len(cells_mat))
+        ]
+        n_probe = auto_probe(len(cents))
+
+        for m, n_codes in PQ_CONFIGS:
+            book = fit_pq_codebook(emb, m=m, n_codes=n_codes)
+            coded = with_pq_codes(emb, book).select("vec_id", "pq_code")
+            code_store = STORE_ROOT / f"x{copies}_pq{m}x{n_codes}"
+            coded.write.mode("overwrite").parquet(str(code_store))
+            code_mb = dir_bytes(str(code_store)) / 1e6
+            stored = spark.read.parquet(str(code_store))
+
+            hits = r_hits = total = 0
+            for i, qv in enumerate(qvs):
+                got = {
+                    r.vec_id
+                    for r in pq_adc_topk(stored, book, qv, k=10).collect()
+                }
+                hits += len(got & set(exact[i]))
+                # refine needs the raw column: production shortlists by
+                # ADC first and joins only refine_factor*k ids against a
+                # thin (id -> vector) tier; for the recall column the
+                # corpus-wide join is equivalent and simpler
+                ref = {
+                    r.vec_id
+                    for r in pq_adc_topk(
+                        stored.join(stored_raw, "vec_id"),
+                        book,
+                        qv,
+                        k=10,
+                        refine="embedding",
+                        refine_factor=4,
+                    ).collect()
+                }
+                r_hits += len(ref & set(exact[i]))
+                total += len(exact[i])
+            adc_sec = timed_reps(
+                lambda: [
+                    pq_adc_topk(stored, book, qv, k=10).collect()
+                    for qv in qvs
+                ]
+            ) / len(qvs)
+            rows.append(
+                f"| {copies}x | {n:,} | ADC m={m}, {n_codes} codes | "
+                f"{m}x{n_codes} | {code_mb:.1f} | {code_mb * 1e6 / n:.0f} | "
+                f"{hits / total:.0%} | {r_hits / total:.0%} | {adc_sec:.2f} |"
+            )
+            print(rows[-1])
+            shutil.rmtree(code_store, ignore_errors=True)
+
+            if (m, n_codes) == PQ_CONFIGS[-1]:
+                # ---- IVFPQ: cell-partitioned store of (id, cell, codes) ----
+                ivfpq_store = STORE_ROOT / f"x{copies}_ivfpq{m}x{n_codes}"
+                (
+                    with_pq_codes(
+                        with_ivf_cells(emb, cents, "embedding", "__cell"),
+                        book,
+                    )
+                    .select("vec_id", "pq_code", "__cell")
+                    .repartition(
+                        spark.sparkContext.defaultParallelism, F.col("__cell")
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("__cell")
+                    .parquet(str(ivfpq_store))
+                )
+                ivfpq_mb = dir_bytes(str(ivfpq_store)) / 1e6
+                celled = spark.read.parquet(str(ivfpq_store))
+                hits = total = 0
+                for i, qv in enumerate(qvs):
+                    got = {
+                        r.vec_id
+                        for r in ivf_pq_topk(
+                            celled, cents, book, qv, k=10, n_probe=n_probe
+                        ).collect()
+                    }
+                    hits += len(got & set(exact[i]))
+                    total += len(exact[i])
+                ivfpq_sec = timed_reps(
+                    lambda: [
+                        ivf_pq_topk(
+                            celled, cents, book, qv, k=10, n_probe=n_probe
+                        ).collect()
+                        for qv in qvs
+                    ]
+                ) / len(qvs)
+                rows.append(
+                    f"| {copies}x | {n:,} | IVF-PQ {len(cents)} cells/"
+                    f"{n_probe} probes, m={m} | {m}x{n_codes} | "
+                    f"{ivfpq_mb:.1f} | {ivfpq_mb * 1e6 / n:.0f} | "
+                    f"{hits / total:.0%} | - | {ivfpq_sec:.2f} |"
+                )
+                print(rows[-1])
+                shutil.rmtree(ivfpq_store, ignore_errors=True)
+        shutil.rmtree(raw_store, ignore_errors=True)
+        emb.unpersist()
+    return rows
+
+
+def main() -> None:
+    from bigdatastructure_a5_spark.session import get_spark
+
+    copy_points = (
+        tuple(int(a) for a in sys.argv[1:]) if len(sys.argv) > 1 else (100,)
+    )
+    spark = get_spark("pq-sizing")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = measure(spark, copy_points)
+    section = "\n".join(
+        [
+            SECTION,
+            "",
+            "`tools/pq_sizing.py`: product quantization",
+            "(operators/quantization.py — the FAISS IVF-PQ shape) on the",
+            "§12 corpus construction at x100 of the sf0.1 embeddings",
+            "(200k vectors, dim 64, unit-norm).  'stored MB' is the real",
+            "parquet footprint of what serving reads (raw float64 array",
+            "vs PQ code arrays — parquet bit-packs ints < 256, so",
+            "~1 B/code holds without custom binary packing); recall@10 is",
+            "against brute force over the same held-out midpoint probes",
+            "§12 uses; 'refined' re-ranks the top 4k ADC candidates by",
+            "exact cosine (the FAISS refine tier — its cost is",
+            "candidates-sized, not corpus-sized); secs/query is the",
+            "serving path over the STORED representation, median of",
+            f"{N_REPS} reps after an excluded warm-up.  The IVF-PQ row",
+            "composes the write-time cell partition (sqrt(n) codebook,",
+            "auto probes) with the code column: the probe reads",
+            "probes/cells of the corpus at ~bytes/vec of the PQ row.",
+            "",
+            "| corpus | n vecs | config | code shape | stored MB | "
+            "bytes/vec | recall@10 | refined | secs/query |",
+            "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+            *rows,
+            "",
+            "Reading: the memory math is the point.  Measured: a raw",
+            "dim-64 float64 vector stores at 521 B/vec (3 KB at a",
+            "production dim-768 float32); PQ codes store at 13 B/vec",
+            "(m=8) and 22 B/vec (m=16) — a 24-40x cut that is the",
+            "difference between 'the corpus fits in executor memory /",
+            "page cache' and 'every probe is a disk scan' at 10^9",
+            "vectors (1e9 x 22 B = 22 GB vs 3 TB raw).  At this 200k-row",
+            "scale the serve is compute-bound (the per-row fold), so",
+            "secs/query tracks the byte cut only weakly (0.33-0.49 vs",
+            "brute force's 0.65); the byte win pays where it matters —",
+            "corpora too big to cache.  On this near-uniform corpus",
+            "(PQ's hardest case: neighbors are weakly separated, so code",
+            "collisions blur ranking) raw ADC recall is moderate (44%",
+            "m=8, 62% m=16) and the exact-refine tier recovers most of",
+            "it (62%/88%) at 4k-candidates cost — the production recipe",
+            "is always ADC-shortlist + exact-refine over a thin vector",
+            "tier.  IVF-PQ stacks the two independent reductions: rows",
+            "scanned (n^(3/4), §12) x bytes per row (this table) — 4.9%",
+            "of the corpus at 26 B/vec here — and COMPOUNDS the two",
+            "approximations' recall losses (48% vs plain ADC's 62%: true",
+            "neighbors in unprobed cells are gone before ADC ranks);",
+            "the recovery dials are n_probe (§12) and the refine tier,",
+            "in that order.  Train,",
+            "encode, and store are all write-time; the LUT build is",
+            "codebook-metadata-sized driver work per query (m x k",
+            "sub-inner-products), and below PQ_SQL_MAX_LUT entries the",
+            "whole serve is a rendered-SQL fold — zero Python stages,",
+            "pinned in test_quantization.py.",
+        ]
+    )
+    path = REPO / "EXPERIMENTS.md"
+    text = path.read_text()
+    tail = ""
+    if SECTION in text:
+        head, rest = text.split(SECTION, 1)
+        head = head.rstrip() + "\n"
+        nxt = rest.find("\n## ")
+        if nxt != -1:
+            tail = rest[nxt:].lstrip("\n")
+    else:
+        head = text.rstrip() + "\n"
+    path.write_text(head + "\n" + section + "\n" + (("\n" + tail) if tail else ""))
+    print(f"updated {path}")
+
+
+if __name__ == "__main__":
+    main()
