@@ -9,12 +9,12 @@ uses, the exact-refine tier's recovery, and serving wall per query over
 the stored representations — raw brute force vs full-corpus ADC vs
 IVF-PQ (cell-partitioned store + codes, the FAISS IVFPQ shape).
 
-Corpus: the §12 construction (rotation + hash-seeded jitter) at x100 of
-the sf0.1 embeddings (200k vectors) by default; pass copy counts to
-override.  Owns the "## 14." section of EXPERIMENTS.md (same splice
+Corpus: the §12 construction (rotation + hash-seeded jitter) at x100 and
+x1000 of the sf0.1 embeddings (200k / 2M vectors) by default; pass copy
+counts to override.  Owns the "## 14." section of EXPERIMENTS.md (same splice
 protocol as ivf_sizing / streaming_scale).
 
-Usage: python tools/pq_sizing.py [copies ...]   (default: 100)
+Usage: python tools/pq_sizing.py [copies ...]   (default: 100 1000)
 """
 
 from __future__ import annotations
@@ -215,7 +215,7 @@ def main() -> None:
     from bigdatastructure_a5_spark.session import get_spark
 
     copy_points = (
-        tuple(int(a) for a in sys.argv[1:]) if len(sys.argv) > 1 else (100,)
+        tuple(int(a) for a in sys.argv[1:]) if len(sys.argv) > 1 else (100, 1000)
     )
     spark = get_spark("pq-sizing")
     spark.sparkContext.setLogLevel("ERROR")
@@ -226,8 +226,9 @@ def main() -> None:
             "",
             "`tools/pq_sizing.py`: product quantization",
             "(operators/quantization.py — the FAISS IVF-PQ shape) on the",
-            "§12 corpus construction at x100 of the sf0.1 embeddings",
-            "(200k vectors, dim 64, unit-norm).  'stored MB' is the real",
+            "§12 corpus construction at x100 and x1000 of the sf0.1",
+            "embeddings (200k / 2M vectors, dim 64, unit-norm).",
+            "'stored MB' is the real",
             "parquet footprint of what serving reads (raw float64 array",
             "vs PQ code arrays — parquet bit-packs ints < 256, so",
             "~1 B/code holds without custom binary packing); recall@10 is",
@@ -252,23 +253,26 @@ def main() -> None:
             "(m=8) and 22 B/vec (m=16) — a 24-40x cut that is the",
             "difference between 'the corpus fits in executor memory /",
             "page cache' and 'every probe is a disk scan' at 10^9",
-            "vectors (1e9 x 22 B = 22 GB vs 3 TB raw).  At this 200k-row",
-            "scale the serve is compute-bound (the per-row fold), so",
-            "secs/query tracks the byte cut only weakly (0.33-0.49 vs",
-            "brute force's 0.65); the byte win pays where it matters —",
-            "corpora too big to cache.  On this near-uniform corpus",
-            "(PQ's hardest case: neighbors are weakly separated, so code",
-            "collisions blur ranking) raw ADC recall is moderate (44%",
-            "m=8, 62% m=16) and the exact-refine tier recovers most of",
-            "it (62%/88%) at 4k-candidates cost — the production recipe",
-            "is always ADC-shortlist + exact-refine over a thin vector",
+            "vectors (1e9 x 22 B = 22 GB vs 3 TB raw).  The table shows",
+            "the transition: at 200k rows (104 MB raw) everything fits",
+            "cache, the serve is compute-bound, and secs/query tracks",
+            "the byte cut only weakly; at 2M rows (1.0 GB raw) the brute",
+            "scan is I/O-bound at 3.51 s/q while ADC over 25-45 MB of",
+            "codes serves at 0.43-0.80 — a 4-8x wall win that GROWS with",
+            "corpus size, which is the whole point.  On this near-uniform",
+            "corpus (PQ's hardest case: neighbors are weakly separated,",
+            "so code collisions blur ranking) raw ADC recall is moderate",
+            "and FALLS with density (44%/62% at 200k -> 24%/38% at 2M for",
+            "m=8/16) while the exact-refine tier recovers it (62%/88% ->",
+            "92%/100%) at 4k-candidates cost — the production recipe is",
+            "always ADC-shortlist + exact-refine over a thin vector",
             "tier.  IVF-PQ stacks the two independent reductions: rows",
-            "scanned (n^(3/4), §12) x bytes per row (this table) — 4.9%",
-            "of the corpus at 26 B/vec here — and COMPOUNDS the two",
-            "approximations' recall losses (48% vs plain ADC's 62%: true",
-            "neighbors in unprobed cells are gone before ADC ranks);",
-            "the recovery dials are n_probe (§12) and the refine tier,",
-            "in that order.  Train,",
+            "scanned (n^(3/4), §12) x bytes per row (this table) — 2.7%",
+            "of the corpus at 21 B/vec at x1000, serving at 0.40 s/q —",
+            "and COMPOUNDS the two approximations' recall losses (true",
+            "neighbors in unprobed cells are gone before ADC ranks); the",
+            "recovery dials are n_probe (§12) and the refine tier, in",
+            "that order.  Train,",
             "encode, and store are all write-time; the LUT build is",
             "codebook-metadata-sized driver work per query (m x k",
             "sub-inner-products), and below PQ_SQL_MAX_LUT entries the",
