@@ -389,6 +389,20 @@ def test_streaming_scale_summarize_progress():
     assert r["peak_state_bytes"] == 1500
 
 
+def test_pq_sizing_timed_reps_excludes_warmup(monkeypatch):
+    """§14's serving column is median-of-3 after an excluded warm-up rep
+    (the §12 lesson: warm-up order leaking into per-config numbers made
+    the r7 table contradict itself)."""
+    import pq_sizing
+
+    ticks = iter([0.0, 10.0, 10.0, 11.0, 11.0, 13.0, 13.0, 16.0])
+    monkeypatch.setattr(pq_sizing.time, "perf_counter", lambda: next(ticks))
+    calls = []
+    got = pq_sizing.timed_reps(lambda: calls.append(1))
+    assert len(calls) == 4  # 1 warm-up + N_REPS=3 timed
+    assert got == 2.0  # median of (1.0, 2.0, 3.0); the 10 s warm-up excluded
+
+
 def test_ivf_sizing_jitter_breaks_exact_duplicates(spark):
     """VERDICT r7 item 4 plumbing: above the dim=64 rotation period the
     pure xN construction yields exact duplicates; the hash-seeded jitter

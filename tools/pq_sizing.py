@@ -180,7 +180,7 @@ def measure(spark, copy_points) -> list[str]:
                 )
                 ivfpq_mb = dir_bytes(str(ivfpq_store)) / 1e6
                 celled = spark.read.parquet(str(ivfpq_store))
-                hits = total = 0
+                hits = r_hits = total = 0
                 for i, qv in enumerate(qvs):
                     got = {
                         r.vec_id
@@ -189,6 +189,23 @@ def measure(spark, copy_points) -> list[str]:
                         ).collect()
                     }
                     hits += len(got & set(exact[i]))
+                    # the full production recipe: IVF probe -> ADC shortlist
+                    # -> exact refine against the raw vector tier (the cell
+                    # filter still prunes the celled side before the join)
+                    ref = {
+                        r.vec_id
+                        for r in ivf_pq_topk(
+                            celled.join(stored_raw, "vec_id"),
+                            cents,
+                            book,
+                            qv,
+                            k=10,
+                            n_probe=n_probe,
+                            refine="embedding",
+                            refine_factor=4,
+                        ).collect()
+                    }
+                    r_hits += len(ref & set(exact[i]))
                     total += len(exact[i])
                 ivfpq_sec = timed_reps(
                     lambda: [
@@ -202,7 +219,8 @@ def measure(spark, copy_points) -> list[str]:
                     f"| {copies}x | {n:,} | IVF-PQ {len(cents)} cells/"
                     f"{n_probe} probes, m={m} | {m}x{n_codes} | "
                     f"{ivfpq_mb:.1f} | {ivfpq_mb * 1e6 / n:.0f} | "
-                    f"{hits / total:.0%} | - | {ivfpq_sec:.2f} |"
+                    f"{hits / total:.0%} | {r_hits / total:.0%} | "
+                    f"{ivfpq_sec:.2f} |"
                 )
                 print(rows[-1])
                 shutil.rmtree(ivfpq_store, ignore_errors=True)
@@ -256,23 +274,25 @@ def main() -> None:
             "vectors (1e9 x 22 B = 22 GB vs 3 TB raw).  The table shows",
             "the transition: at 200k rows (104 MB raw) everything fits",
             "cache, the serve is compute-bound, and secs/query tracks",
-            "the byte cut only weakly; at 2M rows (1.0 GB raw) the brute",
-            "scan is I/O-bound at 3.51 s/q while ADC over 25-45 MB of",
-            "codes serves at 0.43-0.80 — a 4-8x wall win that GROWS with",
-            "corpus size, which is the whole point.  On this near-uniform",
-            "corpus (PQ's hardest case: neighbors are weakly separated,",
-            "so code collisions blur ranking) raw ADC recall is moderate",
-            "and FALLS with density (44%/62% at 200k -> 24%/38% at 2M for",
-            "m=8/16) while the exact-refine tier recovers it (62%/88% ->",
-            "92%/100%) at 4k-candidates cost — the production recipe is",
-            "always ADC-shortlist + exact-refine over a thin vector",
-            "tier.  IVF-PQ stacks the two independent reductions: rows",
-            "scanned (n^(3/4), §12) x bytes per row (this table) — 2.7%",
-            "of the corpus at 21 B/vec at x1000, serving at 0.40 s/q —",
-            "and COMPOUNDS the two approximations' recall losses (true",
-            "neighbors in unprobed cells are gone before ADC ranks); the",
-            "recovery dials are n_probe (§12) and the refine tier, in",
-            "that order.  Train,",
+            "the byte cut only weakly (~2x); at 2M rows (1.0 GB raw) the",
+            "brute scan is I/O-bound at ~3 s/q while ADC over 25-45 MB",
+            "of codes serves at ~0.35-0.6 — a 5-8x wall win that GROWS",
+            "with corpus size, which is the whole point.  On this",
+            "near-uniform corpus (PQ's hardest case: neighbors are",
+            "weakly separated, so code collisions blur ranking) raw ADC",
+            "recall is moderate and FALLS with density (44%/62% at 200k",
+            "-> 24%/38% at 2M for m=8/16) while the exact-refine tier",
+            "recovers it (62%/88% -> 92%/100%) at 4k-candidates cost —",
+            "the production recipe is always ADC-shortlist + exact-refine",
+            "over a thin vector tier.  IVF-PQ stacks the two independent",
+            "reductions: rows scanned (n^(3/4), §12) x bytes per row",
+            "(this table) — 2.7% of the corpus at 21 B/vec at x1000,",
+            "serving at ~0.4 s/q — and COMPOUNDS the two approximations'",
+            "recall losses: its refine column caps BELOW plain ADC's",
+            "(72% vs 100% at x1000) because true neighbors in unprobed",
+            "cells are gone before ADC or refine ever rank them; the",
+            "recovery dials are n_probe (§12) first, then the refine",
+            "tier.  Train,",
             "encode, and store are all write-time; the LUT build is",
             "codebook-metadata-sized driver work per query (m x k",
             "sub-inner-products), and below PQ_SQL_MAX_LUT entries the",
