@@ -395,12 +395,14 @@ def test_pq_sizing_timed_reps_excludes_warmup(monkeypatch):
     the r7 table contradict itself)."""
     import pq_sizing
 
-    ticks = iter([0.0, 10.0, 10.0, 11.0, 11.0, 13.0, 13.0, 16.0])
+    # the warm-up rep reads the clock once (its elapsed time is never
+    # taken); each timed rep reads it twice
+    ticks = iter([0.0, 10.0, 11.0, 20.0, 22.0, 30.0, 33.0])
     monkeypatch.setattr(pq_sizing.time, "perf_counter", lambda: next(ticks))
     calls = []
     got = pq_sizing.timed_reps(lambda: calls.append(1))
     assert len(calls) == 4  # 1 warm-up + N_REPS=3 timed
-    assert got == 2.0  # median of (1.0, 2.0, 3.0); the 10 s warm-up excluded
+    assert got == 2.0  # median of (1.0, 2.0, 3.0); the warm-up excluded
 
 
 def test_ivf_sizing_jitter_breaks_exact_duplicates(spark):
