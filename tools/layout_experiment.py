@@ -1,0 +1,227 @@
+"""Data layout: single-sort vs Z-order clustering for 2-D pruning, measured.
+
+The reference's whole thesis is that the LAYOUT decides the scan bill
+(challenge/simulator.py prices queries by what the layout makes them
+read); §3 measured its sharding leg (bucket-aligned aggregation = zero
+shuffle).  This section measures the ROW-GROUP SKIPPING leg at the file
+level: the same 6M-row lineitem written three ways — natural (as
+generated), range-sorted on l_orderkey, Z-order-clustered on
+(l_orderkey, l_partkey) via operators/layout.zorder_cluster — then a
+2-D box predicate (~1/8 of each key range) is measured two independent
+ways:
+
+- STATICALLY from the parquet footers: how many row groups' min/max
+  boxes intersect the predicate box (what ANY footer-reading engine must
+  read — pyarrow arithmetic, deterministic);
+- DYNAMICALLY from Spark: the filter+aggregate wall over each stored
+  layout (median of N_REPS after an excluded warm-up), with parquet
+  filter pushdown doing the skipping at scan time.
+
+Expected shape (and the reason Delta's OPTIMIZE ZORDER BY exists): the
+natural layout reads everything; the single-sort layout prunes the
+sorted dimension only (the second predicate contributes NOTHING to
+skipping); the Z-order layout prunes BOTH dimensions, reading
+~(box area) of the table instead of ~(box side).  Owns the "## 15."
+section of EXPERIMENTS.md (same splice protocol as the other tools).
+
+Usage: python tools/layout_experiment.py [copies]   (default: 100)
+"""
+
+from __future__ import annotations
+
+import shutil
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SECTION = "## 15. Layout: single-sort vs Z-order for 2-D pruning, measured"
+BASE = "/root/testdata/sf0.01"
+STORE_ROOT = Path("/tmp/bds_layout")
+N_FILES = 64
+N_REPS = 3
+
+
+def row_group_boxes(path: str, cols: tuple[str, str]):
+    import pyarrow.parquet as pq
+
+    boxes = []
+    for f in sorted(Path(path).glob("*.parquet")):
+        md = pq.read_metadata(f)
+        idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            sa = rg.column(idx[cols[0]]).statistics
+            sb = rg.column(idx[cols[1]]).statistics
+            boxes.append(
+                (rg.num_rows, (sa.min, sa.max), (sb.min, sb.max))
+            )
+    return boxes
+
+
+def intersecting(boxes, a_range, b_range):
+    """-> (row groups hit, rows inside hit groups, total groups, total rows)."""
+    hit = rows_hit = 0
+    for n_rows, (alo, ahi), (blo, bhi) in boxes:
+        if not (ahi < a_range[0] or alo > a_range[1]) and not (
+            bhi < b_range[0] or blo > b_range[1]
+        ):
+            hit += 1
+            rows_hit += n_rows
+    return hit, rows_hit, len(boxes), sum(b[0] for b in boxes)
+
+
+def timed_reps(fn) -> float:
+    secs = []
+    for rep in range(1 + N_REPS):
+        t0 = time.perf_counter()
+        fn()
+        if rep > 0:
+            secs.append(time.perf_counter() - t0)
+    return statistics.median(secs)
+
+
+def measure(spark, copies: int) -> list[str]:
+    from scale_fixtures import ensure_x10
+
+    from bigdatastructure_a5_spark.operators.layout import zorder_cluster
+
+    sf_dir = BASE if copies == 1 else ensure_x10(BASE, copies)
+    # columns must be INDEPENDENT for a 2-D pruning story: the xN
+    # construction shifts l_orderkey and l_partkey together per copy, so a
+    # corner box on that pair degenerates to "the first few copies" and
+    # the second predicate is redundant (measured: 13% selectivity instead
+    # of 1/64, and single-sort nearly ties z-order).  l_partkey x
+    # l_quantity are independent at every scale.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lo_p, hi_p, lo_q, hi_q = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_quantity"), F.max("l_quantity"),
+    ).first()
+    lo_q, hi_q = float(lo_q), float(hi_q)
+    # the 2-D box: the lowest 1/8 of each range (~1.6% of the area)
+    a_range = (lo_p, lo_p + (hi_p - lo_p) // 8)
+    b_range = (lo_q, lo_q + (hi_q - lo_q) / 8)
+    bounds = {
+        "l_partkey": (lo_p, hi_p),
+        "l_quantity": (lo_q, hi_q),
+    }
+
+    STORE_ROOT.mkdir(exist_ok=True)
+    layouts = {
+        "natural (as generated)": lambda df: df.repartition(N_FILES),
+        "sorted on l_partkey": lambda df: df.repartitionByRange(
+            N_FILES, "l_partkey"
+        ).sortWithinPartitions("l_partkey"),
+        "z-order (l_partkey, l_quantity)": lambda df: zorder_cluster(
+            df, ["l_partkey", "l_quantity"], N_FILES, bounds=bounds
+        ),
+    }
+    rows = []
+    pred = (
+        (F.col("l_partkey").between(*a_range))
+        & (F.col("l_quantity").between(*b_range))
+    )
+    for label, build in layouts.items():
+        store = STORE_ROOT / label.split(" ")[0].strip("(,")
+        build(li).write.mode("overwrite").parquet(str(store))
+        boxes = row_group_boxes(str(store), ("l_partkey", "l_quantity"))
+        hit, rows_hit, groups, total_rows = intersecting(
+            boxes, a_range, b_range
+        )
+        stored = spark.read.parquet(str(store))
+        sec = timed_reps(
+            lambda: stored.filter(pred)
+            .agg(F.count("*"), F.sum("l_extendedprice"))
+            .collect()
+        )
+        out_rows = stored.filter(pred).count()
+        rows.append(
+            f"| {label} | {groups} | {hit} | {hit / groups:.0%} | "
+            f"{rows_hit:,} | {rows_hit / total_rows:.1%} | {out_rows:,} | "
+            f"{sec:.2f} |"
+        )
+        print(rows[-1])
+        shutil.rmtree(store, ignore_errors=True)
+    return rows
+
+
+def main() -> None:
+    from bigdatastructure_a5_spark.session import get_spark
+
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    spark = get_spark("layout-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = measure(spark, copies)
+    section = "\n".join(
+        [
+            SECTION,
+            "",
+            "`tools/layout_experiment.py`: the x100 lineitem (6M rows)",
+            f"written {N_FILES}-way in three layouts — natural,",
+            "range-sorted on l_partkey, and Z-order-clustered on",
+            "(l_partkey, l_quantity) — two INDEPENDENT columns; the xN",
+            "construction shifts orderkey/partkey together per copy, so",
+            "that pair's corner box degenerates to 'the first copies' and",
+            "cannot show 2-D pruning (`operators/layout.zorder_cluster`:",
+            "a rendered Morton-interleave expression + repartitionByRange",
+            "+ sortWithinPartitions + plain parquet — no table format,",
+            "zero Python stages, pytest-pinned) — then one 2-D box",
+            "predicate (the lowest 1/8 of each column's range, ~1.6% of",
+            "the area; the answer is identical 110,487 rows — 1.8% of the",
+            "table — on every layout).  'RG hit' is",
+            "STATIC footer arithmetic: row groups whose min/max boxes",
+            "intersect the predicate box — what any footer-reading engine",
+            "must read; secs is Spark's filter+aggregate wall over the",
+            f"stored layout (median of {N_REPS} reps, warm-up excluded),",
+            "with parquet filter pushdown doing the same skipping at scan",
+            "time.",
+            "",
+            "| layout | row groups | RG hit | hit share | rows in hit RGs | "
+            "row share | answer rows | secs |",
+            "| --- | --- | --- | --- | --- | --- | --- | --- |",
+            *rows,
+            "",
+            "Reading: the natural layout's row groups all straddle the",
+            "box (every group spans most of both key ranges) — 100% read;",
+            "the single-sort layout prunes exactly its sorted dimension",
+            "(~1/8 of groups: the l_quantity predicate contributes NOTHING",
+            "to skipping, the classic second-column blind spot); Z-order",
+            "prunes on BOTH dimensions, reading ~the box AREA of the",
+            "table rather than ~its side.  At 100 TB the hit-share column",
+            "IS the scan bill: this is the same one-write-time-decision /",
+            "every-query-pays-less shape as §12's cell-partitioned ANN",
+            "store, applied to relational keys — and it composes with",
+            "partitioning (partition on the coarse key, Z-order the files",
+            "within each partition on the residual predicate columns).",
+            "The write is a plain repartitionByRange + local sort: one",
+            "shuffle at write time, amortized over every future scan —",
+            "Delta's OPTIMIZE ZORDER BY packaged as a composable",
+            "DataFrame operator.",
+        ]
+    )
+    path = REPO / "EXPERIMENTS.md"
+    text = path.read_text()
+    tail = ""
+    if SECTION in text:
+        head, rest = text.split(SECTION, 1)
+        head = head.rstrip() + "\n"
+        nxt = rest.find("\n## ")
+        if nxt != -1:
+            tail = rest[nxt:].lstrip("\n")
+    else:
+        head = text.rstrip() + "\n"
+    path.write_text(head + "\n" + section + "\n" + (("\n" + tail) if tail else ""))
+    print(f"updated {path}")
+
+
+if __name__ == "__main__":
+    main()
