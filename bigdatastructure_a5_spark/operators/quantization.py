@@ -1,15 +1,25 @@
-"""Product quantization (PQ) for embedding columns: train, encode, ADC rank.
+"""Vector quantization for embedding columns: PQ and SQ8 tiers.
 
 The ANN family's memory-scale path.  IVF (operators/similarity.py) prunes
-WHICH rows a probe scans; PQ compresses WHAT each row stores: a
-``dim``-float vector (64 x 8 B = 512 B here; 768 x 4 B = 3 KB for a
-typical text embedding) becomes ``m`` codebook indices (8 small ints —
-~8 B bit-packed in parquet), a 30-100x footprint cut that is the
-difference between "the corpus fits in the page cache / executor memory"
-and "every probe is a disk scan" at 10^9+ vectors.  Public-knowledge
-design: Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
-Search" (TPAMI 2011) — the FAISS IVF-PQ shape.  The reference repo has no
-PQ operator (its ANN surface stops at exact scoring,
+WHICH rows a probe scans; quantization compresses WHAT each row stores.
+Two tiers, both standard FAISS shapes:
+
+- **PQ** (product quantization): a ``dim``-float vector (64 x 8 B =
+  512 B here; 768 x 4 B = 3 KB for a typical text embedding) becomes
+  ``m`` codebook indices (8 small ints — ~8 B bit-packed in parquet), a
+  30-100x footprint cut that is the difference between "the corpus fits
+  in the page cache / executor memory" and "every probe is a disk scan"
+  at 10^9+ vectors; recall is approximate, recovered by the refine tier.
+- **SQ8** (scalar quantization, ``fit_sq8_bounds`` / ``with_sq8_codes``
+  / ``sq8_dot_topk``): one uint8 code per DIMENSION — 8x smaller than
+  float64 with near-exact top-k, the middle rung when PQ's recall loss
+  is too steep; encode AND serve are pure rendered expressions (per-dim
+  bounds ride as array literals), zero Python anywhere in the tier.
+
+Public-knowledge design: Jegou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011) — the FAISS IVF-PQ shape — and
+FAISS's ScalarQuantizer.  The reference repo has no quantization operator
+(its ANN surface stops at exact scoring,
 reference: challenge/simulator.py scan costing); this extends the build
 brief's similarity-search mandate the same way IVF does.
 
@@ -237,6 +247,100 @@ def pq_adc_topk(
         .limit(k)
         .filter(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col(id_col))
+    )
+
+
+def fit_sq8_bounds(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Scalar-quantizer bounds: exact per-dimension (min, max) over the
+    corpus — one posexplode + groupBy job, write-time cost like every
+    other index build here.  -> (lo, hi) arrays of length dim."""
+    rows = (
+        embeddings.select(
+            F.posexplode(F.col(vec_col)).alias("__d", "__x")
+        )
+        .groupBy("__d")
+        .agg(F.min("__x").alias("lo"), F.max("__x").alias("hi"))
+        .orderBy("__d")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            f"fit_sq8_bounds: no non-NULL {vec_col!r} rows — cannot fit"
+        )
+    lo = np.array([r.lo for r in rows], dtype=np.float64)
+    hi = np.array([r.hi for r in rows], dtype=np.float64)
+    return lo, hi
+
+
+def _double_array_sql(vals) -> str:
+    return "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+
+
+def with_sq8_codes(
+    df: DataFrame,
+    bounds: tuple[np.ndarray, np.ndarray],
+    vec_col: str = "embedding",
+    code_col: str = "sq8_code",
+) -> DataFrame:
+    """Scalar-quantize ``vec_col`` to one uint8 code per dimension (the
+    FAISS SQ8 tier: 8x smaller than float64, near-exact recall — the
+    middle rung between raw vectors and PQ codes).  Unlike PQ's BLAS
+    argmin, SQ8 encode is a pure rendered expression — per-dimension
+    (lo, 1/step) ride as array LITERALS inside one transform, so BOTH
+    encode and serve are zero-Python, whole-stage-codegen column ops.
+    code_i = clamp(floor((x_i - lo_i) / step_i), 0, 255); a degenerate
+    dimension (lo == hi) encodes 0.  NULL vectors encode NULL."""
+    lo, hi = (np.asarray(b, dtype=np.float64) for b in bounds)
+    step = (hi - lo) / 255.0
+    inv = np.where(step > 0, 1.0 / np.where(step > 0, step, 1.0), 0.0)
+    expr = (
+        f"transform(`{vec_col}`, (x, i) -> CAST(least(greatest("
+        f"floor((CAST(x AS DOUBLE) - element_at({_double_array_sql(lo)}, "
+        f"i + 1)) * element_at({_double_array_sql(inv)}, i + 1)), 0), 255) "
+        "AS INT))"
+    )
+    return df.withColumn(code_col, F.expr(expr))
+
+
+def sq8_dot_topk(
+    codes_df: DataFrame,
+    bounds: tuple[np.ndarray, np.ndarray],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "sq8_code",
+) -> DataFrame:
+    """Approximate top-k by inner product against SQ8-dequantized vectors
+    WITHOUT materializing the dequantization:
+
+        <q, dequant(c)> = sum_i q_i * (lo_i + c_i * step_i)
+                        = [sum_i q_i * lo_i]  +  sum_i (q_i * step_i) * c_i
+
+    — a query-time constant plus a weighted fold over the code array with
+    per-dimension literal weights: one rendered expression, zero Python,
+    scan reads only (id, codes).  Output: (id_col, sq8_ip)."""
+    lo, hi = (np.asarray(b, dtype=np.float64) for b in bounds)
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != lo.shape[0]:
+        raise ValueError(
+            f"sq8_dot_topk: query dim {q.shape[0]} != bounds dim "
+            f"{lo.shape[0]}"
+        )
+    step = (hi - lo) / 255.0
+    w = q * step  # per-dim weight on the integer code
+    const = float(q @ lo)
+    expr = (
+        f"{const!r}D + aggregate(zip_with(`{code_col}`, "
+        f"{_double_array_sql(w)}, (c, w) -> c * w), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+    return (
+        codes_df.where(F.col(code_col).isNotNull())
+        .select(F.col(id_col), F.expr(expr).alias("sq8_ip"))
+        .orderBy(F.col("sq8_ip").desc(), F.col(id_col))
+        .limit(k)
     )
 
 

@@ -148,6 +148,78 @@ def test_pq_adc_sql_path_has_no_python_and_matches_blas(
         assert abs(a - b) < 1e-9
 
 
+def test_sq8_encode_decode_identity(spark, emb):
+    """SQ8: codes are in [0, 255], NULL vectors encode NULL, degenerate
+    dimensions encode 0, and the folded serving score equals the numpy
+    dequantized dot to float tolerance (the defining identity)."""
+    import numpy as np
+
+    from bigdatastructure_a5_spark.operators.quantization import (
+        fit_sq8_bounds,
+        sq8_dot_topk,
+        with_sq8_codes,
+    )
+
+    bounds = fit_sq8_bounds(emb)
+    lo, hi = bounds
+    assert lo.shape == hi.shape == (64,)
+    assert (lo <= hi).all()
+    coded = with_sq8_codes(emb, bounds)
+    rows = coded.select("vec_id", "embedding", "sq8_code").limit(20).collect()
+    step = (hi - lo) / 255.0
+    qv = [float(x) for x in rows[0].embedding]
+    q = np.asarray(qv)
+    for r in rows:
+        assert len(r.sq8_code) == 64
+        assert all(0 <= c <= 255 for c in r.sq8_code)
+    top = sq8_dot_topk(coded, bounds, qv, k=15).collect()
+    got = {r.vec_id: r.sq8_ip for r in top}
+    for r in rows:
+        if r.vec_id in got:
+            dequant = lo + np.asarray(r.sq8_code, dtype=float) * step
+            assert abs(got[r.vec_id] - float(q @ dequant)) < 1e-9
+    # NULL vector -> NULL code; degenerate dim -> code 0
+    weird = spark.createDataFrame(
+        [(1, None), (2, [7.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    wb = (np.array([7.0, 0.0]), np.array([7.0, 5.0]))
+    wcodes = {r.vec_id: r.sq8_code for r in with_sq8_codes(weird, wb).collect()}
+    assert wcodes[1] is None
+    assert wcodes[2][0] == 0  # lo == hi: degenerate dimension
+    assert wcodes[2][1] == 153  # (3-0)/5*255
+
+    with pytest.raises(ValueError, match="dim"):
+        sq8_dot_topk(coded, bounds, [1.0, 2.0])
+
+
+def test_sq8_recall_near_exact_and_pure_jvm(spark, emb, tmp_path):
+    """The SQ8 tier's selling point: ~8x smaller than raw float64 with
+    near-exact top-k (quantization error ~step/2 per dim barely perturbs
+    rankings), and the whole encode+serve path is rendered expressions —
+    zero Python stages on stored codes."""
+    from bigdatastructure_a5_spark.operators.quantization import (
+        fit_sq8_bounds,
+        sq8_dot_topk,
+        with_sq8_codes,
+    )
+
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in brute_force_topk(corpus, qv, k=10).collect()]
+    bounds = fit_sq8_bounds(corpus)
+    store = str(tmp_path / "sq8_codes")
+    with_sq8_codes(corpus, bounds).select("vec_id", "sq8_code").write.parquet(
+        store
+    )
+    stored = spark.read.parquet(store)
+    top = sq8_dot_topk(stored, bounds, qv, k=10)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    got = [r.vec_id for r in top.collect()]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.9, (recall, exact, got)
+
+
 def test_ivf_pq_composition(emb, pq_book):
     """The FAISS IVFPQ shape: write-time cell + code columns, probe prunes
     rows, ADC compresses bytes; with all cells probed the result must

@@ -58,9 +58,12 @@ def measure(spark, copy_points) -> list[str]:
 
     from bigdatastructure_a5_spark.operators.quantization import (
         fit_pq_codebook,
+        fit_sq8_bounds,
         ivf_pq_topk,
         pq_adc_topk,
+        sq8_dot_topk,
         with_pq_codes,
+        with_sq8_codes,
     )
     from bigdatastructure_a5_spark.operators.similarity import (
         auto_cells,
@@ -107,6 +110,37 @@ def measure(spark, copy_points) -> list[str]:
             f"{bf_sec:.2f} |"
         )
         print(rows[-1])
+
+        # ---- SQ8 middle tier: one int8 code per dimension, encode and
+        # serve both pure rendered expressions (zero Python anywhere) ----
+        sq_bounds = fit_sq8_bounds(emb)
+        sq_store = STORE_ROOT / f"x{copies}_sq8"
+        with_sq8_codes(emb, sq_bounds).select(
+            "vec_id", "sq8_code"
+        ).write.mode("overwrite").parquet(str(sq_store))
+        sq_mb = dir_bytes(str(sq_store)) / 1e6
+        stored_sq = spark.read.parquet(str(sq_store))
+        hits = total = 0
+        for i, qv in enumerate(qvs):
+            got = {
+                r.vec_id
+                for r in sq8_dot_topk(stored_sq, sq_bounds, qv, k=10).collect()
+            }
+            hits += len(got & set(exact[i]))
+            total += len(exact[i])
+        sq_sec = timed_reps(
+            lambda: [
+                sq8_dot_topk(stored_sq, sq_bounds, qv, k=10).collect()
+                for qv in qvs
+            ]
+        ) / len(qvs)
+        rows.append(
+            f"| {copies}x | {n:,} | SQ8 (int8 per dim) | 64x int8 | "
+            f"{sq_mb:.1f} | {sq_mb * 1e6 / n:.0f} | {hits / total:.0%} | "
+            f"- | {sq_sec:.2f} |"
+        )
+        print(rows[-1])
+        shutil.rmtree(sq_store, ignore_errors=True)
 
         # ---- IVF build shared by the IVFPQ row (auto sqrt(n) codebook) ----
         cells_mat = fit_centroids_sample(emb, auto_cells(n))
@@ -267,7 +301,10 @@ def main() -> None:
             "",
             "Reading: the memory math is the point.  Measured: a raw",
             "dim-64 float64 vector stores at 521 B/vec (3 KB at a",
-            "production dim-768 float32); PQ codes store at 13 B/vec",
+            "production dim-768 float32); the SQ8 middle tier (one int8",
+            "per dimension, encode AND serve pure rendered expressions)",
+            "stores at 70 B/vec — a 7.4x cut at 92% recall on natural",
+            "margins (x100) — while PQ codes store at 13 B/vec",
             "(m=8) and 22 B/vec (m=16) — a 24-40x cut that is the",
             "difference between 'the corpus fits in executor memory /",
             "page cache' and 'every probe is a disk scan' at 10^9",
@@ -281,8 +318,12 @@ def main() -> None:
             "near-uniform corpus (PQ's hardest case: neighbors are",
             "weakly separated, so code collisions blur ranking) raw ADC",
             "recall is moderate and FALLS with density (44%/62% at 200k",
-            "-> 24%/38% at 2M for m=8/16) while the exact-refine tier",
-            "recovers it (62%/88% -> 92%/100%) at 4k-candidates cost —",
+            "-> 24%/38% at 2M for m=8/16; even SQ8's ~1e-3 dot noise",
+            "drops to 72% at 2M — the x1000 jitter clouds pack the whole",
+            "top-10 inside quantization noise, so the binding limit is",
+            "NEIGHBOR MARGIN, not corpus size) while the exact-refine",
+            "tier recovers it (62%/88% -> 92%/100%) at 4k-candidates",
+            "cost —",
             "the production recipe is always ADC-shortlist + exact-refine",
             "over a thin vector tier.  IVF-PQ stacks the two independent",
             "reductions: rows scanned (n^(3/4), §12) x bytes per row",
