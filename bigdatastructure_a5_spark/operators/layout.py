@@ -27,10 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: bits per column in the Morton key.  16 bits x up to 4 columns = a
-#: 64-bit key; 65k distinct rank buckets per column is far finer than
-#: row-group granularity at any realistic file size, so more bits buy
-#: nothing (the key only needs to ORDER row groups, not rows).
+#: default bits per column in the Morton key — up to 3 columns at 16
+#: bits fit the signed 64-bit key (with_zorder_key auto-shrinks to
+#: 63 // n_cols beyond that: 4 columns -> 15 bits each).  65k distinct
+#: rank buckets per column is far finer than row-group granularity at
+#: any realistic file size, so more bits buy nothing (the key only
+#: needs to ORDER row groups, not rows).
 ZORDER_BITS = 16
 
 
@@ -95,10 +97,16 @@ def with_zorder_key(
     cols: list[str],
     bounds: dict[str, tuple[float, float]] | None = None,
     key_col: str = "__z",
-    bits: int = ZORDER_BITS,
+    bits: int | None = None,
 ) -> DataFrame:
     """Add the Morton key for ``cols``.  ``bounds`` maps column -> (min,
-    max); None computes them with one agg job (write-time cost)."""
+    max); None computes them with one agg job (write-time cost).
+    ``bits=None`` uses ZORDER_BITS, auto-shrunk to ``63 // len(cols)``
+    when the default would overflow the signed 64-bit key (4+ columns) —
+    an explicit ``bits`` that overflows still raises in
+    morton_interleave."""
+    if bits is None:
+        bits = min(ZORDER_BITS, 63 // max(len(cols), 1))
     if bounds is None:
         agg = df.agg(
             *[F.min(c).alias(f"lo_{c}") for c in cols],
@@ -119,7 +127,7 @@ def zorder_cluster(
     cols: list[str],
     n_files: int,
     bounds: dict[str, tuple[float, float]] | None = None,
-    bits: int = ZORDER_BITS,
+    bits: int | None = None,
 ) -> DataFrame:
     """Range-cluster ``df`` by the Morton key of ``cols`` into
     ``n_files`` partitions, locally sorted — write the result with plain

@@ -160,11 +160,92 @@ def with_pq_codes(
     return df.withColumn(code_col, _encode(F.col(vec_col)))
 
 
+def with_pq_codes_sql(
+    df: DataFrame,
+    codebook: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Rendered-SQL twin of :func:`with_pq_codes` — the PQ encode as a
+    pure Catalyst projection, zero Python stages, same role as
+    ``with_ivf_cells(method="sql")`` one file over: bit-exactly
+    mirrorable by a DuckDB oracle (sequential folds only, no BLAS), which
+    is what puts PQ encoding under the driver's hash gate (sim_pq_adc).
+
+    One shared fold computes ALL m*k sub-dot-products at once
+    (functions.vectors.matrix_dots_sql with each sub-centroid zero-padded
+    to the full dim — adding ``x * 0.0`` terms leaves the accumulator
+    bit-identical to a fold over just the slice), then per sub-quantizer
+    the argmin of d2 = -2*dot + |c|^2 (the same expansion trick as the
+    BLAS path; |s|^2 is constant per row and drops out of the argmin)
+    with ties to the smallest code via a struct array_min.  NULL and
+    wrong-length vectors encode NULL, the shared convention.
+
+    Only viable for codebooks whose literal matrix fits the expression
+    budget — gate/small-index scale; production encoding is the Arrow/
+    BLAS path."""
+    from ..functions.vectors import matrix_dots_sql
+
+    book = np.ascontiguousarray(codebook, dtype=np.float64)
+    m, k, dsub = book.shape
+    dim = m * dsub
+    if dim * m * k > 65536:
+        raise ValueError(
+            f"with_pq_codes_sql: {m}x{k} codebook over dim {dim} renders "
+            f"{dim * m * k} literals — past the expression budget; use "
+            "with_pq_codes (BLAS) for production-sized codebooks"
+        )
+    for c in df.columns:
+        if c in (code_col, "__pq_dots"):
+            raise ValueError(
+                f"with_pq_codes_sql staging/output column {c!r} already "
+                "exists on the input"
+            )
+    # column (j*k + c): sub-centroid (j, c) zero-padded to the full dim
+    padded = []
+    for j in range(m):
+        for c in range(k):
+            w = [0.0] * dim
+            w[j * dsub : (j + 1) * dsub] = [float(v) for v in book[j, c]]
+            padded.append(w)
+    dots_sql = matrix_dots_sql(vec_col, padded)
+    # |c|^2 per sub-centroid: sequential Python fold — the oracle twin
+    # recomputes it with list_reduce in the same order
+    def seq_norm2(vec) -> float:
+        acc = 0.0
+        for v in vec:
+            acc += float(v) * float(v)
+        return acc
+
+    code_exprs = []
+    for j in range(m):
+        cnorms = _double_array_sql(seq_norm2(book[j, c]) for c in range(k))
+        code_exprs.append(
+            f"array_min(zip_with(slice(__pq_dots, {j * k + 1}, {k}), "
+            f"sequence(0, {k - 1}), (d, c) -> struct("
+            f"-2.0D * d + element_at({cnorms}, c + 1) AS d2, c AS c))).c"
+        )
+    codes_sql = (
+        f"CASE WHEN size(`{vec_col}`) = {dim} THEN "
+        f"array({','.join(code_exprs)}) ELSE NULL END"
+    )
+    staged = df.selectExpr("*", f"{dots_sql} AS __pq_dots")
+    return staged.selectExpr(
+        *[f"`{c}`" for c in df.columns], f"{codes_sql} AS `{code_col}`"
+    )
+
+
 def adc_lut(codebook: np.ndarray, query_vec: list[float]) -> np.ndarray:
     """Asymmetric-distance look-up table: LUT[j][c] = <q_j, codebook[j,c]>
     (exact sub-inner-products of the UNquantized query).  sum_j LUT[j,
     code_j] approximates <q, v> with only the corpus side quantized —
-    codebook-metadata-sized driver work, like IVF's probe ranking."""
+    codebook-metadata-sized driver work, like IVF's probe ranking.
+
+    In the rendered-SQL serving regime (m*k <= PQ_SQL_MAX_LUT, where the
+    LUT ships as expression literals) each entry is a SEQUENTIAL Python
+    fold, bit-identical to a DuckDB ``list_reduce`` over the same slice —
+    what lets sim_pq_adc be hash-checked against the oracle.  Above the
+    budget (Arrow-gather serving, no oracle in play) BLAS does the work."""
     book = np.asarray(codebook, dtype=np.float64)
     m, k, dsub = book.shape
     q = np.asarray(query_vec, dtype=np.float64)
@@ -172,6 +253,15 @@ def adc_lut(codebook: np.ndarray, query_vec: list[float]) -> np.ndarray:
         raise ValueError(
             f"adc_lut: query dim {q.shape[0]} != codebook dim {m * dsub}"
         )
+    if m * k <= PQ_SQL_MAX_LUT:
+        lut = np.empty((m, k), dtype=np.float64)
+        for j in range(m):
+            for c in range(k):
+                acc = 0.0
+                for d in range(dsub):
+                    acc += float(book[j, c, d]) * float(q[j * dsub + d])
+                lut[j, c] = acc
+        return lut
     return np.stack([book[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)])
 
 
@@ -237,34 +327,52 @@ def pq_adc_topk(
     if refine is None:
         return top
     q = double_array_lit([float(v) for v in query_vec])
+    # NULL cosines (NULL/short refine vectors) are dropped BEFORE the
+    # top-k limit: filtering after it would return < k rows whenever a
+    # degenerate row lands inside the window instead of backfilling with
+    # the next-best candidate (VERDICT r8 item 2).  The filter runs on
+    # cand_k rows — candidates-sized, not corpus-sized.
     return (
         top.select(
             F.col(id_col),
             F.col("adc_ip"),
             cosine_similarity(F.col(refine), q).alias("cosine"),
         )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
         .filter(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
     )
 
 
 def fit_sq8_bounds(
-    embeddings: DataFrame, vec_col: str = "embedding"
+    embeddings: DataFrame, vec_col: str = "embedding", q: float | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Scalar-quantizer bounds: exact per-dimension (min, max) over the
-    corpus — one posexplode + groupBy job, write-time cost like every
-    other index build here.  -> (lo, hi) arrays of length dim."""
-    rows = (
-        embeddings.select(
-            F.posexplode(F.col(vec_col)).alias("__d", "__x")
+    """Scalar-quantizer bounds: per-dimension (lo, hi) over the corpus —
+    one posexplode + groupBy job, write-time cost like every other index
+    build here.  -> (lo, hi) arrays of length dim.
+
+    ``q=None`` (default): exact min/max — bit-mirrorable by a DuckDB
+    oracle (min/max of doubles is order-independent), right for clean
+    corpora.  ``q=0.999``-style: quantile bounds via ``approx_percentile``
+    (lo = the 1-q quantile, hi = the q quantile) — the FAISS
+    ``ScalarQuantizer`` RangeStat-quantile recipe: on a heavy-tailed
+    corpus a single outlier per dimension stretches the exact range and
+    squashes the useful 8-bit resolution; quantile bounds keep the step
+    sized to the BULK of the mass (clamping the tail) — recall impact
+    measured in EXPERIMENTS §14b."""
+    per_dim = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("__d", "__x")
+    ).groupBy("__d")
+    if q is None:
+        agg = per_dim.agg(F.min("__x").alias("lo"), F.max("__x").alias("hi"))
+    else:
+        if not 0.5 < q <= 1.0:
+            raise ValueError(f"fit_sq8_bounds: q must be in (0.5, 1], got {q}")
+        agg = per_dim.agg(
+            F.percentile_approx("__x", 1.0 - q).alias("lo"),
+            F.percentile_approx("__x", q).alias("hi"),
         )
-        .groupBy("__d")
-        .agg(F.min("__x").alias("lo"), F.max("__x").alias("hi"))
-        .orderBy("__d")
-        .collect()
-    )
+    rows = agg.orderBy("__d").collect()
     if not rows:
         raise ValueError(
             f"fit_sq8_bounds: no non-NULL {vec_col!r} rows — cannot fit"
@@ -291,15 +399,24 @@ def with_sq8_codes(
     (lo, 1/step) ride as array LITERALS inside one transform, so BOTH
     encode and serve are zero-Python, whole-stage-codegen column ops.
     code_i = clamp(floor((x_i - lo_i) / step_i), 0, 255); a degenerate
-    dimension (lo == hi) encodes 0.  NULL vectors encode NULL."""
+    dimension (lo == hi) encodes 0.  NULL vectors encode NULL, and so do
+    wrong-length vectors (the size() guard below): without it,
+    element_at past the bounds array under Spark 4's default ANSI mode
+    throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT and one malformed row aborts
+    the corpus-wide write-time job — PQ's encoder maps those rows to NULL
+    and SQ8 keeps the same convention (ADVICE r8).  With quantile bounds
+    (fit_sq8_bounds q != None) out-of-range tail values clamp to 0/255 —
+    exactly the range-stat tail clipping the quantile recipe intends."""
     lo, hi = (np.asarray(b, dtype=np.float64) for b in bounds)
+    dim = lo.shape[0]
     step = (hi - lo) / 255.0
     inv = np.where(step > 0, 1.0 / np.where(step > 0, step, 1.0), 0.0)
     expr = (
+        f"CASE WHEN size(`{vec_col}`) = {dim} THEN "
         f"transform(`{vec_col}`, (x, i) -> CAST(least(greatest("
         f"floor((CAST(x AS DOUBLE) - element_at({_double_array_sql(lo)}, "
         f"i + 1)) * element_at({_double_array_sql(inv)}, i + 1)), 0), 255) "
-        "AS INT))"
+        "AS INT)) ELSE NULL END"
     )
     return df.withColumn(code_col, F.expr(expr))
 
@@ -320,21 +437,36 @@ def sq8_dot_topk(
 
     — a query-time constant plus a weighted fold over the code array with
     per-dimension literal weights: one rendered expression, zero Python,
-    scan reads only (id, codes).  Output: (id_col, sq8_ip)."""
+    scan reads only (id, codes).  Output: (id_col, sq8_ip).
+
+    Rows whose code array's length differs from the bounds dim are
+    REJECTED loudly (a mismatched bounds/codes artifact pairing would
+    otherwise zip_with-null-pad to a NULL score that silently sorts last
+    — quietly wrong top-k, ADVICE r8); the constant and per-dim weights
+    are sequential single-op derivations of the bounds, so the whole
+    score is bit-mirrorable by a DuckDB list_reduce oracle."""
     lo, hi = (np.asarray(b, dtype=np.float64) for b in bounds)
+    dim = lo.shape[0]
     q = np.asarray(query_vec, dtype=np.float64)
-    if q.shape[0] != lo.shape[0]:
+    if q.shape[0] != dim:
         raise ValueError(
-            f"sq8_dot_topk: query dim {q.shape[0]} != bounds dim "
-            f"{lo.shape[0]}"
+            f"sq8_dot_topk: query dim {q.shape[0]} != bounds dim {dim}"
         )
     step = (hi - lo) / 255.0
-    w = q * step  # per-dim weight on the integer code
-    const = float(q @ lo)
+    w = q * step  # per-dim weight on the integer code (one multiply each)
+    # sequential fold, NOT np.dot: BLAS may block/pairwise-sum, and this
+    # constant must be the bit-exact twin of the oracle's list_reduce
+    const = 0.0
+    for i in range(dim):
+        const += float(q[i]) * float(lo[i])
     expr = (
+        f"CASE WHEN size(`{code_col}`) = {dim} THEN "
         f"{const!r}D + aggregate(zip_with(`{code_col}`, "
         f"{_double_array_sql(w)}, (c, w) -> c * w), 0.0D, "
-        "(acc, x) -> acc + x)"
+        "(acc, x) -> acc + x) "
+        f"ELSE raise_error(concat('sq8_dot_topk: code array length ', "
+        f"CAST(size(`{code_col}`) AS STRING), ' != bounds dim {dim} — "
+        f"mismatched bounds/codes artifacts')) END"
     )
     return (
         codes_df.where(F.col(code_col).isNotNull())

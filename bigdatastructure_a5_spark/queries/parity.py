@@ -53,32 +53,12 @@ def filter_eq_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project(out, ["p_partkey", "p_name", "p_brand", "p_type", "p_size"])
 
 
-# ---------------------------------------------------------------------------
-# O1/O3 — point filter on a date over the big fact table
-# (Q3_orders_by_date, reference query_simulator/queries.py:48-62)
-# ---------------------------------------------------------------------------
-@query(
-    "filter_date_point",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity,
-           CAST(l_shipdate AS DATE) AS ship_date
-    FROM lineitem
-    WHERE CAST(l_shipdate AS DATE) = DATE '2000-04-04'
-    """,
-    tags=("O1", "O3"),
-)
-def filter_date_point(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3_orders_by_date analogue (sel ~ 1/NDV(date)); at scale this is the
-    query partition-pruned by a date-partitioned layout (O3)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.filter(
-        F.to_date("l_shipdate") == F.lit("2000-04-04").cast("date")
-    ).select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_quantity",
-        F.to_date("l_shipdate").alias("ship_date"),
-    )
+# NOTE (r9 registry rotation): the former ``filter_date_point`` query
+# (Q3_orders_by_date analogue: point date filter over lineitem) was
+# rotated out of the 50-slot registry for the quantization/layout gate
+# queries (queries/quant_queries.py) — O1 point-filter semantics stay
+# gated via filter_eq_conjunctive, date typing via agg_prefiltered's
+# YEAR/MONTH predicates and the shard-targeted scan's pruning plan test.
 
 
 # ---------------------------------------------------------------------------

@@ -98,32 +98,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_stats",
-    oracle=rf"""
-    SELECT doc_id,
-           LENGTH(text) AS n_chars,
-           LEN(STRING_SPLIT({_NORM_SQL}, ' ')) AS n_tokens,
-           LEN(LIST_DISTINCT(STRING_SPLIT({_NORM_SQL}, ' '))) AS n_distinct_tokens,
-           LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS n_bpe_tokens
-    FROM documents
-    """,
-    tags=("ext:text",),
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics — the quality-scoring raw features,
-    plus the LLM token-budget proxy (count of BPE-pretokenizer pieces:
-    word spans and single punctuation marks).  One scan covers both the
-    whitespace and BPE-ish counting the pipeline needs."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
-        bpe_token_count("text").alias("n_bpe_tokens"),
-    )
+# NOTE (r9 registry rotation): the former ``text_stats`` query (per-doc
+# char/token/distinct-token/BPE-piece counts) was rotated out of the
+# 50-slot registry in favor of the quantization/layout gate queries
+# (queries/quant_queries.py) — its features overlap text_quality's
+# oracle-checked raw features and text_fingerprint's scan, and
+# bpe_token_count keeps direct pytest coverage
+# (tests/test_text_multimodal.py::test_bpe_token_count).
 
 
 #: DuckDB twin of operators.dedup.shingle_sets (word trigrams, distinct):
@@ -543,7 +524,6 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 from bigdatastructure_a5_spark.operators.text import (  # noqa: E402
     STOPWORDS,
-    bpe_token_count,
     lang_id,
     quality_score,
     rolling_fingerprint,
@@ -682,6 +662,41 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).select("media_id", "kind", "n_bytes")
 
 
+def _head_vectors(spark: SparkSession, sf_dir: str, n: int):
+    """Fetch the ``n`` lowest-id embedding rows — the shared seed-point
+    codebook + query-vector fetch for the deterministic ANN gate queries
+    (sim_ann_ivf, sim_pq_adc).  Local corpus: pyarrow point-read on the n
+    lowest ids — codebook METADATA, no Spark job; non-local: the same
+    n-row fetch as a keyed scan."""
+    from bigdatastructure_a5_spark.catalog import local_table_path
+
+    path = local_table_path(sf_dir, "embeddings")
+    if path is not None:
+        from types import SimpleNamespace
+
+        import pyarrow.parquet as pq
+
+        import heapq
+
+        ids = pq.read_table(path, columns=["vec_id"]).column("vec_id")
+        # nsmallest over the Arrow column: O(n) with an n-slot heap, no
+        # full materialize-and-sort of the id column in Python (the x10/
+        # x100 local gates run this path on millions of ids)
+        cut = heapq.nsmallest(n, (i.as_py() for i in ids))
+        t = pq.read_table(
+            path, filters=[("vec_id", "in", cut)]
+        ).sort_by("vec_id")
+        return [
+            SimpleNamespace(vec_id=i, embedding=e)
+            for i, e in zip(
+                t.column("vec_id").to_pylist(),
+                t.column("embedding").to_pylist(),
+            )
+        ]
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    return emb_all.orderBy("vec_id").limit(n).collect()
+
+
 @query(
     "sim_ann_ivf",
     # DuckDB twin of ivf_topk(centroid_mode="seed_points"): codebook = the 16
@@ -728,38 +743,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     production mode); recall additionally measured in tests."""
     from bigdatastructure_a5_spark.operators.similarity import ivf_topk
 
-    from bigdatastructure_a5_spark.catalog import local_table_path
-
     emb_all = load_table(spark, sf_dir, "embeddings")
     # one fetch gets the query vector AND the 16-seed codebook (the 17
-    # lowest ids normally include vec_id 0, the query).  Local corpus:
-    # pyarrow point-read on the 17 lowest ids — codebook METADATA, no
-    # Spark job; non-local: the same 17-row fetch as a keyed scan.
-    path = local_table_path(sf_dir, "embeddings")
-    if path is not None:
-        from types import SimpleNamespace
-
-        import pyarrow.parquet as pq
-
-        import heapq
-
-        ids = pq.read_table(path, columns=["vec_id"]).column("vec_id")
-        # nsmallest over the Arrow column: O(n) with a 17-slot heap, no
-        # full materialize-and-sort of the id column in Python (the x10/
-        # x100 local gates run this path on millions of ids)
-        cut = heapq.nsmallest(17, (i.as_py() for i in ids))
-        t = pq.read_table(
-            path, filters=[("vec_id", "in", cut)]
-        ).sort_by("vec_id")
-        head = [
-            SimpleNamespace(vec_id=i, embedding=e)
-            for i, e in zip(
-                t.column("vec_id").to_pylist(),
-                t.column("embedding").to_pylist(),
-            )
-        ]
-    else:
-        head = emb_all.orderBy("vec_id").limit(17).collect()
+    # lowest ids normally include vec_id 0, the query)
+    head = _head_vectors(spark, sf_dir, 17)
     qv_row = next((r for r in head if r.vec_id == 0), None)
     if qv_row is not None:
         qv = [float(x) for x in qv_row.embedding]

@@ -211,27 +211,11 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "set_intersect",
-    oracle="""
-    SELECT c_custkey FROM (
-      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-      INTERSECT
-      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
-    ) t
-    """,
-    tags=("ext:setops",),
-)
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct): building-segment customers who have a finished
-    order — completes the set-operation family (union/except/intersect)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = o.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return a.intersect(b)
+# NOTE (r9 registry rotation): the former ``set_intersect`` query was
+# rotated out of the 50-slot registry for the quantization/layout gate
+# queries (queries/quant_queries.py) — UNION/EXCEPT stay gated via
+# set_operations, and INTERSECT keeps an engine-vs-oracle pytest
+# (tests/test_tools.py::test_intersect_matches_duckdb).
 
 
 @query(

@@ -88,6 +88,7 @@ def _load_all() -> None:
         events_queries,
         parity,
         pipeline,
+        quant_queries,
         sql_surface,
     )
 

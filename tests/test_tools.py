@@ -487,3 +487,46 @@ def test_oracle_cache_roundtrip(tmp_path, monkeypatch):
     # different fixture dir -> different cache entry (no false sharing)
     other = cc._run_oracle(con, "/tmp/bds_x99_other", sql, True)
     assert other[4] is False
+
+
+def test_intersect_matches_duckdb(spark, sf_dir):
+    """INTERSECT stays engine-vs-oracle checked after the r9 registry
+    rotation (its former registry slot, set_intersect, went to the
+    quantization/layout gate queries — VERDICT r8 item 1): DataFrame
+    .intersect must return the same distinct key set as DuckDB's
+    INTERSECT over the same parquet."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bigdatastructure_a5_spark.catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    got = sorted(
+        r.c_custkey
+        for r in c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .intersect(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_custkey").alias("c_custkey")
+            )
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0

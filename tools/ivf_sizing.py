@@ -122,6 +122,39 @@ def scaled_embeddings(spark, copies: int, jitter: float = JITTER):
     )
 
 
+def midpoint_probes(emb, copies: int, n_queries: int) -> list[list[float]]:
+    """Held-out recall probes: midpoints of corpus vector pairs from
+    DIFFERENT rotation classes (shared by §12 ivf_sizing and §14
+    pq_sizing — one derivation so their recall columns can't drift).
+
+    The deterministically-spread low-id draw is all copy 0 — the identity
+    rotation class — so (ADVICE r8) the B parent of each pair is
+    re-fetched as the copy-1 (rotate-by-1 + jitter) twin of its base
+    vector: same id + the 10M copy stride.  At copies == 1 there is only
+    one class and the pairs are distinct copy-0 bases."""
+    parents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id")
+        .limit(1 + 37 * (2 * n_queries - 1))
+        .collect()[::37]
+    ]
+    base_vs = [v for _, v in parents]
+    if copies > 1:
+        twin_ids = [pid + 10_000_000 for pid, _ in parents[1::2]]
+        twins = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id").isin(twin_ids)).collect()
+        }
+        base_vs = [
+            twins[pid + 10_000_000] if idx % 2 else v
+            for idx, (pid, v) in enumerate(parents)
+        ]
+    return [
+        [a + b for a, b in zip(base_vs[2 * i], base_vs[2 * i + 1])]
+        for i in range(len(base_vs) // 2)
+    ]
+
+
 def measure(spark) -> list[str]:
     from bigdatastructure_a5_spark.operators.similarity import (
         auto_cells,
@@ -146,16 +179,7 @@ def measure(spark) -> list[str]:
         # quantizer keeps in one cell — recall saturates; a midpoint's true
         # neighbors split across both parents' cell neighborhoods, so
         # recall prices the probe width (see module docstring)
-        base_vs = [
-            [float(x) for x in r["embedding"]]
-            for r in emb.orderBy("vec_id")
-            .limit(1 + 37 * (2 * N_QUERIES - 1))
-            .collect()[:: 37]
-        ]
-        qvs = [
-            [a + b for a, b in zip(base_vs[2 * i], base_vs[2 * i + 1])]
-            for i in range(len(base_vs) // 2)
-        ]
+        qvs = midpoint_probes(emb, copies, N_QUERIES)
         exact = {
             i: [r.vec_id for r in brute_force_topk(emb, qv, k=10).collect()]
             for i, qv in enumerate(qvs)

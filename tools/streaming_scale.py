@@ -152,6 +152,120 @@ def measure(spark, copy_points) -> list[str]:
     return rows
 
 
+def run_join_microbatched(
+    spark, events_dir: str, n_files: int, provider: str | None
+) -> dict:
+    """The x100 error-click interval join driven as ~``n_files``
+    microbatches (ts-range-split files + ``maxFilesPerTrigger=1`` under
+    AvailableNow — a long-running job's arrival order), optionally under
+    the RocksDB provider.  -> summary dict (summarize_progress shape)."""
+    import bigdatastructure_a5_spark.streaming.events as _stream_events
+    from bigdatastructure_a5_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+    from bigdatastructure_a5_spark.streaming.joins import stream_interval_join
+
+    from pyspark.sql import functions as F
+
+    reader = (
+        spark.readStream.schema(
+            spark.read.parquet(events_dir).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+    )
+    ev = reader.load(events_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = stream_interval_join(
+        errors, clicks, on="user_id", low_seconds=-14400, high_seconds=0
+    ).select("event_id", "user_id", "ts", "r_ts", "r_click_id")
+
+    caps: list[tuple[str, list[dict]]] = []
+    _stream_events.STREAMING_OBSERVER = lambda sink, progress: caps.append(
+        (sink, progress)
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    if provider:
+        spark.conf.set(key, provider)
+    t0 = time.perf_counter()
+    try:
+        out = run_stream_to_memory(
+            spark,
+            joined,
+            name=f"amortize_{'rocksdb' if provider else 'hdfs'}",
+            output_mode="append",
+            state_partitions=2,
+        )
+        out_rows = out.count()
+    finally:
+        _stream_events.STREAMING_OBSERVER = None
+        if provider:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+    wall = time.perf_counter() - t0
+    return summarize_progress("amortization", caps, wall, out_rows)
+
+
+def amortization_rows(spark, copies: int = 100, n_files: int = 10) -> list[str]:
+    """§13b (VERDICT r8 item 6): per-batch wall AFTER the first batch,
+    both providers — is RocksDB's one-shot ~5x wall penalty setup cost
+    (amortized by a long-running job) or per-batch write amplification?"""
+    import shutil as _shutil
+    import statistics as _stats
+
+    from scale_fixtures import ensure_x10
+
+    from bigdatastructure_a5_spark.catalog import load_table
+
+    sf_dir = BASE if copies == 1 else ensure_x10(BASE, copies)
+    split_dir = Path(f"/tmp/bds_stream_split_x{copies}_{n_files}")
+    if not (split_dir / "_SUCCESS").exists():
+        _shutil.rmtree(split_dir, ignore_errors=True)
+        # ts-range split: each microbatch is a contiguous time slice — the
+        # arrival order a long-running job actually sees (file source
+        # picks files in path order, which matches the range partitioning)
+        from pyspark.sql import functions as F
+
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(n_files, F.col("ts"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(str(split_dir))
+        )
+    rows = []
+    for label, provider in (
+        ("in-memory (HDFSBacked)", None),
+        ("RocksDB", _ROCKSDB),
+    ):
+        r = run_join_microbatched(spark, str(split_dir), n_files, provider)
+        data_batches = [
+            b for b in r["batches"] if b["input_rows"] > 0
+            and b["batch_ms"] is not None
+        ]
+        first = data_batches[0]["batch_ms"] / 1000 if data_batches else float("nan")
+        steady = (
+            _stats.median(b["batch_ms"] / 1000 for b in data_batches[1:])
+            if len(data_batches) > 1
+            else float("nan")
+        )
+        rows.append(
+            f"| x{copies} / {n_files} files | {label} | "
+            f"{len(data_batches)} | {first:.2f} | {steady:.2f} | "
+            f"{r['wall']:.1f} | {r['out_rows']:,} |"
+        )
+        print(rows[-1])
+    return rows
+
+
 def main() -> None:
     from bigdatastructure_a5_spark.session import get_spark
 
@@ -161,6 +275,7 @@ def main() -> None:
     spark = get_spark("streaming-scale")
     spark.sparkContext.setLogLevel("ERROR")
     rows = measure(spark, copy_points)
+    amort_rows = amortization_rows(spark, max(copy_points))
     section = "\n".join(
         [
             SECTION,
@@ -213,15 +328,30 @@ def main() -> None:
             "identical 402,000 state rows while the state operator's",
             "heap accounting drops 104.3 MB -> 0.8 MB (state now lives",
             "in native RocksDB memtables/SSTs), at ~5x the batch wall",
-            "(2.1 s -> 11.4 s: provider setup + write amplification on",
-            "a one-shot AvailableNow batch; a long-running job amortizes",
-            "the setup and pays only the per-batch I/O) — the classic",
-            "heap-for-latency trade, priced; the other two",
+            "on a ONE-SHOT AvailableNow batch (provider setup + write",
+            "amplification) — §13b below separates those two costs with",
+            "a microbatched run; the other two",
             "production levers are narrowing the watermark/interval",
             "horizon (state is proportional to it) and raising state",
             "partitions so each store shard stays heap-sized (the same",
             "initial-partition-count boundary §11 names for batch",
             "spill).",
+            "",
+            "### 13b. RocksDB amortization: first batch vs steady state",
+            "",
+            "The same x100 interval join driven as ~10 microbatches",
+            "(events ts-range-split into 10 files, `maxFilesPerTrigger=1`",
+            "under AvailableNow — a long-running job's arrival order),",
+            "both providers.  'batch 0' carries provider/checkpoint",
+            "setup; 'steady' is the median wall of the later data",
+            "batches — the number a long-running job actually pays per",
+            "batch (VERDICT r8 item 6: previously asserted, now",
+            "measured).",
+            "",
+            "| corpus | provider | data batches | batch 0 s | "
+            "steady s | run wall s | out rows |",
+            "| --- | --- | --- | --- | --- | --- | --- |",
+            *amort_rows,
         ]
     )
     path = REPO / "EXPERIMENTS.md"
