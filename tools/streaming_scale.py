@@ -174,7 +174,11 @@ def run_join_microbatched(
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
     )
-    ev = reader.load(events_dir)
+    # the batch rewrite stores ts as TIMESTAMP_NTZ (no UTC adjustment in
+    # the parquet footer); watermarks require TIMESTAMP
+    ev = reader.load(events_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
@@ -241,6 +245,19 @@ def amortization_rows(spark, copies: int = 100, n_files: int = 10) -> list[str]:
             .write.mode("overwrite")
             .parquet(str(split_dir))
         )
+    # the file source admits files oldest-MTIME-first, but parallel write
+    # tasks finish out of order — without forcing mtimes ascending in
+    # ts-range (= path) order, later time slices can arrive first, the
+    # watermark races ahead, and earlier slices are dropped as late
+    # (measured: 64 of 168 pairs survive at x1).  A long-running
+    # production job sees event-time-ordered arrival; model that.
+    import os as _os
+    import time as _time
+
+    part_files = sorted(split_dir.glob("part-*.parquet"))
+    base_t = _time.time() - len(part_files)
+    for i, f in enumerate(part_files):
+        _os.utime(f, (base_t + i, base_t + i))
     rows = []
     for label, provider in (
         ("in-memory (HDFSBacked)", None),
@@ -327,10 +344,11 @@ def main() -> None:
             "the last row: the same x100 join under RocksDB keeps the",
             "identical 402,000 state rows while the state operator's",
             "heap accounting drops 104.3 MB -> 0.8 MB (state now lives",
-            "in native RocksDB memtables/SSTs), at ~5x the batch wall",
-            "on a ONE-SHOT AvailableNow batch (provider setup + write",
-            "amplification) — §13b below separates those two costs with",
-            "a microbatched run; the other two",
+            "in native RocksDB memtables/SSTs), at ~3.5x the batch wall",
+            "(2.31 s -> 8.13 s) on a ONE-SHOT AvailableNow batch",
+            "(provider setup + write amplification) — §13b below",
+            "separates those two costs with a microbatched run; the",
+            "other two",
             "production levers are narrowing the watermark/interval",
             "horizon (state is proportional to it) and raising state",
             "partitions so each store shard stays heap-sized (the same",
@@ -352,6 +370,16 @@ def main() -> None:
             "steady s | run wall s | out rows |",
             "| --- | --- | --- | --- | --- | --- | --- |",
             *amort_rows,
+            "",
+            "Reading: the one-shot penalty decomposes.  Setup",
+            "AMORTIZES: RocksDB's first microbatch costs about the",
+            "in-memory provider's.  What remains is a real ~2x",
+            "PER-BATCH cost at this state size (0.88 -> 1.73 s/batch:",
+            "every state update writes through the native store and",
+            "each commit uploads its changelog) — so 'a long-running",
+            "job amortizes the setup' is true, but steady state is",
+            "per-batch-I/O-priced, not free: switch providers when",
+            "state approaches the heap ceiling, not before.",
         ]
     )
     path = REPO / "EXPERIMENTS.md"
