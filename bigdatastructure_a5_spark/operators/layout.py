@@ -104,19 +104,46 @@ def with_zorder_key(
     ``bits=None`` uses ZORDER_BITS, auto-shrunk to ``63 // len(cols)``
     when the default would overflow the signed 64-bit key (4+ columns) —
     an explicit ``bits`` that overflows still raises in
-    morton_interleave."""
+    morton_interleave.
+
+    Column types: numerics rank directly; DATE ranks as days since epoch
+    (``unix_date``) and TIMESTAMP as microseconds (``unix_micros``) —
+    caller-supplied ``bounds`` for those columns are in the same units.
+    STRING columns raise: an order-preserving rank needs a dictionary
+    pre-pass (distinct -> dense rank -> join) whose cost/benefit is a
+    caller decision — rank it to an integer column first, or make the
+    string the coarse ``partitionBy`` key and Z-order the residual
+    columns (the §15b composition)."""
+    from pyspark.sql.types import DateType, StringType, TimestampType
+
     if bits is None:
         bits = min(ZORDER_BITS, 63 // max(len(cols), 1))
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    exprs: dict[str, Column] = {}
+    for c in cols:
+        dt = by_name.get(c)
+        if isinstance(dt, StringType):
+            raise ValueError(
+                f"with_zorder_key: column {c!r} is a string — rank it to "
+                "an integer first (dictionary pre-pass) or use it as the "
+                "partitionBy key and Z-order the other columns"
+            )
+        if isinstance(dt, DateType):
+            exprs[c] = F.unix_date(F.col(c))
+        elif isinstance(dt, TimestampType):
+            exprs[c] = F.unix_micros(F.col(c))
+        else:
+            exprs[c] = F.col(c)
     if bounds is None:
         agg = df.agg(
-            *[F.min(c).alias(f"lo_{c}") for c in cols],
-            *[F.max(c).alias(f"hi_{c}") for c in cols],
+            *[F.min(exprs[c]).alias(f"lo_{c}") for c in cols],
+            *[F.max(exprs[c]).alias(f"hi_{c}") for c in cols],
         ).first()
         bounds = {
             c: (float(agg[f"lo_{c}"]), float(agg[f"hi_{c}"])) for c in cols
         }
     ranks = [
-        scale_to_rank(F.col(c), bounds[c][0], bounds[c][1], bits)
+        scale_to_rank(exprs[c], bounds[c][0], bounds[c][1], bits)
         for c in cols
     ]
     return df.withColumn(key_col, morton_interleave(ranks, bits))

@@ -114,3 +114,30 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         spark.read.parquet(zdir).orderBy("a", "b").collect()
         == spark.read.parquet(sdir).orderBy("a", "b").collect()
     )
+
+
+def test_zorder_key_date_timestamp_and_string_types(spark):
+    """Non-numeric rank inputs: DATE ranks as days (unix_date), TIMESTAMP
+    as micros (unix_micros) — same key as pre-converting by hand — and a
+    STRING column is refused with guidance (rank pre-pass or partitionBy,
+    the §15b composition) instead of failing deep in the cast."""
+    from bigdatastructure_a5_spark.operators.layout import with_zorder_key
+
+    df = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (DATE'2000-01-01', TIMESTAMP'2000-01-01 00:00:00', 'A', 1),
+          (DATE'2000-06-15', TIMESTAMP'2000-06-15 12:00:00', 'N', 2),
+          (DATE'2000-12-31', TIMESTAMP'2000-12-31 23:59:59', 'R', 3)
+        AS t(d, ts, flag, x)
+        """
+    )
+    keyed = with_zorder_key(df, ["d", "x"]).select("x", "__z").collect()
+    manual = with_zorder_key(
+        df.withColumn("d", F.unix_date("d")), ["d", "x"]
+    ).select("x", "__z").collect()
+    assert sorted(map(tuple, keyed)) == sorted(map(tuple, manual))
+    ts_keyed = with_zorder_key(df, ["ts", "x"]).select("__z").collect()
+    assert len({r["__z"] for r in ts_keyed}) == 3  # distinct keys, no error
+    with pytest.raises(ValueError, match="string"):
+        with_zorder_key(df, ["flag", "x"])
