@@ -312,7 +312,18 @@ def sq8_outlier_rows(spark, copies: int = 100) -> list[str]:
     standard failure mode one outlier per dimension causes: exact bounds
     stretch to the tail and squash the 8-bit resolution for the 99.9%
     bulk; quantile bounds (fit_sq8_bounds(q=0.999), the FAISS RangeStat
-    recipe) keep the step sized to the mass and clamp the tail."""
+    recipe) keep the step sized to the mass and clamp the tail.
+
+    Bounds are FIT on the dirty corpus; recall is EVALUATED over the
+    99.9% bulk (ground truth and serve both filtered to non-outliers).
+    That split is the point of the experiment, not a convenience: over a
+    corpus containing 50x-norm rows, inner-product ranking is dominated
+    by the outliers for ANY encoder — a MIPS property, not a
+    quantization artifact — while the question VERDICT r8 item 5 asks is
+    strictly about FIT time: does one tail row per dimension destroy the
+    encode resolution of everything else?  On the unit-norm bulk,
+    inner product == cosine, so sq8_dot_topk and brute_force_topk rank
+    on the same metric and recall isolates the quantization error."""
     from ivf_sizing import midpoint_probes, scaled_embeddings
 
     from bigdatastructure_a5_spark.operators.quantization import (
@@ -336,9 +347,15 @@ def sq8_outlier_rows(spark, copies: int = 100) -> list[str]:
         .persist()
     )
     n = dirty.count()
+    is_bulk = F.expr("pmod(hash(vec_id), 1000) != 0")
+    bulk = dirty.filter(is_bulk)
+    # probes draw from the dirty corpus (midpoint_probes refetches twin
+    # ids that the bulk filter could have removed); a x50-scaled parent
+    # only scales the probe, which scales every score uniformly and
+    # changes no ranking
     qvs = midpoint_probes(dirty, copies, N_QUERIES)
     exact = {
-        i: [r.vec_id for r in brute_force_topk(dirty, qv, k=10).collect()]
+        i: [r.vec_id for r in brute_force_topk(bulk, qv, k=10).collect()]
         for i, qv in enumerate(qvs)
     }
     rows = []
@@ -353,7 +370,7 @@ def sq8_outlier_rows(spark, copies: int = 100) -> list[str]:
         with_sq8_codes(dirty, bounds).select(
             "vec_id", "sq8_code"
         ).write.mode("overwrite").parquet(str(store))
-        stored = spark.read.parquet(str(store))
+        stored = spark.read.parquet(str(store)).filter(is_bulk)
         hits = total = 0
         for i, qv in enumerate(qvs):
             got = {
@@ -413,7 +430,7 @@ def main() -> None:
             "dim-64 float64 vector stores at 521 B/vec (3 KB at a",
             "production dim-768 float32); the SQ8 middle tier (one int8",
             "per dimension, encode AND serve pure rendered expressions)",
-            "stores at 70 B/vec — a 7.4x cut at 92% recall on natural",
+            "stores at 70 B/vec — a 7.4x cut at 90% recall on natural",
             "margins (x100) — while PQ codes store at 13 B/vec",
             "(m=8) and 22 B/vec (m=16) — a 24-40x cut that is the",
             "difference between 'the corpus fits in executor memory /",
@@ -421,36 +438,47 @@ def main() -> None:
             "vectors (1e9 x 22 B = 22 GB vs 3 TB raw).  The table shows",
             "the transition: at 200k rows (104 MB raw) everything fits",
             "cache, the serve is compute-bound, and secs/query tracks",
-            "the byte cut only weakly (~2x); at 2M rows (1.0 GB raw) the",
-            "brute scan is I/O-bound at ~3 s/q while ADC over 25-45 MB",
-            "of codes serves at ~0.35-0.6 — a 5-8x wall win that GROWS",
+            "the byte cut only weakly; at 2M rows (1.0 GB raw) the",
+            "brute scan is I/O-bound at ~3.3 s/q while ADC over 25-45 MB",
+            "of codes serves at ~0.35-0.7 — a 5-9x wall win that GROWS",
             "with corpus size, which is the whole point.  On this",
             "near-uniform corpus (PQ's hardest case: neighbors are",
             "weakly separated, so code collisions blur ranking) raw ADC",
-            "recall is moderate and FALLS with density (44%/62% at 200k",
-            "-> 24%/38% at 2M for m=8/16; even SQ8's ~1e-3 dot noise",
-            "drops to 72% at 2M — the x1000 jitter clouds pack the whole",
+            "recall is moderate and FALLS with density (46%/66% at 200k",
+            "-> 26%/38% at 2M for m=8/16; even SQ8's ~1e-3 dot noise",
+            "drops to 68% at 2M — the x1000 jitter clouds pack the whole",
             "top-10 inside quantization noise, so the binding limit is",
             "NEIGHBOR MARGIN, not corpus size) while the exact-refine",
-            "tier recovers it (62%/88% -> 92%/100%) at 4k-candidates",
-            "cost —",
+            "tier recovers what survives the shortlist (m=16: 66->90% at",
+            "200k, 38->94% at 2M) at 4k-candidates cost; m=8's refined",
+            "recall sticks at 64% at both scales — its coarser shortlist",
+            "drops true neighbors before refine can rank them, the same",
+            "lost-before-ranked failure as unprobed IVF cells —",
             "the production recipe is always ADC-shortlist + exact-refine",
-            "over a thin vector tier.  IVF-PQ stacks the two independent",
+            "over a thin vector tier, with m sized so the shortlist",
+            "still CONTAINS the answer.  IVF-PQ stacks the two",
+            "independent",
             "reductions: rows scanned (n^(3/4), §12) x bytes per row",
             "(this table) — 2.7% of the corpus at 21 B/vec at x1000,",
-            "serving at ~0.4 s/q — and COMPOUNDS the two approximations'",
+            "serving at ~0.45 s/q — and COMPOUNDS the two approximations'",
             "recall losses: its refine column caps BELOW plain ADC's",
-            "(72% vs 100% at x1000) because true neighbors in unprobed",
-            "cells are gone before ADC or refine ever rank them; the",
-            "recovery dials are n_probe (§12) first, then the refine",
-            "tier.  Train,",
+            "(78% vs 94% at x1000, base probes) because true neighbors",
+            "in unprobed cells are gone before ADC or refine ever rank",
+            "them.  The recovery dial is now MEASURED, not asserted",
+            "(VERDICT r8 item 4): the 2x-probes rows share the same",
+            "build and double n_probe only — refined recall climbs",
+            "52->64% at x100 and 78->86% at x1000 (toward plain ADC's",
+            "94%) at essentially the same serve wall — the scanned share",
+            "doubles to ~5% of the corpus but stays cache-resident at",
+            "21 B/vec — confirming n_probe",
+            "first, refine-tier second as the recovery order.  Train,",
             "encode, and store are all write-time; the LUT build is",
             "codebook-metadata-sized driver work per query (m x k",
             "sub-inner-products), and below PQ_SQL_MAX_LUT entries the",
             "whole serve is a rendered-SQL fold — zero Python stages,",
             "pinned in test_quantization.py.",
             "",
-            "### 14b. SQ8 bounds vs heavy tails: exact min/max collapses,",
+            "### 14b. SQ8 bounds vs heavy tails: exact min/max degrades,",
             "quantile holds",
             "",
             "Same x100 corpus with deterministic injected outliers (0.1%",
@@ -461,9 +489,17 @@ def main() -> None:
             "(`fit_sq8_bounds(q=0.999)` via approx_percentile — the FAISS",
             "ScalarQuantizer RangeStat recipe) size the step to the mass",
             "and clamp the 0.1% tail to code 0/255 (the encode's",
-            "least/greatest clamp IS the tail clipping).  Same held-out",
-            "midpoint probes; recall vs brute force on the same dirty",
-            "corpus.",
+            "least/greatest clamp IS the tail clipping).  Bounds are fit",
+            "on the DIRTY corpus; recall is evaluated over the 99.9%",
+            "BULK (ground truth and serve both exclude the outlier rows)",
+            "— over a corpus with 50x-norm rows, inner-product ranking",
+            "is dominated by the outliers for any encoder (a MIPS",
+            "property, not a quantization artifact), while the fit-time",
+            "question is whether the tail destroys the bulk's encode",
+            "resolution; on the unit-norm bulk, inner product == cosine,",
+            "so the approximate and exact rankings share a metric and",
+            "recall isolates the quantization error.  Same held-out",
+            "midpoint probes.",
             "",
             "| corpus | n vecs | bounds | median step | recall@10 |",
             "| --- | --- | --- | --- | --- |",
