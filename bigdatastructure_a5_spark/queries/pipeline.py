@@ -277,6 +277,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontam_benchmark",
+    oracle=_SHINGLES_SQL
+    + """
+    , bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 7),
+    corp  AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 != 7),
+    bx AS (SELECT doc_id AS bench_id, LEN(s) AS bench_size,
+                  UNNEST(s) AS g
+           FROM bench),
+    cx AS (SELECT doc_id AS corpus_id, UNNEST(s) AS g FROM corp),
+    hits AS (
+      SELECT corpus_id, bench_id, COUNT(*) AS overlap,
+             FIRST(bench_size) AS bench_size
+      FROM cx JOIN bx USING (g) GROUP BY 1, 2
+    )
+    SELECT corpus_id, bench_id, overlap, bench_size,
+           CAST(overlap AS DOUBLE) / CAST(bench_size AS DOUBLE)
+             AS containment
+    FROM hits
+    WHERE overlap >= 1
+      AND CAST(overlap AS DOUBLE) / CAST(bench_size AS DOUBLE) >= 0.5
+    """,
+    tags=("ext:decontam",),
+)
+def decontam_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): a deterministic
+    slice of documents (doc_id % 10 == 7) plays the held-out eval set; the
+    operator flags every remaining corpus document whose trigram-shingle
+    containment of a benchmark document reaches 0.5 — on the fixtures,
+    exactly the planted near-duplicates that cross the slice boundary
+    (6 pairs at sf0.01, all containment >= 0.97).  Directional containment
+    |corpus ∩ bench| / |bench| (the GPT-3/PaLM n-gram-collision recipe),
+    NOT symmetric Jaccard: a long document embedding one full benchmark
+    doc flags at ~1.0 even when its Jaccard is ~0.  Integer overlap and
+    size counts -> one deterministic double division, so the oracle
+    hash-matches bit-for-bit."""
+    from bigdatastructure_a5_spark.operators.decontam import (
+        contamination_matches,
+    )
+    from bigdatastructure_a5_spark.session import materialize_release
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    corp = docs.filter(F.col("doc_id") % 10 != 7)
+    tracked: list = []
+    matches = contamination_matches(
+        shingle_sets(corp, "doc_id", "text", 3),
+        shingle_sets(bench, "doc_id", "text", 3),
+        min_containment=0.5,
+        tracker=tracked,
+    )
+    return materialize_release(matches, tracked)
+
+
+@query(
     "neardup_embedding_cosine",
     oracle="""
     WITH e AS (

@@ -185,18 +185,24 @@ def filter_over_intermediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.filter(F.col("n_lines") == 30)
 
 
-@query(
-    "array_functions",
-    oracle="""
+# NOTE (r9 registry rotation, second wave): ``array_functions`` was
+# rotated out of the 50-slot registry for ``decontam_benchmark``
+# (queries/pipeline.py — a NEW operator family vs a third scalar-function
+# slot).  The array toolbox stays double-gated: `scalar_functions` and
+# `events_json_extract` keep the §2.6 scalar row in the driver gate, the
+# oracle-gated `sim_sq8_topk`/`sim_pq_adc` serves are themselves array
+# folds, and this builder keeps an engine-vs-oracle pytest
+# (tests/test_tools.py::test_array_functions_matches_duckdb).
+ARRAY_FUNCTIONS_ORACLE = """
     SELECT vec_id,
            LEN(embedding) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_val,
            CAST(LIST_MAX(embedding) AS DOUBLE) AS max_val,
            LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_positive
     FROM embeddings
-    """,
-    tags=("ext:scalar",),
-)
+    """
+
+
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-column functions over the embedding vectors: size, element
     access, max, filtered count — the array toolbox the reference's type

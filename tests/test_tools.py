@@ -111,6 +111,7 @@ def test_lifted_oracles_match_full_at_x10():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "pipeline_curation",
+        "decontam_benchmark",
     }
 
     def canon(rel):
@@ -528,5 +529,33 @@ def test_intersect_matches_duckdb(spark, sf_dir):
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             """
         ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_array_functions_matches_duckdb(spark, sf_dir):
+    """The array toolbox stays engine-vs-oracle checked after the r9
+    second-wave rotation (its former registry slot went to
+    decontam_benchmark): the unregistered array_functions builder must
+    match its DuckDB oracle cell-for-cell over the same parquet."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.sql_surface import (
+        ARRAY_FUNCTIONS_ORACLE,
+        array_functions,
+    )
+
+    got = sorted(
+        (r.vec_id, r.dim, round(r.first_val, 12), round(r.max_val, 12), r.n_positive)
+        for r in array_functions(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        (r[0], r[1], round(r[2], 12), round(r[3], 12), r[4])
+        for r in con.sql(ARRAY_FUNCTIONS_ORACLE).fetchall()
     )
     assert got == want and len(got) > 0

@@ -129,6 +129,24 @@ _SIMHASH_DOMAIN = (
 )
 
 
+def _lift_decontam(base_sql: str, copies: int) -> str:
+    """Lift the contamination matches: corpus/bench slice membership is
+    copy-invariant (doc_id % 10 is preserved because OFFSET % 10 == 0 —
+    asserted below), texts are verbatim per copy, so the xN answer is
+    exactly the base (corpus_id, bench_id) matches crossed with copies^2
+    id shifts, values unchanged.  No self-pair term: a bench doc's copies
+    keep the bench residue and never enter the corpus side."""
+    assert OFFSET % 10 == 0, "slice residue must survive the copy stride"
+    return f"""
+    WITH bp AS ({base_sql}),
+    copies AS (SELECT UNNEST(RANGE({copies})) AS c)
+    SELECT p.corpus_id + c1.c * {OFFSET} AS corpus_id,
+           p.bench_id + c2.c * {OFFSET} AS bench_id,
+           p.overlap, p.bench_size, p.containment
+    FROM bp p, copies c1, copies c2
+    """
+
+
 def lifted_oracles(copies: int) -> dict[str, str]:
     """name -> exact xN oracle SQL for every liftable pair-family query."""
     _load_all()
@@ -150,5 +168,8 @@ def lifted_oracles(copies: int) -> dict[str, str]:
     )
     out["pipeline_curation"] = _lift_curation(
         _base_restricted(REGISTRY["pipeline_curation"].oracle), copies
+    )
+    out["decontam_benchmark"] = _lift_decontam(
+        _base_restricted(REGISTRY["decontam_benchmark"].oracle), copies
     )
     return out

@@ -65,6 +65,9 @@ OUTPUT_QUADRATIC = {
     "dedup_simhash",
     "neardup_embedding_cosine",
     "pipeline_curation",
+    # xN copies multiply BOTH slices, so the true cross-slice match set is
+    # copies^2 (lifted_oracles._lift_decontam states the arithmetic)
+    "decontam_benchmark",
 }
 
 
