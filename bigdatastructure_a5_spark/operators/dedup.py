@@ -125,6 +125,47 @@ def minhash_signatures(
     return shingled.select("id", sig.alias("sig"))
 
 
+def band_keys(
+    signatures: DataFrame, bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, bhash) — one row per document per LSH band, the join key
+    both candidate generators shuffle on.  Factored out of
+    lsh_candidate_pairs so streaming/dedup.py can persist the SAME keys as
+    its cross-batch index (the stored index and the in-batch join can then
+    never disagree on banding arithmetic).
+
+    Enforces the signature-length precondition at runtime (see
+    lsh_candidate_pairs for why a short signature silently degenerates the
+    self-join to all-pairs)."""
+    needed = bands * rows_per_band
+    guarded_sig = F.when(
+        F.size("sig") >= needed, F.col("sig")
+    ).otherwise(
+        F.raise_error(
+            f"band_keys needs signatures of length >= {needed} "
+            f"(bands={bands} x rows_per_band={rows_per_band}); got a "
+            "shorter one — pass num_hashes >= bands*rows_per_band"
+        )
+    )
+    return signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b,
+                        F.slice(
+                            guarded_sig, b * rows_per_band + 1, rows_per_band
+                        ),
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bhash")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 32,
@@ -140,36 +181,13 @@ def lsh_candidate_pairs(
     join anywhere.
 
     The length precondition is ENFORCED at runtime (one size comparison
-    folded into the banding expression): a signature shorter than
-    bands x rows_per_band would make ``slice`` return an EMPTY array for
-    the tail bands, hashing every document to the same constant bucket —
-    the self-join silently degenerates to all-pairs, destroying the
-    subquadratic guarantee exactly when nothing looks wrong.
+    folded into the banding expression, in band_keys): a signature shorter
+    than bands x rows_per_band would make ``slice`` return an EMPTY array
+    for the tail bands, hashing every document to the same constant
+    bucket — the self-join silently degenerates to all-pairs, destroying
+    the subquadratic guarantee exactly when nothing looks wrong.
     """
-    needed = bands * rows_per_band
-    guarded_sig = F.when(
-        F.size("sig") >= needed, F.col("sig")
-    ).otherwise(
-        F.raise_error(
-            f"lsh_candidate_pairs needs signatures of length >= {needed} "
-            f"(bands={bands} x rows_per_band={rows_per_band}); got a "
-            "shorter one — pass num_hashes >= bands*rows_per_band"
-        )
-    )
-    banded = signatures.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        b, F.slice(guarded_sig, b * rows_per_band + 1, rows_per_band)
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bhash")
+    banded = band_keys(signatures, bands, rows_per_band)
     # The self-join evaluates its child once PER SIDE — without a persist
     # the whole shingle -> minhash -> banding subtree (the expensive
     # 64-min aggregation) runs twice.  The caller releases it via

@@ -1,0 +1,219 @@
+"""Incremental (streaming) deduplication: dedup-at-ingest against an
+accumulating corpus.
+
+Beyond reference scope (the reference has no streaming — SURVEY.md §1.1);
+this is the streaming twin of ``operators.dedup.near_duplicates_minhash``,
+the shape a crawl pipeline actually runs: documents arrive in batches for
+months, and each batch must be deduplicated against EVERYTHING already
+seen without ever re-scanning the corpus pair-wise.
+
+Two tiers:
+
+- ``streaming_exact_dedup``: content-hash exact dedup as a pure
+  Structured Streaming operator (``dropDuplicatesWithinWatermark`` over
+  md5(text) — state is hash-sized, watermark-evicted: the engine-native
+  path when "seen recently" is an acceptable horizon).
+- ``streaming_neardup_writer`` / ``process_batch``: near-dup dedup with
+  UNBOUNDED horizon via ``foreachBatch``.  Executor-memory state cannot
+  hold a corpus-lifetime index, so the state LIVES IN PARQUET — two
+  append-only stores under ``state_dir``:
+
+      bands/     (id, band, bhash)   — the LSH candidate-join keys
+      shingles/  (id, shingles)      — for exact-Jaccard verification
+
+  Each microbatch: (1) within-batch near-dup via the batch operators;
+  (2) cross-batch candidates = batch band-keys JOIN stored bands on
+  (band, bhash) — bucket-key equi-join, never all-pairs; (3) exact
+  verify candidates against stored shingles (candidates-sized join);
+  (4) append the batch's keys for BOTH kept and dropped docs to the
+  stores.  Indexing dropped docs too is what makes the online result
+  EXACTLY the offline one (see below), and it is also the safer
+  semantic: a near-copy of an already-dropped page is still a duplicate.
+
+Equivalence guarantee (pinned by tests/test_streaming_dedup.py): when
+documents arrive in id order, the streamed keep-set equals the batch
+rule "drop id_b of every near_duplicates_minhash pair" — for ANY batch
+split, including everything-in-one-batch.  A new doc y is dropped iff
+some earlier doc x (kept or dropped) has jaccard(x, y) >= threshold,
+which is exactly the offline pair condition x < y.
+
+100 TB notes: the band store grows one row per doc per band — at 10^10
+docs x 32 bands x 24 B that is ~8 TB of plain parquet, scanned per batch
+as a broadcast-or-shuffle equi-join on (band, bhash); partition the
+store on ``pmod(bhash, K)`` (pass ``state_buckets``) so each microbatch
+joins only matching buckets.  The shingle store is read candidates-only
+via an id-equality join.  Checkpointing/exactly-once is foreachBatch's
+contract: both appends are idempotent-enough under retry only if the
+sink dir is per-batch-id committed; production should write batch-id
+suffixed files or use a transactional table format on top.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.operators.dedup import (
+    band_keys,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_sets,
+)
+from bigdatastructure_a5_spark.session import persist_df
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    time_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact content dedup on a STREAMING frame: first arrival within the
+    watermark horizon wins, later identical texts are dropped by the
+    engine's dedup state operator (state holds one 32-hex hash per
+    distinct doc, evicted once the watermark passes it — bounded by the
+    horizon, not the corpus)."""
+    return (
+        stream.withColumn("__h", F.md5(F.col(text_col)))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )
+
+
+def _store_paths(state_dir: str) -> tuple[str, str]:
+    root = Path(state_dir)
+    return str(root / "bands"), str(root / "shingles")
+
+
+def process_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    state_buckets: int | None = None,
+) -> None:
+    """One microbatch of the incremental near-dup flow (the foreachBatch
+    body, callable directly for batch-mode backfills and tests).
+
+    Kept documents append to ``out_dir``; band/shingle keys of ALL batch
+    documents (kept and dropped) append to ``state_dir`` — the invariant
+    the equivalence guarantee rests on.  Documents too short to shingle
+    (< shingle_n words) can match nothing and are kept verbatim."""
+    bands_dir, shingles_dir = _store_paths(state_dir)
+    rows_per_band = num_hashes // bands
+    tracked: list = []
+
+    shingled = persist_df(shingle_sets(batch, id_col, text_col, shingle_n))
+    tracked.append(shingled)
+    sigs = minhash_signatures(shingled, num_hashes)
+    keys = band_keys(sigs, bands, rows_per_band)
+
+    # (1) within-batch: the batch operator's own pair rule
+    within = jaccard_pairs(
+        shingled,
+        threshold,
+        candidates=lsh_candidate_pairs(
+            sigs, bands, rows_per_band, tracker=tracked
+        ),
+        tracker=tracked,
+    ).select(F.col("id_b").alias("id"))
+
+    # (2) + (3) cross-batch: stored bands -> candidates -> exact verify
+    cross = None
+    if Path(bands_dir).exists():
+        stored_bands = spark.read.parquet(bands_dir)
+        if state_buckets is not None:
+            # prune the store read to buckets the batch actually touches
+            batch_buckets = [
+                r.b
+                for r in keys.select(
+                    F.pmod(F.col("bhash"), F.lit(state_buckets)).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            stored_bands = stored_bands.filter(
+                F.col("bucket").isin(batch_buckets)
+            )
+        cands = (
+            keys.join(
+                stored_bands.select(
+                    F.col("id").alias("id_a"), "band", "bhash"
+                ),
+                ["band", "bhash"],
+            )
+            .select("id_a", F.col("id").alias("id_b"))
+            .distinct()
+        )
+        stored_sh = spark.read.parquet(shingles_dir).select(
+            F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+        )
+        batch_sh = shingled.select(
+            F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        cross = (
+            cands.join(stored_sh, "id_a")
+            .join(batch_sh, "id_b")
+            .filter(
+                inter.cast("double") / union.cast("double")
+                >= F.lit(threshold)
+            )
+            .select(F.col("id_b").alias("id"))
+        )
+
+    dropped = within if cross is None else within.union(cross)
+    dropped = persist_df(dropped.distinct())
+    tracked.append(dropped)
+    kept = batch.join(
+        dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    kept.write.mode("append").parquet(out_dir)
+
+    # (4) append ALL batch docs' keys — kept and dropped (see docstring)
+    keys_out = keys
+    if state_buckets is not None:
+        keys_out = keys_out.withColumn(
+            "bucket", F.pmod(F.col("bhash"), F.lit(state_buckets))
+        )
+    writer = keys_out.write.mode("append")
+    if state_buckets is not None:
+        writer = writer.partitionBy("bucket")
+    writer.parquet(bands_dir)
+    shingled.write.mode("append").parquet(shingles_dir)
+    for df in tracked:
+        df.unpersist()
+
+
+def streaming_neardup_writer(
+    stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    **batch_kwargs,
+):
+    """Wire ``process_batch`` as a foreachBatch sink over a STREAMING
+    documents frame; returns the DataStreamWriter (caller picks the
+    trigger and calls .start())."""
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        process_batch(
+            batch.sparkSession, batch, state_dir, out_dir, **batch_kwargs
+        )
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

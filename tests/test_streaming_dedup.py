@@ -1,0 +1,155 @@
+"""Incremental dedup (streaming/dedup.py): the streamed keep-set must
+EQUAL the offline batch rule for any batch split, the real Structured
+Streaming wiring must reproduce it, and the exact tier must drop
+replayed content within the watermark."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.operators.dedup import (
+    near_duplicates_minhash,
+)
+from bigdatastructure_a5_spark.streaming.dedup import (
+    process_batch,
+    streaming_exact_dedup,
+    streaming_neardup_writer,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _batch_keep_set(spark) -> set[int]:
+    """The offline rule: drop id_b of every near-dup pair."""
+    docs = _docs(spark)
+    pairs = near_duplicates_minhash(docs, "doc_id", "text", threshold=0.8)
+    dropped = {r.id_b for r in pairs.collect()}
+    return {r.doc_id for r in docs.collect()} - dropped
+
+
+def _splits(docs, n=3):
+    """Contiguous id-range batches (arrival order == id order, the
+    equivalence precondition)."""
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    bounds = [ids[i * len(ids) // n] for i in range(1, n)] + [ids[-1] + 1]
+    lo = ids[0]
+    out = []
+    for hi in bounds:
+        out.append(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        )
+        lo = hi
+    return out
+
+
+@pytest.mark.parametrize("state_buckets", [None, 8])
+def test_sequential_batches_match_offline_rule(
+    spark, tmp_path, state_buckets
+):
+    docs = _docs(spark)
+    want = _batch_keep_set(spark)
+    out = str(tmp_path / f"out_{state_buckets}")
+    state = str(tmp_path / f"state_{state_buckets}")
+    for b in _splits(docs, 3):
+        process_batch(
+            spark, b, state, out, state_buckets=state_buckets
+        )
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == want
+    assert len(want) < 500  # the planted duplicates actually dropped
+
+
+def test_single_batch_equals_offline_rule(spark, tmp_path):
+    """Degenerate split: everything in one batch — process_batch IS the
+    batch operator then."""
+    docs = _docs(spark)
+    out, state = str(tmp_path / "out1"), str(tmp_path / "state1")
+    process_batch(spark, docs, state, out)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == _batch_keep_set(spark)
+
+
+def test_real_streaming_run_matches_offline_rule(spark, tmp_path):
+    """The foreachBatch wiring over a real file-source stream
+    (maxFilesPerTrigger=1, AvailableNow): same keep-set as offline.
+    File arrival is forced into id order via ascending mtimes — the file
+    source admits oldest-mtime-first while parallel writers finish out
+    of order (the EXPERIMENTS §13b lesson)."""
+    docs = _docs(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    base_t = time.time() - 100
+    for i, b in enumerate(_splits(docs, 3)):
+        p = str(src / f"split_{i}.parquet")
+        b.coalesce(1).write.mode("overwrite").parquet(p)
+        for f in sorted(
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(p)
+            for fn in fns
+        ):
+            os.utime(f, (base_t + i, base_t + i))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = str(tmp_path / "out_s")
+    q = (
+        streaming_neardup_writer(
+            stream,
+            str(tmp_path / "state_s"),
+            out,
+            str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == _batch_keep_set(spark)
+
+
+def test_streaming_exact_dedup_drops_replayed_text(spark, tmp_path):
+    """First arrival wins within the watermark horizon; distinct texts
+    all survive."""
+    rows = [
+        (1, "2024-01-01 00:00:00", "same text here"),
+        (2, "2024-01-01 00:05:00", "same text here"),
+        (3, "2024-01-01 00:10:00", "different text entirely"),
+        (4, "2024-01-01 00:11:00", "same text here"),
+    ]
+    src = str(tmp_path / "exact_src")
+    spark.createDataFrame(
+        rows, "doc_id bigint, ts_s string, text string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop(
+        "ts_s"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).parquet(src)
+    deduped = streaming_exact_dedup(stream, "ts", "text", "1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("exact_dedup_t")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "exact_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.doc_id for r in spark.sql("SELECT * FROM exact_dedup_t").collect()
+    )
+    assert got == [1, 3]
