@@ -276,9 +276,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(pairs, tracked)
 
 
+def _ngram_shingles_sql(n: int) -> str:
+    """DuckDB twin of ``shingle_sets(..., n)`` for arbitrary n — the
+    trigram `_SHINGLES_SQL` generalized (kept separate so the dedup
+    oracles' shared constant stays byte-stable).  Documents shorter than
+    n words produce an empty list and fall out of any UNNEST, matching
+    the Spark side's ``size(toks) >= n`` drop."""
+    terms = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               LIST_TRANSFORM(
+                 RANGE(1, GREATEST(LEN(w) - {n - 2}, 1)),
+                 i -> {terms}
+               )
+             ) AS s
+      FROM d
+    )
+"""
+
+
 @query(
     "decontam_benchmark",
-    oracle=_SHINGLES_SQL
+    oracle=_ngram_shingles_sql(8)
     + """
     , bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 7),
     corp  AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 != 7),
@@ -303,15 +327,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontam_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): a deterministic
     slice of documents (doc_id % 10 == 7) plays the held-out eval set; the
-    operator flags every remaining corpus document whose trigram-shingle
+    operator flags every remaining corpus document whose 8-gram-shingle
     containment of a benchmark document reaches 0.5 — on the fixtures,
     exactly the planted near-duplicates that cross the slice boundary
-    (6 pairs at sf0.01, all containment >= 0.97).  Directional containment
+    (6 pairs at sf0.01, all containment >= 0.96).  Directional containment
     |corpus ∩ bench| / |bench| (the GPT-3/PaLM n-gram-collision recipe),
     NOT symmetric Jaccard: a long document embedding one full benchmark
-    doc flags at ~1.0 even when its Jaccard is ~0.  Integer overlap and
-    size counts -> one deterministic double division, so the oracle
-    hash-matches bit-for-bit."""
+    doc flags at ~1.0 even when its Jaccard is ~0.  n=8 (PaLM's choice)
+    rather than the dedup family's trigrams because long n-grams are the
+    recipe's collision control: at n=3 this corpus's small vocabulary
+    makes nearly every (corpus, bench) pair a candidate (measured: the
+    candidate set IS the cross product, 22.7 s at sf0.1), while at n=8
+    chance collisions vanish and candidates == the true matches.
+    Integer overlap and size counts -> one deterministic double
+    division, so the oracle hash-matches bit-for-bit."""
     from bigdatastructure_a5_spark.operators.decontam import (
         contamination_matches,
     )
@@ -322,8 +351,8 @@ def decontam_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = docs.filter(F.col("doc_id") % 10 != 7)
     tracked: list = []
     matches = contamination_matches(
-        shingle_sets(corp, "doc_id", "text", 3),
-        shingle_sets(bench, "doc_id", "text", 3),
+        shingle_sets(corp, "doc_id", "text", 8),
+        shingle_sets(bench, "doc_id", "text", 8),
         min_containment=0.5,
         tracker=tracked,
     )

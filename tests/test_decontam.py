@@ -134,7 +134,7 @@ def test_gate_query_matches_duckdb_oracle(spark):
     )
     assert got == want
     assert len(got) == 6  # the planted cross-slice near-dups at sf0.01
-    assert all(c >= 0.97 for *_, c in got)
+    assert all(c >= 0.96 for *_, c in got)
 
 
 def test_zero_python_stages(spark):

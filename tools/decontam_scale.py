@@ -1,0 +1,183 @@
+"""Decontamination at scale: fixed benchmark, growing corpus, measured.
+
+The §9 whole-registry sweep multiplies BOTH sides of decontam_benchmark
+(every xN copy adds corpus docs AND benchmark docs), which makes its true
+answer quadratic in the copy count — correct for the gate, but not the
+production shape.  A real pipeline holds the eval suite CONSTANT while
+the training corpus grows without bound; this tool measures that
+asymmetry directly, at TWO shingle widths:
+
+- benchmark: the copy-0 eval slice (doc_id % 10 == 7, doc_id < OFFSET)
+  — identical at every rung;
+- corpus: every copy of the non-slice documents at x1 / x10 / x100;
+- per (rung, n): corpus docs, benchmark index rows (must be constant
+  per n), candidate (corpus, bench) pairs before thresholds (the verify
+  join's true input — chance shingle collisions), confirmed matches at
+  containment >= 0.5, end-to-end wall (median of N_REPS after an
+  excluded warm-up).
+
+The n dimension is the recipe's collision control, measured: at n=3 on
+this small-vocabulary corpus nearly every (corpus, bench) pair shares a
+trigram — the candidate set IS the cross product and grows linearly in
+the corpus with an enormous constant; at n=8 (PaLM's width; the gate
+query's choice) chance collisions vanish and candidates == true
+matches.  Both are LINEAR in the corpus (the index side is broadcast
+and priced once) — n decides the constant, not the exponent.  Owns the
+"## 16." section of EXPERIMENTS.md (same splice protocol as the other
+tools).
+
+Usage: python tools/decontam_scale.py [copies ...]   (default: 1 10 100)
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SECTION = "## 16. Decontamination at scale: fixed benchmark, growing corpus"
+BASE = "/root/testdata/sf0.01"
+N_REPS = 3
+NGRAM_WIDTHS = (3, 8)
+
+
+def timed_reps(fn) -> float:
+    secs = []
+    for rep in range(1 + N_REPS):
+        t0 = time.perf_counter()
+        fn()
+        if rep > 0:
+            secs.append(time.perf_counter() - t0)
+    return statistics.median(secs)
+
+
+def measure(spark, copy_points) -> list[str]:
+    from scale_fixtures import OFFSET, ensure_x10
+
+    from bigdatastructure_a5_spark.operators.decontam import (
+        contamination_matches,
+    )
+    from bigdatastructure_a5_spark.operators.dedup import shingle_sets
+    from bigdatastructure_a5_spark.session import persist_df
+
+    base_docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    bench = base_docs.filter(
+        (F.col("doc_id") % 10 == 7) & (F.col("doc_id") < OFFSET)
+    )
+    rows = []
+    for n in NGRAM_WIDTHS:
+        bench_shingled = persist_df(shingle_sets(bench, "doc_id", "text", n))
+        bench_index_rows = bench_shingled.select(
+            F.explode("shingles")
+        ).count()
+        for copies in copy_points:
+            sf_dir = BASE if copies == 1 else ensure_x10(BASE, copies)
+            corpus = spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).filter(F.col("doc_id") % 10 != 7)
+            n_corpus = corpus.count()
+            corpus_shingled = shingle_sets(corpus, "doc_id", "text", n)
+
+            tracked: list = []
+            candidates = contamination_matches(
+                corpus_shingled,
+                bench_shingled,
+                min_containment=0.0,
+                min_overlap=1,
+                tracker=tracked,
+            )
+            n_cand = candidates.count()
+            matches = contamination_matches(
+                corpus_shingled,
+                bench_shingled,
+                min_containment=0.5,
+                tracker=tracked,
+            )
+            n_match = matches.count()
+            sec = timed_reps(lambda: matches.count())
+            for df in tracked:
+                df.unpersist()
+            rows.append(
+                f"| x{copies} | {n} | {n_corpus:,} | {bench_index_rows:,} | "
+                f"{n_cand:,} | {n_match:,} | {sec:.2f} |"
+            )
+            print(rows[-1])
+        bench_shingled.unpersist()
+    return rows
+
+
+def main() -> None:
+    from bigdatastructure_a5_spark.session import get_spark
+
+    copy_points = (
+        tuple(int(a) for a in sys.argv[1:])
+        if len(sys.argv) > 1
+        else (1, 10, 100)
+    )
+    spark = get_spark("decontam-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = measure(spark, copy_points)
+    section = "\n".join(
+        [
+            SECTION,
+            "",
+            "`tools/decontam_scale.py`: the §9 sweep multiplies BOTH",
+            "sides of decontam_benchmark (its true answer is copies²",
+            "there); production holds the eval suite CONSTANT while the",
+            "corpus grows.  Measured here: the copy-0 eval slice (fixed)",
+            "against x1/x10/x100 of the non-slice documents, at two",
+            "shingle widths.  'candidates' is the verify join's input —",
+            "every (corpus, bench) pair sharing >= 1 n-gram, i.e. the",
+            "chance-collision volume the thresholds then filter; secs is",
+            f"the end-to-end matcher wall (median of {N_REPS} reps,",
+            "warm-up excluded, broadcast index).",
+            "",
+            "| corpus | n | corpus docs | bench index rows | candidates | "
+            "matches (>= 0.5) | secs |",
+            "| --- | --- | --- | --- | --- | --- | --- |",
+            *rows,
+            "",
+            "Reading: the benchmark index is priced ONCE (flat rows per",
+            "n, broadcast under the measured size gate) and every corpus",
+            "row pays a constant map-side probe against it — candidates,",
+            "matches, and wall all track the corpus LINEARLY at both",
+            "widths; nothing is quadratic anywhere.  What n decides is",
+            "the CONSTANT: on this small-vocabulary corpus trigrams",
+            "collide so often the candidate set is effectively the",
+            "cross product (linear only because the bench side is",
+            "fixed), while 8-grams (PaLM's width, the gate query's",
+            "choice) kill chance collisions outright — candidates ==",
+            "true matches and the wall drops accordingly.  The matches",
+            "column is identical at both widths: the planted",
+            "cross-slice near-dups, found either way.  At 100 TB this",
+            "is the whole cost model: decontamination rides the ingest",
+            "scan (the same pass that scores/dedups) with an n chosen",
+            "long enough that the verify join stays answer-sized; the",
+            "benchmark side only re-prices when the eval suite itself",
+            "changes.",
+        ]
+    )
+    path = REPO / "EXPERIMENTS.md"
+    text = path.read_text()
+    tail = ""
+    if SECTION in text:
+        head, rest = text.split(SECTION, 1)
+        head = head.rstrip() + "\n"
+        nxt = rest.find("\n## ")
+        if nxt != -1:
+            tail = rest[nxt:].lstrip("\n")
+    else:
+        head = text.rstrip() + "\n"
+    path.write_text(head + "\n" + section + "\n" + (("\n" + tail) if tail else ""))
+    print(f"updated {path}")
+
+
+if __name__ == "__main__":
+    main()
