@@ -119,6 +119,24 @@ def get_spark(
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.statistics.histogram.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate is poison for the text family: it adds
+        # `size(a) > 0 AND isnotnull(a)` under every explode(a), and when
+        # `a` is a computed shingle array, predicate pushdown substitutes
+        # the full expression through the token projection — inlining the
+        # tokenizer regex into every element_at, re-tokenizing each
+        # document once per shingle position, TWICE per row (O(tokens²),
+        # the exact pathology shingle_sets materializes tokens to avoid).
+        # Measured at sf0.1: the 8-gram bench-index explode 22.2 s -> 0.4 s,
+        # the full decontam_benchmark query 60 s -> 2 s.  Safe to drop
+        # engine-wide: explode already skips NULL/empty arrays, so the
+        # inferred filter only ever helps when it can push into a STORED
+        # array column's scan — a shape no engine query has (every exploded
+        # array here is computed per row or read from an already-cached
+        # frame).  See tests/test_decontam.py::test_no_inferred_generate_filter.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # dimension tables (region/nation/supplier/part at our SFs) broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -152,3 +152,32 @@ def test_zero_python_stages(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_inferred_generate_filter(spark):
+    """InferFiltersFromGenerate must stay excluded (session.get_spark).
+
+    The rule adds `size(shingles) > 0 AND isnotnull(shingles)` under the
+    explode; predicate pushdown then substitutes the whole shingle
+    expression through the token projection, inlining the tokenizer into
+    every element_at — re-tokenizing each document once per shingle
+    position, twice per row (measured 60 s -> 2 s on decontam_benchmark
+    at sf0.1).  Guard: no Filter node in the exploded-shingle plan may
+    contain the shingle expression (xxhash64 is its signature — it only
+    belongs in the Generate input or a Project)."""
+    corpus = _docs(spark, [(1, "a b c d e f g h i j")])
+    plan = (
+        shingle_sets(corpus, "doc_id", "text", 8)
+        .select(F.explode("shingles"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    filter_lines = [
+        line for line in plan.splitlines() if "Filter" in line
+    ]
+    assert filter_lines, "expected the too-short-document filter"
+    assert all("xxhash64" not in line for line in filter_lines), (
+        "shingle expression leaked into a Filter — "
+        "InferFiltersFromGenerate is back"
+    )
