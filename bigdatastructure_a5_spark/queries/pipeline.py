@@ -336,9 +336,10 @@ def decontam_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc flags at ~1.0 even when its Jaccard is ~0.  n=8 (PaLM's choice)
     rather than the dedup family's trigrams because long n-grams are the
     recipe's collision control: at n=3 this corpus's small vocabulary
-    makes nearly every (corpus, bench) pair a candidate (measured: the
-    candidate set IS the cross product, 22.7 s at sf0.1), while at n=8
-    chance collisions vanish and candidates == the true matches.
+    makes nearly every (corpus, bench) pair a candidate (EXPERIMENTS
+    §16: the candidate set IS the cross product, 375x the true matches),
+    while at n=8 chance collisions vanish and candidates == the true
+    matches — the verify join's input stays answer-sized at any corpus.
     Integer overlap and size counts -> one deterministic double
     division, so the oracle hash-matches bit-for-bit."""
     from bigdatastructure_a5_spark.operators.decontam import (

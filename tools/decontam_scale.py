@@ -22,9 +22,11 @@ trigram — the candidate set IS the cross product and grows linearly in
 the corpus with an enormous constant; at n=8 (PaLM's width; the gate
 query's choice) chance collisions vanish and candidates == true
 matches.  Both are LINEAR in the corpus (the index side is broadcast
-and priced once) — n decides the constant, not the exponent.  Owns the
-"## 16." section of EXPERIMENTS.md (same splice protocol as the other
-tools).
+and priced once) — n decides the verify join's INPUT volume, not the
+exponent.  At fixture scale both joins are trivial, so the wall shows
+overhead at the small rungs and ~linear compute at the last decade;
+the candidate column is what prices out at 100 TB.  Owns the "## 16."
+section of EXPERIMENTS.md (same splice protocol as the other tools).
 
 Usage: python tools/decontam_scale.py [copies ...]   (default: 1 10 100)
 """
@@ -146,16 +148,22 @@ def main() -> None:
             "",
             "Reading: the benchmark index is priced ONCE (flat rows per",
             "n, broadcast under the measured size gate) and every corpus",
-            "row pays a constant map-side probe against it — candidates,",
-            "matches, and wall all track the corpus LINEARLY at both",
-            "widths; nothing is quadratic anywhere.  What n decides is",
-            "the CONSTANT: on this small-vocabulary corpus trigrams",
-            "collide so often the candidate set is effectively the",
-            "cross product (linear only because the bench side is",
-            "fixed), while 8-grams (PaLM's width, the gate query's",
-            "choice) kill chance collisions outright — candidates ==",
-            "true matches and the wall drops accordingly.  The matches",
-            "column is identical at both widths: the planted",
+            "row pays a constant map-side probe against it — candidates",
+            "and matches track the corpus EXACTLY linearly at both",
+            "widths, and the wall is overhead-bound at the small rungs,",
+            "~linear at the compute-dominated last decade; nothing is",
+            "quadratic anywhere.  What n decides is the verify join's",
+            "INPUT: on this small-vocabulary corpus trigrams collide so",
+            "often the candidate set is effectively the cross product",
+            "(375x the true matches — linear only because the bench",
+            "side is fixed), while 8-grams (PaLM's width, the gate",
+            "query's choice) kill chance collisions outright —",
+            "candidates == true matches.  At fixture scale both joins",
+            "are cheap enough that the wall difference is shingle-build",
+            "cost, not collisions; the candidate column is what prices",
+            "out at 100 TB, where the n=3 verify join input is",
+            "corpus-sized and the n=8 one stays answer-sized.  The",
+            "matches column is identical at both widths: the planted",
             "cross-slice near-dups, found either way.  At 100 TB this",
             "is the whole cost model: decontamination rides the ingest",
             "scan (the same pass that scores/dedups) with an n chosen",
