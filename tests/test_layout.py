@@ -94,12 +94,23 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         (F.col("id") % 256).alias("a"), (F.col("id") / 256).cast("long").alias("b")
     )
     zdir, sdir = str(tmp_path / "zorder"), str(tmp_path / "sorted_a")
-    zorder_cluster(
-        grid, ["a", "b"], n_files=16, bounds={"a": (0, 255), "b": (0, 255)}
-    ).write.parquet(zdir)
-    grid.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(
-        sdir
-    )
+    # repartitionByRange picks file boundaries by reservoir sampling with a
+    # per-JVM seed; at the default 100 samples/partition a boundary can
+    # drift past a curve-quadrant edge and leak the corner box into one
+    # extra file on some JVMs.  Sample densely so boundaries sit within
+    # noise of the exact 4096-row quantiles and the assertion is stable.
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "5000")
+    try:
+        zorder_cluster(
+            grid, ["a", "b"], n_files=16, bounds={"a": (0, 255), "b": (0, 255)}
+        ).write.parquet(zdir)
+        grid.repartitionByRange(16, "a").sortWithinPartitions(
+            "a"
+        ).write.parquet(sdir)
+    finally:
+        spark.conf.set(key, prev)
     box = ((0, 63), (0, 63))  # 1/16 of the area, aligned to the curve
     z_hit = _intersecting(_boxes(zdir, ("a", "b")), *box)
     s_hit = _intersecting(_boxes(sdir, ("a", "b")), *box)
