@@ -121,22 +121,40 @@ def test_real_streaming_run_matches_offline_rule(spark, tmp_path):
 
 def test_streaming_exact_dedup_drops_replayed_text(spark, tmp_path):
     """First arrival wins within the watermark horizon; distinct texts
-    all survive."""
+    all survive.  "First" is only defined if arrival order is pinned:
+    within a single microbatch the winner among same-key rows follows
+    file-enumeration order, which Spark does not guarantee — so each row
+    ships as its own file with ascending mtimes + maxFilesPerTrigger=1
+    (the same §13b lesson as test_real_streaming_run_matches_offline_rule;
+    this exact test flaked as [3, 4] when all four rows shared one
+    batch)."""
     rows = [
         (1, "2024-01-01 00:00:00", "same text here"),
         (2, "2024-01-01 00:05:00", "same text here"),
         (3, "2024-01-01 00:10:00", "different text entirely"),
         (4, "2024-01-01 00:11:00", "same text here"),
     ]
-    src = str(tmp_path / "exact_src")
-    spark.createDataFrame(
-        rows, "doc_id bigint, ts_s string, text string"
-    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop(
-        "ts_s"
-    ).write.parquet(src)
-    stream = spark.readStream.schema(
-        "doc_id bigint, text string, ts timestamp"
-    ).parquet(src)
+    src = tmp_path / "exact_src"
+    src.mkdir()
+    base_t = time.time() - 100
+    for i, (doc_id, ts_s, text) in enumerate(rows):
+        p = str(src / f"row_{i}.parquet")
+        spark.createDataFrame(
+            [(doc_id, ts_s, text)], "doc_id bigint, ts_s string, text string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop(
+            "ts_s"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        for f in sorted(
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(p)
+            for fn in fns
+        ):
+            os.utime(f, (base_t + i, base_t + i))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
     deduped = streaming_exact_dedup(stream, "ts", "text", "1 hour")
     q = (
         deduped.writeStream.format("memory")
