@@ -1,0 +1,120 @@
+"""Deterministic corpus mixture sampling: domain weights -> kept copies.
+
+Training-data pipelines rarely feed the raw corpus: they MIX it — "30% of
+web text, all of the books, code upsampled 2x" (GPT-3 Table 2.2 trains on
+weighted draws; The Pile and DoReMi tune the domain weights themselves).
+At 100 TB the mixer must be a single map-side pass, and it must be
+DETERMINISTIC: a retried task has to emit exactly the rows its failed
+attempt did, a re-run has to reproduce the corpus bit-for-bit, and two
+engines (here: Spark and the DuckDB oracle) must agree on every kept row.
+``rand()``-based sampling gives none of that, and Bernoulli draws cannot
+express weights > 1 at all.
+
+The recipe here is the standard hash-gate generalized to fractional
+UPSAMPLING, one closed-form expression per row:
+
+- ``u(key) = md5_hash60(salt || ':' || key) / 2^60`` — a deterministic
+  uniform in [0, 1) per (salt, key), cross-engine identical because the
+  md5-prefix arithmetic is (functions/hashing.py:78);
+- a row with weight ``w`` keeps ``floor(w) + [u < frac(w)]`` copies: a
+  weight of 0.25 keep-samples a quarter of the domain, 1.0 passes it
+  through, 2.5 emits two copies always and a third for a deterministic
+  quarter of keys.  ``E[copies] = w`` exactly, with zero coordination —
+  no count, no shuffle, no state;
+- kept copies explode as ``copy_id`` in [0, n) so downstream shuffles
+  (dedup keys, pack order) can distinguish repeats.
+
+Scale shape: the whole mixer is a projection plus one ``explode`` — zero
+exchanges, embarrassingly parallel, output-sized cost.  The weight table
+is a plan-time literal (a mixture spec is a handful of domains); weights
+never join.
+
+Like the dedup/decontam family this is extension scope (the reference
+ships no data pipeline); the charter is BASELINE.json's training-data
+pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.functions.hashing import md5_hash60
+
+#: md5_hash60 ranges over [0, 2^60) — the denominator that turns it into
+#: a uniform in [0, 1).  Double holds 2^60 exactly (< 2^63), and the
+#: division is one IEEE op, so Spark and DuckDB agree bit-for-bit.
+HASH_SPACE = float(1 << 60)
+
+
+def mix_uniform(key: Column | str, salt: str = "mix") -> Column:
+    """Deterministic uniform in [0, 1) per (salt, key).
+
+    The salt keeps this draw independent of every other hash-derived
+    decision on the same key (dedup buckets, simhash bits): changing the
+    salt redraws the whole corpus.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return md5_hash60(
+        F.concat(F.lit(salt), F.lit(":"), k.cast("string"))
+    ) / F.lit(HASH_SPACE)
+
+
+def n_copies(weight: Column, key: Column | str, salt: str = "mix") -> Column:
+    """``floor(w) + [u(key) < frac(w)]`` — kept-copy count for weight w.
+
+    Exact in expectation (E = w), deterministic per key, and monotone in
+    w for a fixed key (raising a domain's weight never drops a row that
+    a lower weight kept — mixture sweeps are nested samples).
+    """
+    base = F.floor(weight).cast("bigint")
+    frac = weight - F.floor(weight)
+    return base + F.when(mix_uniform(key, salt) < frac, 1).otherwise(0).cast(
+        "bigint"
+    )
+
+
+def weighted_mixture(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """All input columns plus ``copy_id`` in [0, n_copies); rows whose
+    weight keeps zero copies disappear.
+
+    The plan is a projection + ``explode`` — no shuffle anywhere; at any
+    corpus size the cost is the OUTPUT size.  ``copy_id`` makes repeats
+    first-class rows (a downstream exact-dedup would otherwise fold the
+    upsampled copies straight back out).
+    """
+    n = n_copies(weight, id_col, salt)
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "copy_id", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__n")
+    )
+
+
+def mix_domains(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Apply a per-domain weight spec: ``{"web": 0.3, "code": 2.5}``.
+
+    Domains absent from the spec get ``default_weight`` (0.0 = drop —
+    the conservative default for a curated mixture: an unreviewed source
+    must be opted IN).  The spec compiles to a literal CASE chain, so the
+    mixer stays a pure map-side expression with no weight-table join.
+    """
+    expr = F.lit(float(default_weight))
+    for dom, w in sorted(weights.items()):
+        expr = F.when(F.col(domain_col) == dom, float(w)).otherwise(expr)
+    return weighted_mixture(df, expr, id_col=id_col, salt=salt)

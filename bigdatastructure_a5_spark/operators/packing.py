@@ -1,0 +1,93 @@
+"""Sequence packing: concat-and-chunk documents into fixed token windows.
+
+LLM pretraining does not feed one document per example — it CONCATENATES
+the corpus in a deterministic order and slices the stream into
+context-length windows (GPT-2/3-style packing; T5 calls it "packing",
+TPU pipelines "example packing").  A 100 TB packer has two hard
+requirements the naive formulation misses:
+
+- NO GLOBAL ORDER.  One ``orderBy`` over the corpus funnels everything
+  through a single range exchange.  Real packers shard first (by file,
+  bucket, or hash) and pack each shard independently — chunk boundaries
+  never cross shards, so shards parallelize perfectly and a re-pack of
+  one shard leaves every other chunk id stable.
+- CLOSED-FORM chunk assignment.  Greedy "start a new bin when full" is
+  a sequential scan; the concat-and-chunk rule is instead pure window
+  arithmetic: with per-document token counts ``n`` and the running
+  total ``end = sum(n) over (shard order by id)``, a document occupies
+  stream positions ``[end - n, end)`` and therefore chunks
+  ``floor(start / L) .. floor((end - 1) / L)`` — one cumulative-sum
+  window plus an explode of the (usually length-1) chunk span.
+
+Documents longer than L or straddling a boundary SPLIT — each emitted
+row carries the slice geometry (``slice_start``/``slice_len`` within the
+document, ``chunk_offset`` within the chunk), so a downstream tokenizer
+can materialize exact windows without re-deriving the arithmetic.  Every
+chunk is exactly L tokens except each shard's last.
+
+Cost shape: one shuffle (by shard, for the window), output-sized explode,
+zero Python.  The whole packer is Catalyst expressions, so it rides
+whole-stage codegen and the DuckDB oracle can replay it bit-for-bit
+(same window, same integer division).
+
+Extension scope like mixture.py: the packer is the bridge from the
+curated corpus (pipeline_curation) to trainer-shaped examples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def concat_and_chunk(
+    df: DataFrame,
+    chunk_tokens: int,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """(shard?, chunk_id, id, slice_start, slice_len, chunk_offset) rows.
+
+    ``chunk_id`` is shard-local and dense from 0; a document appears once
+    per chunk it overlaps.  ``slice_start`` is the first packed token's
+    offset WITHIN the document, ``chunk_offset`` its position within the
+    chunk; ``sum(slice_len) over chunk == chunk_tokens`` for every chunk
+    but each shard's last.  Zero-token documents pack nowhere and are
+    dropped (they contribute no training signal; keeping them would pin
+    empty slices to arbitrary chunks).
+
+    With ``shard_col=None`` the whole frame is one shard — correct, but
+    the window runs on a single partition; at scale ALWAYS shard (the
+    module docstring's first requirement).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    shard = [shard_col] if shard_col else []
+    w = Window.partitionBy(*shard).orderBy(id_col)
+    n = F.col(n_tokens_col).cast("bigint")
+    out = (
+        df.filter(n > 0)
+        .withColumn("__end", F.sum(n).over(w))
+        .withColumn("__start", F.col("__end") - n)
+        .withColumn(
+            "chunk_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__start") / chunk_tokens),
+                    F.floor((F.col("__end") - 1) / chunk_tokens),
+                )
+            ),
+        )
+    )
+    chunk_lo = F.col("chunk_id") * chunk_tokens
+    lo = F.greatest(F.col("__start"), chunk_lo)
+    hi = F.least(F.col("__end"), chunk_lo + chunk_tokens)
+    return out.select(
+        *shard,
+        "chunk_id",
+        id_col,
+        (lo - F.col("__start")).alias("slice_start"),
+        (hi - lo).alias("slice_len"),
+        (lo - chunk_lo).alias("chunk_offset"),
+    )

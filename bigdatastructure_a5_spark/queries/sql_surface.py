@@ -137,16 +137,21 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_cube",
-    oracle="""
+# NOTE (r9 registry rotation, third wave): ``agg_cube`` was rotated out
+# of the 50-slot registry for ``pipeline_mixture``/``pack_chunks``
+# (queries/mixture_queries.py — two NEW operator families vs a third
+# grouping-sets slot).  The grouping-sets machinery (Spark Expand) stays
+# driver-gated via `agg_rollup` and `agg_distinct_having`, and this
+# builder keeps an engine-vs-oracle pytest
+# (tests/test_tools.py::test_agg_cube_matches_duckdb).
+AGG_CUBE_ORACLE = """
     SELECT l_returnflag, YEAR(CAST(l_shipdate AS DATE)) AS ship_year,
            COUNT(*) AS n_lines
     FROM lineitem
     GROUP BY CUBE (l_returnflag, YEAR(CAST(l_shipdate AS DATE)))
-    """,
-    tags=("ext:agg",),
-)
+    """
+
+
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (flag, ship year): all four grouping-set combinations in one
     pass (Spark Expand + single shuffle, not four scans)."""

@@ -86,6 +86,7 @@ def _load_all() -> None:
     from bigdatastructure_a5_spark.queries import (  # noqa: F401
         denorm,
         events_queries,
+        mixture_queries,
         parity,
         pipeline,
         quant_queries,

@@ -1,0 +1,153 @@
+"""Mixture operator (operators/mixture.py) + its gate query: hash-gate
+determinism, weight semantics across every regime, the nested-sample
+property, zero-shuffle plan shape, and the engine-vs-oracle match."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.operators.mixture import (
+    mix_domains,
+    mix_uniform,
+    n_copies,
+    weighted_mixture,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n=400, n_domains=4):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % n_domains).cast("string")).alias(
+            "source"
+        ),
+    )
+
+
+def test_mixture_is_deterministic(spark):
+    """Two runs emit the identical row multiset — the retried-task /
+    re-run guarantee rand()-sampling cannot give."""
+    df = _docs(spark)
+    a = sorted(
+        (r.doc_id, r.copy_id)
+        for r in weighted_mixture(df, F.lit(0.7)).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.copy_id)
+        for r in weighted_mixture(df, F.lit(0.7)).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_weight_regimes(spark):
+    """Integer weights copy exactly; fractional weights keep a hash-gated
+    subset; weight 0 drops everything; E[copies] = w within binomial
+    noise."""
+    df = _docs(spark, n=1000)
+    n = df.count()
+    assert weighted_mixture(df, F.lit(0.0)).count() == 0
+    assert weighted_mixture(df, F.lit(1.0)).count() == n
+    assert weighted_mixture(df, F.lit(3.0)).count() == 3 * n
+    kept = weighted_mixture(df, F.lit(0.5)).count()
+    assert 0.4 * n < kept < 0.6 * n
+    up = weighted_mixture(df, F.lit(2.25)).count()
+    assert 2.15 * n < up < 2.35 * n
+
+
+def test_copy_ids_are_dense(spark):
+    """copy_id enumerates 0..n-1 per kept doc — repeats are first-class,
+    distinguishable rows."""
+    df = _docs(spark, n=50)
+    rows = weighted_mixture(df, F.lit(2.5)).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_id)
+    for doc_id, copies in by_doc.items():
+        assert sorted(copies) == list(range(len(copies))), doc_id
+        assert len(copies) in (2, 3)
+
+
+def test_weights_are_nested_samples(spark):
+    """Raising a weight never drops a previously-kept row (monotone gate:
+    u < frac is nested across frac) — mixture sweeps compare supersets,
+    not re-draws."""
+    df = _docs(spark)
+    lo = {(r.doc_id, r.copy_id) for r in weighted_mixture(df, F.lit(0.3)).collect()}
+    hi = {(r.doc_id, r.copy_id) for r in weighted_mixture(df, F.lit(0.8)).collect()}
+    assert lo <= hi
+
+
+def test_salt_redraws(spark):
+    """Different salts draw different subsets of the same expected size —
+    the independence knob vs other hash-derived decisions."""
+    df = _docs(spark, n=1000)
+    a = {r.doc_id for r in weighted_mixture(df, F.lit(0.5), salt="a").collect()}
+    b = {r.doc_id for r in weighted_mixture(df, F.lit(0.5), salt="b").collect()}
+    assert a != b
+    overlap = len(a & b) / max(len(a), 1)
+    assert 0.3 < overlap < 0.7  # independent draws overlap ~rate
+
+
+def test_mix_domains_spec(spark):
+    """Per-domain weights apply by label; unlisted domains get the
+    default (0.0 = opted out)."""
+    df = _docs(spark, n=400, n_domains=4)  # 100 docs per domain
+    out = mix_domains(
+        df, {"d0": 2.0, "d1": 0.0, "d2": 1.0}, domain_col="source"
+    )
+    by_dom = {
+        r.source: r.cnt
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_dom.get("d0") == 200
+    assert "d1" not in by_dom
+    assert by_dom.get("d2") == 100
+    assert "d3" not in by_dom  # default drops
+
+
+def test_mixture_plan_has_no_exchange(spark):
+    """The 100 TB claim, pinned on the plan: projection + explode only —
+    no shuffle, no Python stage."""
+    df = _docs(spark)
+    plan = (
+        weighted_mixture(df, F.lit(1.5))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_uniform_is_in_unit_interval(spark):
+    df = _docs(spark, n=200)
+    row = df.select(
+        F.min(mix_uniform("doc_id")).alias("lo"),
+        F.max(mix_uniform("doc_id")).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= row.lo and row.hi < 1.0
+
+
+def test_gate_query_matches_duckdb_oracle(spark):
+    """The registry entry vs its oracle at sf0.001 (the driver's own
+    check runs sf0.01; this is the fast in-suite pin)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.mixture_queries import (
+        _MIX_ORACLE,
+        pipeline_mixture,
+    )
+
+    got = sorted(
+        (r.doc_id, r.source, r.n_chars, r.copy_id)
+        for r in pipeline_mixture(spark, SF_SMALL).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(_MIX_ORACLE).fetchall())
+    assert got == want and len(got) > 0

@@ -1,0 +1,145 @@
+"""Packing operator (operators/packing.py) + its gate query: slice
+geometry invariants, shard independence, the one-shuffle plan shape, and
+the engine-vs-oracle match."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.operators.packing import concat_and_chunk
+
+SF_SMALL = "/root/testdata/sf0.001"
+L = 16
+
+
+def _docs(spark, counts, shards=None):
+    rows = [
+        (i, n) if shards is None else (i, n, shards[i])
+        for i, n in enumerate(counts)
+    ]
+    schema = "doc_id bigint, n_tokens bigint" + (
+        "" if shards is None else ", shard bigint"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_packing_is_lossless_and_exact(spark):
+    """Every token lands in exactly one chunk: per-doc slices tile
+    [0, n_tokens), per-chunk slices tile [0, L) (except the tail), and
+    total packed length == total corpus tokens."""
+    counts = [5, 3, 40, 1, 16, 7, 2, 31]
+    rows = concat_and_chunk(_docs(spark, counts), L).collect()
+    # per-doc coverage: slices are disjoint and tile the doc
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.slice_start)
+        assert rs[0].slice_start == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a.slice_start + a.slice_len == b.slice_start
+        assert sum(r.slice_len for r in rs) == counts[doc_id]
+    # per-chunk coverage: full chunks carry exactly L tokens
+    by_chunk: dict[int, int] = {}
+    last_chunk = max(r.chunk_id for r in rows)
+    for r in rows:
+        by_chunk[r.chunk_id] = by_chunk.get(r.chunk_id, 0) + r.slice_len
+    for cid, tot in by_chunk.items():
+        assert tot == L or cid == last_chunk
+    assert sum(by_chunk.values()) == sum(counts)
+
+
+def test_chunk_offsets_are_consistent(spark):
+    """chunk_offset is the slice's position inside the chunk: offsets +
+    lengths within a chunk tile [0, L) in doc order."""
+    rows = concat_and_chunk(_docs(spark, [7, 7, 7, 7, 7]), L).collect()
+    by_chunk: dict[int, list] = {}
+    for r in rows:
+        by_chunk.setdefault(r.chunk_id, []).append(r)
+    for rs in by_chunk.values():
+        rs.sort(key=lambda r: r.chunk_offset)
+        assert rs[0].chunk_offset == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a.chunk_offset + a.slice_len == b.chunk_offset
+
+
+def test_long_document_splits(spark):
+    """A document longer than L spans ceil(n/L) chunks."""
+    rows = concat_and_chunk(_docs(spark, [40]), L).collect()
+    assert [(r.chunk_id, r.slice_start, r.slice_len) for r in sorted(rows, key=lambda r: r.chunk_id)] == [
+        (0, 0, 16),
+        (1, 16, 16),
+        (2, 32, 8),
+    ]
+
+
+def test_zero_token_documents_drop(spark):
+    rows = concat_and_chunk(_docs(spark, [4, 0, 4]), L).collect()
+    assert {r.doc_id for r in rows} == {0, 2}
+
+
+def test_shards_pack_independently(spark):
+    """Chunk ids restart per shard and never mix shards — re-packing one
+    shard leaves the others' chunks untouched (the 100 TB parallelism
+    claim, checked semantically: each shard packs exactly like a solo
+    run over its own docs)."""
+    counts = [5, 9, 3, 20, 6, 2]
+    shards = [0, 1, 0, 1, 0, 1]
+    both = concat_and_chunk(
+        _docs(spark, counts, shards), L, shard_col="shard"
+    ).collect()
+    for s in (0, 1):
+        solo_counts = [n for n, sh in zip(counts, shards) if sh == s]
+        solo_ids = [i for i, sh in enumerate(shards) if sh == s]
+        solo = concat_and_chunk(
+            _docs(spark, solo_counts), L
+        ).collect()
+        # map solo doc ids (dense) back to original ids
+        want = sorted(
+            (solo_ids[r.doc_id], r.chunk_id, r.slice_start, r.slice_len, r.chunk_offset)
+            for r in solo
+        )
+        got = sorted(
+            (r.doc_id, r.chunk_id, r.slice_start, r.slice_len, r.chunk_offset)
+            for r in both
+            if r.shard == s
+        )
+        assert got == want
+
+
+def test_invalid_chunk_tokens_raises(spark):
+    with pytest.raises(ValueError):
+        concat_and_chunk(_docs(spark, [3]), 0)
+
+
+def test_packing_plan_shape(spark):
+    """One shuffle (the per-shard window), zero Python."""
+    df = _docs(spark, [5, 9, 3, 20, 6, 2], [0, 1, 0, 1, 0, 1])
+    plan = (
+        concat_and_chunk(df, L, shard_col="shard")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gate_query_matches_duckdb_oracle(spark):
+    """The registry entry vs its oracle at sf0.001."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.mixture_queries import (
+        _PACK_ORACLE,
+        pack_chunks,
+    )
+
+    got = sorted(tuple(r) for r in pack_chunks(spark, SF_SMALL).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(_PACK_ORACLE).fetchall())
+    assert got == want and len(got) > 0

@@ -559,3 +559,70 @@ def test_array_functions_matches_duckdb(spark, sf_dir):
         for r in con.sql(ARRAY_FUNCTIONS_ORACLE).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_agg_cube_matches_duckdb(spark, sf_dir):
+    """CUBE stays engine-vs-oracle checked after the r9 third-wave
+    rotation (its former registry slot went to pipeline_mixture /
+    pack_chunks; the Expand machinery stays driver-gated via agg_rollup
+    and agg_distinct_having)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.sql_surface import (
+        AGG_CUBE_ORACLE,
+        agg_cube,
+    )
+
+    # CUBE emits NULL grouping values — sort None-safely via str()
+    key = lambda t: tuple(map(str, t))  # noqa: E731
+    got = sorted(
+        (
+            (r.l_returnflag, r.ship_year, r.n_lines)
+            for r in agg_cube(spark, sf_dir).collect()
+        ),
+        key=key,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    want = sorted(
+        ((r[0], r[1], r[2]) for r in con.sql(AGG_CUBE_ORACLE).fetchall()),
+        key=key,
+    )
+    assert got == want and len(got) > 0
+
+
+def test_events_hourly_rollup_matches_duckdb(spark, sf_dir):
+    """The tumbling hourly rollup stays engine-vs-oracle checked after
+    the r9 third-wave rotation (tumbling windows remain driver-gated via
+    events_sliding_window — slide == width is its special case — and the
+    streaming twin events_streaming_rollup)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.events_queries import (
+        EVENTS_HOURLY_ROLLUP_ORACLE,
+        events_hourly_rollup,
+    )
+
+    got = sorted(
+        (
+            r.hour_ts,
+            r.event_type,
+            r.n_events,
+            r.n_users,
+            round(r.sum_value, 9),
+        )
+        for r in events_hourly_rollup(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        (r[0], r[1], r[2], r[3], round(r[4], 9))
+        for r in con.sql(EVENTS_HOURLY_ROLLUP_ORACLE).fetchall()
+    )
+    assert got == want and len(got) > 0
