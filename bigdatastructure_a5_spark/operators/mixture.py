@@ -99,6 +99,46 @@ def weighted_mixture(
     )
 
 
+def assign_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` label ("train"/"val"/...) by cut points on the
+    deterministic uniform: ``{"train": 0.98, "val": 0.01, "test": 0.01}``
+    carves [0, 1) into half-open intervals in the dict's key order.
+
+    The properties a training split needs, all by construction:
+    exhaustive + disjoint (every row gets exactly one label), stable
+    under corpus growth (a document's label depends only on its key —
+    adding data never reshuffles existing assignments, so yesterday's
+    test set is still held out tomorrow), and engine-reproducible (the
+    same md5-prefix uniform the mixer and the DuckDB oracle share).
+    Fractions must sum to 1 (within 1e-9); the LAST interval absorbs the
+    float dust so the union is exactly [0, 1).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    if not fractions:
+        raise ValueError("at least one split required")
+    u = mix_uniform(id_col, salt)
+    names = list(fractions)
+    cuts = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        cuts.append((name, acc))
+    # build the first-match-wins chain innermost-first: the last interval
+    # is the bare otherwise (it takes [cut_{n-1}, 1), absorbing the dust),
+    # and each earlier interval wraps the chain so far
+    expr = F.lit(names[-1])
+    for name, hi in reversed(cuts):
+        expr = F.when(u < hi, name).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def mix_domains(
     df: DataFrame,
     weights: dict[str, float],

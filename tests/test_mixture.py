@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from bigdatastructure_a5_spark.operators.mixture import (
+    assign_split,
     mix_domains,
     mix_uniform,
     n_copies,
@@ -128,6 +129,93 @@ def test_uniform_is_in_unit_interval(spark):
         F.max(mix_uniform("doc_id")).alias("hi"),
     ).collect()[0]
     assert 0.0 <= row.lo and row.hi < 1.0
+
+
+def test_assign_split_is_exhaustive_disjoint_stable(spark):
+    """Every row gets exactly one label; proportions land near the
+    fractions; and labels are STABLE under corpus growth — the holdout
+    guarantee (adding data never reassigns an existing document)."""
+    df = _docs(spark, n=2000)
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = assign_split(df, fr)
+    counts = {
+        r.split: r.cnt
+        for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert sum(counts.values()) == 2000  # exhaustive + disjoint
+    assert 1700 < counts["train"] < 1900
+    assert 50 < counts["val"] < 150 and 50 < counts["test"] < 150
+    small = {
+        r.doc_id: r.split for r in assign_split(_docs(spark, n=500), fr).collect()
+    }
+    big = {r.doc_id: r.split for r in out.collect()}
+    assert all(big[k] == v for k, v in small.items())  # growth-stable
+
+
+def test_assign_split_validates_fractions(spark):
+    df = _docs(spark, n=10)
+    with pytest.raises(ValueError):
+        assign_split(df, {"train": 0.9, "val": 0.05})
+    with pytest.raises(ValueError):
+        assign_split(df, {})
+
+
+def test_split_and_mixture_draws_are_independent(spark):
+    """The split salt differs from the mixture salt, so holding out a
+    test set does not bias which documents a 0.5-weight domain keeps."""
+    df = _docs(spark, n=2000)
+    labeled = assign_split(df, {"train": 0.5, "test": 0.5})
+    kept = weighted_mixture(labeled, F.lit(0.5))
+    n_train = kept.filter(F.col("split") == "train").count()
+    n_test = kept.filter(F.col("split") == "test").count()
+    assert abs(n_train - n_test) < 0.2 * (n_train + n_test)
+
+
+def test_null_key_semantics_pinned(spark):
+    """A NULL mixing key hashes to NULL, the u < frac gate is then
+    false, and the row keeps exactly floor(w) copies — deterministic,
+    never a crash.  Pinned so a refactor cannot silently change it."""
+    df = spark.createDataFrame(
+        [(None, "d0"), (7, "d0")], "doc_id bigint, source string"
+    )
+    kept = weighted_mixture(df, F.lit(0.9))
+    assert [r.doc_id for r in kept.collect()] == [7]  # NULL: floor(0.9)=0
+    up = weighted_mixture(df, F.lit(2.3))
+    null_copies = [r for r in up.collect() if r.doc_id is None]
+    assert len(null_copies) == 2  # floor(2.3), the fractional gate closed
+
+
+def test_mixer_is_streaming_safe(spark, tmp_path):
+    """The mixer is a stateless projection + explode, so the SAME
+    expression runs unchanged in a Structured Streaming query — mixture
+    at ingest, no batch/stream fork.  (Spark rejects stateful ops in
+    append streams; this pins that the mixer never becomes one.)"""
+    src = str(tmp_path / "mix_src")
+    _docs(spark, n=100).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, source string").parquet(
+        src
+    )
+    q = (
+        weighted_mixture(stream, F.lit(1.5))
+        .writeStream.format("memory")
+        .queryName("mix_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "mix_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.doc_id, r.copy_id)
+        for r in spark.sql("SELECT * FROM mix_stream_t").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.copy_id)
+        for r in weighted_mixture(
+            spark.read.parquet(src), F.lit(1.5)
+        ).collect()
+    )
+    assert got == want and len(got) > 100  # stream == batch, upsampled
 
 
 def test_gate_query_matches_duckdb_oracle(spark):
