@@ -60,6 +60,10 @@ def concat_and_chunk(
     With ``shard_col=None`` the whole frame is one shard — correct, but
     the window runs on a single partition; at scale ALWAYS shard (the
     module docstring's first requirement).
+
+    ``id_col`` only fixes the concat order — for RANDOMIZED training
+    order, pre-project a hash key (operators/mixture.mix_uniform) and
+    pass it here: the packing invariants hold for any total order.
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")

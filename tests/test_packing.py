@@ -108,6 +108,26 @@ def test_shards_pack_independently(spark):
         assert got == want
 
 
+def test_packing_by_hash_order_keeps_invariants(spark):
+    """Randomized training order: packing by a hash-derived key (the
+    docstring's shuffled-order recipe) still tiles every doc and fills
+    every non-tail chunk to exactly L."""
+    from bigdatastructure_a5_spark.operators.mixture import mix_uniform
+
+    counts = [5, 3, 40, 1, 16, 7, 2, 31]
+    df = _docs(spark, counts).withColumn("rk", mix_uniform("doc_id"))
+    rows = concat_and_chunk(df, L, id_col="rk").collect()
+    per_doc = {}
+    for r in rows:
+        per_doc[r.rk] = per_doc.get(r.rk, 0) + r.slice_len
+    assert sorted(per_doc.values()) == sorted(counts)
+    by_chunk = {}
+    for r in rows:
+        by_chunk[r.chunk_id] = by_chunk.get(r.chunk_id, 0) + r.slice_len
+    last = max(by_chunk)
+    assert all(tot == L for cid, tot in by_chunk.items() if cid != last)
+
+
 def test_invalid_chunk_tokens_raises(spark):
     with pytest.raises(ValueError):
         concat_and_chunk(_docs(spark, [3]), 0)
