@@ -87,6 +87,12 @@ def weighted_mixture(
     corpus size the cost is the OUTPUT size.  ``copy_id`` makes repeats
     first-class rows (a downstream exact-dedup would otherwise fold the
     upsampled copies straight back out).
+
+    ``weight`` is a Column, so it cannot be validated at plan time: a
+    NEGATIVE or NULL weight keeps zero copies (``n <= 0`` rows are
+    filtered; NULL propagates through floor and the gate and then fails
+    the ``> 0`` filter) — rows quietly drop rather than erroring
+    mid-job.  ``mix_domains`` validates its literal spec up front.
     """
     n = n_copies(weight, id_col, salt)
     return (
@@ -118,11 +124,17 @@ def assign_split(
     Fractions must sum to 1 (within 1e-9); the LAST interval absorbs the
     float dust so the union is exactly [0, 1).
     """
+    if not fractions:
+        raise ValueError("at least one split required")
+    for name, f in fractions.items():
+        # strictly positive: a zero split is a always-empty label (the
+        # sum check would pass with {"train": 1.0, "test": 0.0}) and a
+        # negative one silently shifts every later cut point
+        if not 0.0 < f <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in (0, 1], got {f}")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions sum to {total}, expected 1.0")
-    if not fractions:
-        raise ValueError("at least one split required")
     u = mix_uniform(id_col, salt)
     names = list(fractions)
     cuts = []
@@ -153,7 +165,15 @@ def mix_domains(
     the conservative default for a curated mixture: an unreviewed source
     must be opted IN).  The spec compiles to a literal CASE chain, so the
     mixer stays a pure map-side expression with no weight-table join.
+    Weights are validated up front: a negative weight in a mixture spec
+    is always a bug (there is no "anti-sampling"), better a ValueError
+    at plan time than silently dropped domains mid-job.
     """
+    import math
+
+    for dom, w in {**weights, "<default>": default_weight}.items():
+        if not math.isfinite(w) or w < 0:
+            raise ValueError(f"weight for {dom!r} must be finite >= 0, got {w}")
     expr = F.lit(float(default_weight))
     for dom, w in sorted(weights.items()):
         expr = F.when(F.col(domain_col) == dom, float(w)).otherwise(expr)

@@ -158,6 +158,31 @@ def test_assign_split_validates_fractions(spark):
         assign_split(df, {"train": 0.9, "val": 0.05})
     with pytest.raises(ValueError):
         assign_split(df, {})
+    with pytest.raises(ValueError):  # zero split = always-empty label
+        assign_split(df, {"train": 1.0, "test": 0.0})
+    with pytest.raises(ValueError):  # negative shifts later cut points
+        assign_split(df, {"a": -0.5, "b": 1.5})
+
+
+def test_mix_domains_validates_weights(spark):
+    df = _docs(spark, n=10)
+    with pytest.raises(ValueError):
+        mix_domains(df, {"d0": -1.0})
+    with pytest.raises(ValueError):
+        mix_domains(df, {"d0": float("nan")})
+    with pytest.raises(ValueError):
+        mix_domains(df, {"d0": 1.0}, default_weight=-0.1)
+
+
+def test_negative_and_null_column_weights_drop(spark):
+    """A Column weight cannot be validated at plan time: negative and
+    NULL weights keep zero copies (quiet drop, never a mid-job error) —
+    the documented contract."""
+    df = _docs(spark, n=20)
+    w = F.when(F.col("doc_id") % 2 == 0, F.lit(-3.0)).otherwise(
+        F.lit(None).cast("double")
+    )
+    assert weighted_mixture(df, w).count() == 0
 
 
 def test_split_and_mixture_draws_are_independent(spark):

@@ -79,6 +79,17 @@ def test_zero_token_documents_drop(spark):
     assert {r.doc_id for r in rows} == {0, 2}
 
 
+def test_null_and_negative_token_counts_drop(spark):
+    """NULL and negative token counts fail the n > 0 filter like zeros —
+    a malformed stats column drops rows, it never corrupts offsets."""
+    df = spark.createDataFrame(
+        [(0, 4), (1, None), (2, -7), (3, 4)], "doc_id bigint, n_tokens bigint"
+    )
+    rows = concat_and_chunk(df, L).collect()
+    assert {r.doc_id for r in rows} == {0, 3}
+    assert sum(r.slice_len for r in rows) == 8
+
+
 def test_shards_pack_independently(spark):
     """Chunk ids restart per shard and never mix shards — re-packing one
     shard leaves the others' chunks untouched (the 100 TB parallelism
