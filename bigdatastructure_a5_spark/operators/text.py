@@ -287,6 +287,36 @@ def quality_score(
     )
 
 
+def curriculum_bins(
+    df,
+    n_bins: int = 10,
+    score_col: str = "quality",
+    group_col: str | None = "lang",
+    id_col: str = "doc_id",
+):
+    """Add a ``bin`` column (1 = lowest score decile .. n_bins = highest)
+    of equal-count quantile bins per group — curriculum ordering for a
+    training pipeline (feed high-quality bins first, or weight bins into
+    operators/mixture.py's spec as domains).
+
+    ``ntile`` over (score, id) — the id tiebreak makes the total order,
+    and therefore every bin label, DETERMINISTIC and cross-engine
+    reproducible (DuckDB's NTILE on the same order agrees exactly;
+    pinned in tests/test_text_multimodal.py).  One window per group: groups
+    partition the corpus, so the shuffle is one hash exchange and each
+    group's ntile runs independently — the same parallel-by-key shape as
+    packing's shard window.  With ``group_col=None`` the frame is one
+    group (single-partition window — fixture-only, like the packer's
+    single-shard mode)."""
+    from pyspark.sql import Window
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(score_col, id_col)
+    return df.withColumn("bin", F.ntile(n_bins).over(w))
+
+
 def bpe_token_count(text_col: Column | str) -> Column:
     """Token count under the BPE-ish pretokenizer regex (words + punctuation
     marks), the standard proxy for LLM token budgets."""

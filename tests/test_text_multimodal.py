@@ -378,3 +378,100 @@ def test_text_operators_are_null_safe(spark):
         quality_score("text").alias("q")).collect()}
     assert rows[1].sc_en == 0 and rows[1].lang == "und" and rows[1].q == 0.0
     assert rows[2].sc_en > 0 and rows[2].lang == "en"
+
+
+def test_curriculum_bins_equal_count_and_monotone(spark):
+    """Quantile bins per group: equal counts (±1 per NTILE semantics),
+    and a higher score never lands in a lower bin within its group."""
+    from bigdatastructure_a5_spark.operators.text import curriculum_bins
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float((i * 37) % 100)) for i in range(200)],
+        "doc_id bigint, lang string, quality double",
+    )
+    rows = curriculum_bins(df, n_bins=5).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append((r.quality, r.doc_id, r.bin))
+    for lang, xs in per.items():
+        sizes = {}
+        for _, _, b in xs:
+            sizes[b] = sizes.get(b, 0) + 1
+        assert sorted(sizes) == [1, 2, 3, 4, 5]
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        xs.sort()
+        bins = [b for _, _, b in xs]
+        assert bins == sorted(bins)  # monotone in (score, id) order
+
+
+def test_curriculum_bins_deterministic_under_ties(spark):
+    """All-equal scores: the id tiebreak fixes every label — two runs
+    agree exactly (no nondeterministic window order)."""
+    from bigdatastructure_a5_spark.operators.text import curriculum_bins
+
+    df = spark.createDataFrame(
+        [(i, "g", 1.0) for i in range(30)],
+        "doc_id bigint, lang string, quality double",
+    )
+    a = sorted((r.doc_id, r.bin) for r in curriculum_bins(df, 3).collect())
+    b = sorted((r.doc_id, r.bin) for r in curriculum_bins(df, 3).collect())
+    assert a == b
+    assert [x[1] for x in a] == [1] * 10 + [2] * 10 + [3] * 10
+
+
+def test_curriculum_bins_match_duckdb_on_documents(spark, sf_dir):
+    """Cross-engine: NTILE over the same deterministic total order
+    (quality, doc_id) per language agrees bit-for-bit with DuckDB on the
+    real documents table + the engine's own quality score."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.operators.text import (
+        curriculum_bins,
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score("text").alias("quality")
+    )
+    got = sorted(
+        (r.doc_id, r.bin) for r in curriculum_bins(docs, n_bins=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    # materialize Spark's quality values (already oracle-checked by the
+    # text_quality gate query) and rank them in DuckDB
+    con.execute(
+        "CREATE TABLE q (doc_id BIGINT, lang VARCHAR, quality DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO q VALUES (?, ?, ?)",
+        [(r.doc_id, r.lang, r.quality) for r in docs.collect()],
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in con.sql(
+            "SELECT doc_id, NTILE(4) OVER (PARTITION BY lang "
+            "ORDER BY quality, doc_id) FROM q"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_curriculum_bins_plan_is_one_exchange(spark):
+    from bigdatastructure_a5_spark.operators.text import curriculum_bins
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 4), float(i)) for i in range(40)],
+        "doc_id bigint, lang string, quality double",
+    )
+    plan = (
+        curriculum_bins(df, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
