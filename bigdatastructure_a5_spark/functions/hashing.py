@@ -30,6 +30,25 @@ def tokens(col: Column | str) -> Column:
     return F.split(normalized_text(col), " ")
 
 
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count of normalized text, 0 for empty documents.
+
+    ``split('', ' ')`` yields ``['']`` in BOTH Spark and DuckDB, so a bare
+    ``size(tokens(...))`` counts an empty-after-trim document as ONE
+    token — it would pack an empty slice into a training chunk and its
+    cumsum shift would silently move every later slice.  Pin the sane
+    semantics (empty document = zero tokens) on both engines; the DuckDB
+    twin is ``CASE WHEN trimmed = '' THEN 0 ELSE LEN(STRING_SPLIT(...))``.
+    NULL text stays NULL (dropped by any ``> 0`` filter downstream).
+    """
+    t = normalized_text(col)
+    return (
+        F.when(t == "", F.lit(0))
+        .otherwise(F.size(F.split(t, " ")))
+        .cast("bigint")
+    )
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Array of word n-gram shingles (space-joined), for minhash/jaccard.
 

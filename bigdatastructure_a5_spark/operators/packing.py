@@ -36,6 +36,8 @@ curated corpus (pipeline_curation) to trainer-shaped examples.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -44,7 +46,7 @@ def concat_and_chunk(
     df: DataFrame,
     chunk_tokens: int,
     n_tokens_col: str = "n_tokens",
-    id_col: str = "doc_id",
+    id_col: str | Sequence[str] = "doc_id",
     shard_col: str | None = None,
 ) -> DataFrame:
     """(shard?, chunk_id, id, slice_start, slice_len, chunk_offset) rows.
@@ -64,11 +66,25 @@ def concat_and_chunk(
     ``id_col`` only fixes the concat order — for RANDOMIZED training
     order, pre-project a hash key (operators/mixture.mix_uniform) and
     pass it here: the packing invariants hold for any total order.
+
+    The order key must be UNIQUE per shard.  The cumsum window is pinned
+    to a ROWS frame (the oracle's ``ROWS UNBOUNDED PRECEDING``) — with a
+    RANGE frame, tied keys would share one ``__end`` and their slices
+    would overlap; with ROWS, tied keys get a well-defined cumsum but the
+    order WITHIN the tie (hence which doc owns which stream positions) is
+    not deterministic across runs.  Post-mixture frames carry duplicate
+    ``doc_id``s (copies differ only in ``copy_id``): pass a composite
+    key, e.g. ``id_col=["doc_id", "copy_id"]``.
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     shard = [shard_col] if shard_col else []
-    w = Window.partitionBy(*shard).orderBy(id_col)
+    w = (
+        Window.partitionBy(*shard)
+        .orderBy(*id_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     n = F.col(n_tokens_col).cast("bigint")
     out = (
         df.filter(n > 0)
@@ -90,7 +106,7 @@ def concat_and_chunk(
     return out.select(
         *shard,
         "chunk_id",
-        id_col,
+        *id_cols,
         (lo - F.col("__start")).alias("slice_start"),
         (hi - lo).alias("slice_len"),
         (lo - chunk_lo).alias("chunk_offset"),

@@ -73,13 +73,21 @@ def pipeline_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: DuckDB twin of operators/packing.py over whitespace tokens of the
 #: normalized text (the engine-wide tokenizer, same as text_quality's
 #: oracle): one cumsum window per shard, chunk span by integer division.
+#: The CASE guard mirrors functions/hashing.token_count — STRING_SPLIT('')
+#: is [''] (n=1) in both engines, but an empty document must count ZERO
+#: tokens or it packs a phantom slice and shifts every later cumsum.
 _PACK_ORACLE = """
-    WITH t AS (
+    WITH t0 AS (
       SELECT doc_id, doc_id % 8 AS shard,
-             CAST(LEN(STRING_SPLIT(
-               TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '))
-             AS BIGINT) AS n
+             TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS txt
       FROM documents
+    ),
+    t AS (
+      SELECT doc_id, shard,
+             CASE WHEN txt = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(LEN(STRING_SPLIT(txt, ' ')) AS BIGINT)
+             END AS n
+      FROM t0
     ),
     p AS (
       SELECT shard, doc_id, n,
@@ -112,13 +120,15 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice geometry).  One shuffle total (the per-shard cumsum window) +
     an output-sized explode, zero Python — and chunk boundaries never
     cross shards, which is what makes the 100 TB packer embarrassingly
-    parallel and re-pack-stable per shard."""
-    from bigdatastructure_a5_spark.functions.hashing import tokens
+    parallel and re-pack-stable per shard.  ``doc_id`` is unique in the
+    documents table, so the per-shard order key is tie-free; token counts
+    come from ``token_count`` (empty documents count 0 and drop)."""
+    from bigdatastructure_a5_spark.functions.hashing import token_count
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % 8).alias("shard"),
-        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        token_count("text").alias("n_tokens"),
     )
     return concat_and_chunk(
         docs, 512, n_tokens_col="n_tokens", shard_col="shard"

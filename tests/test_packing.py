@@ -157,6 +157,134 @@ def test_packing_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_duplicate_order_keys_pack_with_tiebreak(spark):
+    """A post-mixture frame carries duplicate doc_ids (copies distinguish
+    only by copy_id).  With a composite order key the ROWS-frame cumsum
+    stays tie-free: every copy tiles its own token span, chunks fill to
+    exactly L, and nothing overlaps — the RANGE-frame bug (tied keys
+    sharing one __end, slices double-counted) cannot reproduce."""
+    rows = [
+        (0, 0, 5),
+        (0, 1, 5),  # duplicate doc_id 0, copies 0/1
+        (1, 0, 9),
+        (2, 0, 3),
+        (2, 1, 3),
+        (2, 2, 3),  # doc 2 upsampled 3x
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, copy_id bigint, n_tokens bigint"
+    )
+    out = concat_and_chunk(df, L, id_col=["doc_id", "copy_id"]).collect()
+    # every (doc, copy) tiles its own n_tokens
+    per_copy: dict[tuple, int] = {}
+    for r in out:
+        per_copy[(r.doc_id, r.copy_id)] = (
+            per_copy.get((r.doc_id, r.copy_id), 0) + r.slice_len
+        )
+    assert per_copy == {(d, c): n for d, c, n in rows}
+    # chunks tile [0, L) with no overlap: offsets+lens partition the chunk
+    by_chunk: dict[int, list] = {}
+    for r in out:
+        by_chunk.setdefault(r.chunk_id, []).append(r)
+    last = max(by_chunk)
+    for cid, rs in by_chunk.items():
+        rs.sort(key=lambda r: r.chunk_offset)
+        assert rs[0].chunk_offset == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a.chunk_offset + a.slice_len == b.chunk_offset
+        if cid != last:
+            assert sum(r.slice_len for r in rs) == L
+    # total stream length is the full corpus
+    assert sum(r.slice_len for r in out) == sum(n for _, _, n in rows)
+
+
+def test_packing_duplicate_keys_match_duckdb_rows_frame(spark):
+    """The composite-key packer replays bit-for-bit in DuckDB with ROWS
+    UNBOUNDED PRECEDING — the engine's pinned frame and the oracle's are
+    textually the same semantics even under duplicate doc_ids."""
+    import duckdb
+
+    rows = [(i % 4, c, (i * 7) % 11 + 1) for i in range(24) for c in range(2)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, copy_id bigint, n_tokens bigint"
+    )
+    got = sorted(
+        tuple(r)
+        for r in concat_and_chunk(df, L, id_col=["doc_id", "copy_id"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, copy_id BIGINT, n BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            f"""
+            WITH p AS (
+              SELECT doc_id, copy_id, n,
+                     SUM(n) OVER (ORDER BY doc_id, copy_id
+                                  ROWS UNBOUNDED PRECEDING) AS e
+              FROM t WHERE n > 0
+            ),
+            x AS (
+              SELECT doc_id, copy_id, e - n AS s, e,
+                     UNNEST(GENERATE_SERIES(
+                       CAST(FLOOR((e - n) / {L}.0) AS BIGINT),
+                       CAST(FLOOR((e - 1) / {L}.0) AS BIGINT))) AS chunk_id
+              FROM p
+            )
+            SELECT chunk_id, doc_id, copy_id,
+                   GREATEST(s, chunk_id * {L}) - s AS slice_start,
+                   LEAST(e, (chunk_id + 1) * {L})
+                     - GREATEST(s, chunk_id * {L}) AS slice_len,
+                   GREATEST(s, chunk_id * {L}) - chunk_id * {L} AS chunk_offset
+            FROM x
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_empty_document_token_semantics_cross_engine(spark):
+    """token_count counts 0 for empty/whitespace-only text in BOTH
+    engines (split('', ' ') is [''] — a bare size() would count 1), NULL
+    for NULL text; such documents drop out of the packer entirely."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.functions.hashing import token_count
+
+    texts = [(0, ""), (1, "   "), (2, None), (3, "a  b\tc"), (4, "\n\n")]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", token_count("text").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", texts)
+    want = {
+        r[0]: r[1]
+        for r in con.sql(
+            r"""
+            SELECT doc_id,
+                   CASE WHEN txt = '' THEN CAST(0 AS BIGINT)
+                        ELSE CAST(LEN(STRING_SPLIT(txt, ' ')) AS BIGINT)
+                   END AS n
+            FROM (SELECT doc_id,
+                         TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS txt
+                  FROM d)
+            """
+        ).fetchall()
+    }
+    assert got == want == {0: 0, 1: 0, 2: None, 3: 3, 4: 0}
+    # and the packer drops them: only doc 3 packs
+    packed = concat_and_chunk(
+        df.select("doc_id", token_count("text").alias("n_tokens")), L
+    ).collect()
+    assert {r.doc_id for r in packed} == {3}
+
+
 def test_gate_query_matches_duckdb_oracle(spark):
     """The registry entry vs its oracle at sf0.001."""
     import duckdb
