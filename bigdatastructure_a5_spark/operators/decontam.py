@@ -74,6 +74,11 @@ def contamination_matches(
     the persisted index frame for caller-side unpersist, the
     materialize_release protocol pipeline.py uses.
     """
+    from bigdatastructure_a5_spark.session import (
+        require_generate_filter_exclusion,
+    )
+
+    require_generate_filter_exclusion(corpus_shingled.sparkSession)
     bench_ix = persist_df(
         benchmark_shingled.select(
             F.col("id").alias("bench_id"),

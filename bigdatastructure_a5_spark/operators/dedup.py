@@ -74,6 +74,11 @@ def shingle_sets_from_tokens(
     pipeline_curation's n_tokens/quality stage) feeds it straight into
     shingling instead of re-running the tokenizer regex over the text,
     which is the single heaviest per-row map in the curation flow."""
+    from bigdatastructure_a5_spark.session import (
+        require_generate_filter_exclusion,
+    )
+
+    require_generate_filter_exclusion(df.sparkSession)
     return (
         df.select(F.col(id_col).alias("id"), F.col(toks_col).alias("toks"))
         .filter(F.size("toks") >= n)

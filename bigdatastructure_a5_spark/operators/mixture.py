@@ -123,6 +123,15 @@ def assign_split(
     same md5-prefix uniform the mixer and the DuckDB oracle share).
     Fractions must sum to 1 (within 1e-9); the LAST interval absorbs the
     float dust so the union is exactly [0, 1).
+
+    A NULL id hashes to a NULL uniform; such rows go to the FIRST split
+    (by dict order — conventionally "train"), explicitly.  Without the
+    explicit route, every ``u < hi`` gate is NULL and the whole chain
+    falls through to the LAST interval — which is conventionally the
+    TEST set: malformed ids silently contaminating the held-out split is
+    the worst possible default.  Landing them in train is safe (worst
+    case: a few unkeyable documents get trained on), but the real fix is
+    upstream — filter or repair NULL ids before splitting.
     """
     if not fractions:
         raise ValueError("at least one split required")
@@ -148,7 +157,11 @@ def assign_split(
     expr = F.lit(names[-1])
     for name, hi in reversed(cuts):
         expr = F.when(u < hi, name).otherwise(expr)
-    return df.withColumn("split", expr)
+    # NULL u would fail every gate and fall through to the LAST (test)
+    # interval — route it to the first (train) split instead
+    return df.withColumn(
+        "split", F.when(u.isNull(), names[0]).otherwise(expr)
+    )
 
 
 def mix_domains(

@@ -169,6 +169,43 @@ def get_spark(
     return builder.getOrCreate()
 
 
+#: The optimizer rule get_spark excludes session-wide (see the builder
+#: comment above): it infers `size(a) > 0` filters under explode(a), and
+#: pushdown then inlines computed shingle arrays into every element_at —
+#: O(tokens²) per document (measured 60 s -> 2 s on decontam at sf0.1).
+GENERATE_FILTER_RULE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def require_generate_filter_exclusion(spark: SparkSession) -> None:
+    """Warn LOUDLY if the session lacks the InferFiltersFromGenerate
+    exclusion that the text-family operators (dedup shingling, decontam)
+    were measured against.
+
+    The deploy checklist makes the exclusion a REQUIRED cluster conf, but
+    a user who builds their own SparkSession silently loses it and
+    re-enters the O(tokens²) inlined-tokenizer trap — same plan text,
+    ~70x the wall.  The conf is dynamic (``spark.conf.set`` works
+    mid-session), so the warning tells the user the one-line fix instead
+    of raising: the results are still CORRECT, only pathologically slow.
+    """
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "") or ""
+    if GENERATE_FILTER_RULE not in excluded:
+        import warnings
+
+        warnings.warn(
+            "this SparkSession does not exclude InferFiltersFromGenerate: "
+            "shingle-based operators (dedup/decontam) will re-tokenize "
+            "each document once per shingle position, O(tokens^2). Fix: "
+            'spark.conf.set("spark.sql.optimizer.excludedRules", '
+            f'"{GENERATE_FILTER_RULE}") — or build the session with '
+            "bigdatastructure_a5_spark.session.get_spark, which sets it.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def persist_df(df):
     """Persist at the session-selected storage level.
 

@@ -45,7 +45,11 @@ joins only matching buckets.  The shingle store is read candidates-only
 via an id-equality join.  Checkpointing/exactly-once is foreachBatch's
 contract: both appends are idempotent-enough under retry only if the
 sink dir is per-batch-id committed; production should write batch-id
-suffixed files or use a transactional table format on top.
+suffixed files or use a transactional table format on top.  The two
+state appends are ordered shingles-then-bands so a crash between them
+can only UNDER-index (repaired by the batch retry), never leave band
+rows whose candidates the shingle verify join would silently drop
+forever (see the step-4 comment in ``process_batch``).
 """
 
 from __future__ import annotations
@@ -181,7 +185,15 @@ def process_batch(
     )
     kept.write.mode("append").parquet(out_dir)
 
-    # (4) append ALL batch docs' keys — kept and dropped (see docstring)
+    # (4) append ALL batch docs' keys — kept and dropped (see docstring).
+    # Order matters for crash-safety: SHINGLES FIRST.  A band row whose
+    # shingle row is missing produces candidates that the inner join to
+    # stored shingles silently discards on EVERY later batch — a
+    # permanently missed duplicate with no error.  A shingle row whose
+    # band row is missing merely under-indexes (the doc generates no
+    # candidates, same observable state as the batch never having been
+    # indexed), which the foreachBatch retry repairs by re-appending.
+    shingled.write.mode("append").parquet(shingles_dir)
     keys_out = keys
     if state_buckets is not None:
         keys_out = keys_out.withColumn(
@@ -191,7 +203,6 @@ def process_batch(
     if state_buckets is not None:
         writer = writer.partitionBy("bucket")
     writer.parquet(bands_dir)
-    shingled.write.mode("append").parquet(shingles_dir)
     for df in tracked:
         df.unpersist()
 

@@ -181,3 +181,29 @@ def test_no_inferred_generate_filter(spark):
         "shingle expression leaked into a Filter — "
         "InferFiltersFromGenerate is back"
     )
+
+
+def test_guard_warns_when_exclusion_missing(spark):
+    """A user-built session without the excludedRules conf re-enters the
+    O(tokens²) trap silently; the shingle/decontam entry points must warn
+    with the one-line fix.  The conf is dynamic, so the test clears it,
+    asserts the warning, restores it, and asserts silence."""
+    import warnings
+
+    from bigdatastructure_a5_spark.session import GENERATE_FILTER_RULE
+
+    corpus = _docs(spark, [(1, "a b c d e f g h i j")])
+    key = "spark.sql.optimizer.excludedRules"
+    saved = spark.conf.get(key, "")
+    assert GENERATE_FILTER_RULE in (saved or ""), "test session lost the conf"
+    try:
+        spark.conf.set(key, "")
+        with pytest.warns(RuntimeWarning, match="InferFiltersFromGenerate"):
+            shingle_sets(corpus, "doc_id", "text", 3)
+        shingled = None
+    finally:
+        spark.conf.set(key, saved)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning now fails the test
+        shingled = shingle_sets(corpus, "doc_id", "text", 3)
+        contamination_matches(shingled, shingled)

@@ -264,3 +264,19 @@ def test_gate_query_matches_duckdb_oracle(spark):
     )
     want = sorted(tuple(r) for r in con.sql(_MIX_ORACLE).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_assign_split_null_ids_go_to_first_split(spark):
+    """A NULL id hashes to a NULL uniform; without an explicit route it
+    would fail every u < hi gate and fall through to the LAST interval —
+    silently contaminating the test set.  Pinned: NULL-id rows land in
+    the FIRST split (train), never in a later one."""
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id bigint"
+    )
+    out = assign_split(
+        df, {"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    by_id = {r.doc_id: r.split for r in out}
+    assert by_id[None] == "train"
+    assert set(by_id.values()) <= {"train", "val", "test"}
