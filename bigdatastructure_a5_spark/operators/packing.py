@@ -111,3 +111,58 @@ def concat_and_chunk(
         (hi - lo).alias("slice_len"),
         (lo - chunk_lo).alias("chunk_offset"),
     )
+
+
+def assemble_chunks(
+    packed: DataFrame,
+    tokens_df: DataFrame,
+    id_cols: str | Sequence[str] = "doc_id",
+    shard_col: str | None = None,
+    toks_col: str = "toks",
+) -> DataFrame:
+    """Materialize trainer-shaped examples from slice geometry: one row
+    per (shard?, chunk_id) with the chunk's ordered token array.
+
+    ``packed`` is ``concat_and_chunk`` output; ``tokens_df`` maps the same
+    id columns to each document's token array (``toks_col``).  The chunk
+    content is assembled with pure Catalyst expressions — ``slice`` each
+    document's tokens by its slice geometry, ``sort_array`` the collected
+    (chunk_offset, piece) structs, ``flatten`` — so the assembly is
+    bit-deterministic and rides whole-stage codegen; zero Python.
+
+    Invariant (pinned by tests): ``size(toks) == sum(slice_len) ==
+    chunk_tokens`` for every chunk except each shard's last, and the
+    concatenation of a shard's chunks in chunk_id order IS the shard's
+    document stream in order-key order.
+
+    Cost shape: one join (geometry rows x token arrays, on the id — at
+    scale co-partition both sides on the id or generate the geometry
+    from the token frame itself so the join is collocated) plus one
+    aggregation exchange on (shard, chunk_id).  The heavy token arrays
+    cross the shuffle exactly once, already cut down to the slice.
+    """
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    keys = ([shard_col] if shard_col else []) + ["chunk_id"]
+    piece = F.slice(
+        F.col(toks_col),
+        (F.col("slice_start") + 1).cast("int"),
+        F.col("slice_len").cast("int"),
+    )
+    return (
+        packed.join(tokens_df, ids)
+        .select(
+            *keys,
+            F.struct(
+                F.col("chunk_offset"), piece.alias("piece")
+            ).alias("p"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("p")), lambda s: s["piece"]
+                )
+            ).alias("toks")
+        )
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+    )

@@ -386,9 +386,7 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scalar_functions",
-    oracle="""
+SCALAR_FUNCTIONS_ORACLE = """
     SELECT o_orderkey,
            LOWER(o_orderstatus) AS status_lower,
            CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS prio_num,
@@ -398,12 +396,16 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR(o_totalprice) AS BIGINT) AS total_floor,
            CAST(o_orderdate AS DATE) + 30 AS due_date
     FROM orders
-    """,
-    tags=("ext:scalar",),
-)
+    """
+
+
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/date/math scalar functions (absent from the reference, whose
-    only value semantics is literal equality — SURVEY.md §2.6)."""
+    only value semantics is literal equality — SURVEY.md §2.6).  Rotated
+    out of the driver registry in r10 (slot went to the mixture/packing
+    family); stays engine-vs-oracle checked in tests/test_tools.py, and
+    scalar expressions stay driver-gated via events_json_extract +
+    projection_computed."""
     o = load_table(spark, sf_dir, "orders")
     d = F.to_date("o_orderdate")
     return o.select(
@@ -420,9 +422,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "composite_shipping_priority",
-    oracle="""
+COMPOSITE_SHIPPING_ORACLE = """
     SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
                 AS DOUBLE) AS revenue,
@@ -436,9 +436,9 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
-    """,
-    tags=("O1", "O11", "O13", "O16", "ext:sort"),
-)
+    """
+
+
 def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped composite — every §2 operator family in ONE plan:
     conjunctive filters on three tables (O1), filter-then-join (O11),
@@ -449,7 +449,13 @@ def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, no global sort) when everything appears at once.
 
     Revenue is computed per-row in double (one IEEE multiply, identical
-    cross-engine) then summed exactly as decimal — the numeric.py rule."""
+    cross-engine) then summed exactly as decimal — the numeric.py rule.
+
+    Rotated out of the driver registry in r10 (slot went to the
+    mixture/packing family); stays engine-vs-oracle checked in
+    tests/test_tools.py.  Every component family keeps its own driver
+    row: O1 filter_eq_conjunctive, O11 join_filtered_brand, O13
+    join_three_way, O16/O19 agg_pricing_summary, top-k sort_limit_topk."""
     cutoff = "1997-01-01"
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"

@@ -674,21 +674,15 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_quality",
-    # the stopwordy term is the SUM of per-lexicon marker counts — the same
-    # semantic as quality_score's Spark expression (a token in two lexicons,
-    # e.g. 'la' in es AND fr, counts twice) and as pipeline_curation's
-    # oracle; generated from STOPWORDS so the lists cannot drift (a
-    # previous hand-rolled union list missed 'une' and counted shared
-    # tokens once, a latent hash mismatch)
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, text,
-             STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ') AS w
-      FROM documents
-    )
-    SELECT doc_id,
+#: The composite quality expression over the tokenized column ``w`` — the
+#: stopwordy term is the SUM of per-lexicon marker counts, the same
+#: semantic as quality_score's Spark expression (a token in two lexicons,
+#: e.g. 'la' in es AND fr, counts twice) and as pipeline_curation's
+#: oracle; generated from STOPWORDS so the lists cannot drift (a previous
+#: hand-rolled union list missed 'une' and counted shared tokens once, a
+#: latent hash mismatch).  Shared by the text_quality and curriculum_bins
+#: oracles so the two gates can never disagree on the score.
+_QUALITY_SQL = f"""
            CASE WHEN LENGTH(text) >= 120 AND LENGTH(text) <= 20000
                 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
          + CASE WHEN CAST(LEN(LIST_DISTINCT(w)) AS DOUBLE) / CAST(LEN(w) AS DOUBLE) >= 0.5
@@ -697,6 +691,19 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
          + CASE WHEN ({" + ".join(_in_list_sql(lang) for lang in STOPWORDS)}) >= 2
                 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+"""
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           {_QUALITY_SQL}
            AS quality
     FROM t
     """,
@@ -710,6 +717,51 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "text", tokens("text").alias("__toks")).select(
         "doc_id", quality_score("text", toks="__toks").alias("quality")
+    )
+
+
+@query(
+    "curriculum_bins",
+    # same _QUALITY_SQL as the text_quality oracle (shared constant — the
+    # two gates cannot drift), then NTILE over the deterministic total
+    # order (quality, doc_id) per language: the id tiebreak fixes every
+    # label, so Spark's ntile and DuckDB's NTILE agree bit-for-bit
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             {_QUALITY_SQL}
+             AS quality
+      FROM t
+    )
+    SELECT doc_id, lang, quality,
+           CAST(NTILE(8) OVER (PARTITION BY lang ORDER BY quality, doc_id)
+                AS BIGINT) AS bin
+    FROM q
+    """,
+    tags=("ext:text",),
+)
+def curriculum_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum quality binning (operators/text.py ``curriculum_bins``):
+    8 equal-count quantile bins of the composite quality score per
+    language — the per-group ntile a curriculum schedule feeds from
+    (train on high bins first, or hand bins to the mixer as domains).
+    One hash exchange (groups partition the corpus), window per group,
+    zero Python; deterministic because the (score, id) order is total."""
+    from bigdatastructure_a5_spark.operators.text import curriculum_bins
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    scored = docs.select(
+        "doc_id", "lang", quality_score("text").alias("quality")
+    )
+    return curriculum_bins(scored, n_bins=8).select(
+        "doc_id", "lang", "quality", F.col("bin").cast("bigint").alias("bin")
     )
 
 

@@ -302,3 +302,69 @@ def test_gate_query_matches_duckdb_oracle(spark):
     )
     want = sorted(tuple(r) for r in con.sql(_PACK_ORACLE).fetchall())
     assert got == want and len(got) > 0
+
+
+def _tok_docs(spark, token_lists, shards=None):
+    rows = [
+        (i, toks, len(toks)) if shards is None else (i, toks, len(toks), shards[i])
+        for i, toks in enumerate(token_lists)
+    ]
+    schema = "doc_id bigint, toks array<string>, n_tokens bigint" + (
+        "" if shards is None else ", shard bigint"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_assemble_chunks_materializes_exact_stream(spark):
+    """Assembled chunks ARE the concatenated document stream: every
+    non-final chunk holds exactly L tokens, and reading the chunks in
+    chunk_id order reproduces the shard's token stream in doc order."""
+    from bigdatastructure_a5_spark.operators.packing import assemble_chunks
+
+    token_lists = [
+        [f"d{i}t{j}" for j in range(n)] for i, n in enumerate([5, 3, 40, 1, 16, 7])
+    ]
+    docs = _tok_docs(spark, token_lists)
+    packed = concat_and_chunk(docs, L)
+    out = assemble_chunks(packed, docs.select("doc_id", "toks")).collect()
+    by_chunk = {r.chunk_id: r for r in out}
+    last = max(by_chunk)
+    stream = [t for toks in token_lists for t in toks]
+    got_stream = [
+        t for cid in sorted(by_chunk) for t in by_chunk[cid].toks
+    ]
+    assert got_stream == stream
+    for cid, r in by_chunk.items():
+        assert r.n_tokens == len(r.toks)
+        if cid != last:
+            assert r.n_tokens == L
+
+
+def test_assemble_chunks_sharded_and_zero_python(spark):
+    """Sharded assembly keeps chunk streams per shard; the plan has no
+    Python stages (pure slice/sort_array/flatten expressions)."""
+    from bigdatastructure_a5_spark.operators.packing import assemble_chunks
+
+    token_lists = [[f"d{i}t{j}" for j in range(n)] for i, n in enumerate([9, 20, 6, 2, 17, 5])]
+    shards = [0, 1, 0, 1, 0, 1]
+    docs = _tok_docs(spark, token_lists, shards)
+    packed = concat_and_chunk(docs, L, shard_col="shard")
+    asm = assemble_chunks(
+        packed, docs.select("doc_id", "toks"), shard_col="shard"
+    )
+    plan = asm._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    out = asm.collect()
+    for s in (0, 1):
+        stream = [
+            t
+            for i, toks in enumerate(token_lists)
+            if shards[i] == s
+            for t in toks
+        ]
+        rows = sorted(
+            (r for r in out if r.shard == s), key=lambda r: r.chunk_id
+        )
+        assert [t for r in rows for t in r.toks] == stream
+        for r in rows[:-1]:
+            assert r.n_tokens == L

@@ -93,7 +93,17 @@ def test_composite_query_composes_all_guarantees(spark, sf_dir):
     """One plan must show all the per-operator physical properties at once:
     pushed filters, broadcast dimension, partial aggregation, and top-k
     without a global sort."""
-    plan = _plan(spark, sf_dir, "composite_shipping_priority")
+    # rotated out of the registry in r10 — call the builder directly
+    from bigdatastructure_a5_spark.queries.parity import (
+        composite_shipping_priority,
+    )
+
+    plan = (
+        composite_shipping_priority(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "PushedFilters: [" in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2

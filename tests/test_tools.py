@@ -626,3 +626,87 @@ def test_events_hourly_rollup_matches_duckdb(spark, sf_dir):
         for r in con.sql(EVENTS_HOURLY_ROLLUP_ORACLE).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_join_left_outer_matches_duckdb(spark, sf_dir):
+    """LEFT OUTER stays engine-vs-oracle checked after the r10 rotation
+    (its former registry slot went to the mixture/packing/curriculum
+    family; outer-join machinery stays driver-gated via join_semi_anti
+    and join_asof_attribution)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.sql_surface import (
+        JOIN_LEFT_OUTER_ORACLE,
+        join_left_outer,
+    )
+
+    got = sorted(
+        (r.n_name, r.n_suppliers)
+        for r in join_left_outer(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    for t in ("nation", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = sorted(
+        (r[0], r[1]) for r in con.sql(JOIN_LEFT_OUTER_ORACLE).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_scalar_functions_match_duckdb(spark, sf_dir):
+    """Scalar string/date/math functions stay engine-vs-oracle checked
+    after the r10 rotation (scalar expressions stay driver-gated via
+    events_json_extract and projection_computed)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.parity import (
+        SCALAR_FUNCTIONS_ORACLE,
+        scalar_functions,
+    )
+
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in scalar_functions(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in con.sql(SCALAR_FUNCTIONS_ORACLE).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_composite_shipping_priority_matches_duckdb(spark, sf_dir):
+    """The TPC-H Q3-shaped composite stays engine-vs-oracle checked after
+    the r10 rotation (each component family keeps its own driver row:
+    filter_eq_conjunctive, join_filtered_brand, join_three_way,
+    agg_pricing_summary, sort_limit_topk)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.parity import (
+        COMPOSITE_SHIPPING_ORACLE,
+        composite_shipping_priority,
+    )
+
+    got = [
+        (r.l_orderkey, round(r.revenue, 9), str(r.o_orderdate), r.o_orderpriority)
+        for r in composite_shipping_priority(spark, sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = [
+        (r[0], round(r[1], 9), str(r[2]), r[3])
+        for r in con.sql(COMPOSITE_SHIPPING_ORACLE).fetchall()
+    ]
+    assert got == want and len(got) > 0
