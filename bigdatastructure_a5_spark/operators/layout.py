@@ -62,6 +62,93 @@ def scale_to_rank(
     )
 
 
+def string_surrogate(
+    col: Column, chars: int = 9, bits_per_char: int = 7
+) -> Column:
+    """Order-preserving bigint surrogate of a string: the first ``chars``
+    codepoints folded big-endian at ``bits_per_char`` bits each (clamped).
+
+    Spark compares strings by UTF-8 bytes, which equals codepoint order,
+    so comparing surrogates equals comparing the string PREFIXES — a
+    monotone (ties-allowed) map, which is all a clustering rank needs:
+    collisions only coarsen locality, never break the min/max pruning
+    stats (those are on the real string column).  The default 9 chars x
+    7 bits fits the signed 64-bit key and keeps exact order through
+    codepoint 126 — i.e. exact for ASCII, which is what categorical keys
+    overwhelmingly are (measured on 'Brand#NN': 7x9 saw only the first
+    digit, 9x7 separates all 25 brands); non-ASCII codepoints clamp to
+    127 (ties).  Empty/short strings pad with 0 ("ab" < "abc" holds);
+    NULL stays NULL (scale_to_rank ranks it 0).
+
+    This is the ZERO-JOB scale path for string Z-order keys: a pure
+    rendered expression over any cardinality.  Its weakness is shared
+    prefixes (URLs all starting "https://www." collapse) — but because
+    the surrogate then feeds the same min/max scaling as any numeric
+    column, a common prefix only shifts lo/hi together and the spread
+    comes from wherever the prefixes first differ IF they differ within
+    ``chars``.  For strings whose discriminating characters sit past the
+    fold (URL paths after a long shared host) use
+    ``string_method="dict"`` (exact equal-count ranks).
+    """
+    cap = (1 << bits_per_char) - 1
+    out = F.lit(0).cast("bigint")
+    for i in range(1, chars + 1):
+        cp = F.least(
+            F.ascii(F.substring(col, i, 1)), F.lit(cap)
+        ).cast("bigint")
+        out = F.shiftleft(out, bits_per_char).bitwiseOR(cp)
+    return out
+
+
+def string_dict_ranks(
+    df: DataFrame,
+    col_name: str,
+    bits: int,
+    max_dict_values: int = 1 << 20,
+) -> DataFrame:
+    """(value, rank) dictionary for EXACT string ranks: equal-count
+    ``ntile(2^bits)`` over the sorted distinct values — the write-time
+    pre-pass for prefix-skewed or low-cardinality string Z-order keys.
+
+    Cost shape: one distinct (shuffle over UNIQUE values, not rows) plus
+    a single-partition window over the dictionary — bounded by the
+    column's cardinality, which is why ``max_dict_values`` gates it
+    (default 1M; a URL-grade column should use the prefix surrogate or a
+    coarser key).  The dictionary broadcasts back onto the frame in
+    ``with_zorder_key``."""
+    from pyspark.sql import Window
+
+    d = (
+        df.select(F.col(col_name).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+    )
+    n_distinct = d.count()
+    if n_distinct > max_dict_values:
+        raise ValueError(
+            f"string_dict_ranks: {col_name!r} has {n_distinct} distinct "
+            f"values (> {max_dict_values}) — use string_method='prefix' "
+            "(order-preserving surrogate, any cardinality) or a coarser "
+            "layout key"
+        )
+    n_ranks = min(1 << bits, max(n_distinct, 1))
+    w = Window.orderBy("__v")
+    tile = F.ntile(n_ranks).over(w) - 1
+    # spread the dense tiles over the FULL [0, 2^bits) rank space: the
+    # Morton interleave weights bit positions, so 400 ranks packed into
+    # the bottom of a 16-bit dimension would only touch its low 9 bits
+    # and the other dimension's high bits would dominate the key
+    max_rank = (1 << bits) - 1
+    spread = (
+        tile.cast("bigint") * max_rank / F.lit(max(n_ranks - 1, 1))
+        if n_ranks > 1
+        else F.lit(0)
+    )
+    return d.select(
+        "__v", F.floor(spread).cast("bigint").alias("__rank")
+    )
+
+
 def morton_interleave(
     ranks: list[Column], bits: int = ZORDER_BITS
 ) -> Column:
@@ -98,6 +185,8 @@ def with_zorder_key(
     bounds: dict[str, tuple[float, float]] | None = None,
     key_col: str = "__z",
     bits: int | None = None,
+    string_method: str = "prefix",
+    max_dict_values: int = 1 << 20,
 ) -> DataFrame:
     """Add the Morton key for ``cols``.  ``bounds`` maps column -> (min,
     max); None computes them with one agg job (write-time cost).
@@ -109,44 +198,76 @@ def with_zorder_key(
     Column types: numerics rank directly; DATE ranks as days since epoch
     (``unix_date``) and TIMESTAMP as microseconds (``unix_micros``) —
     caller-supplied ``bounds`` for those columns are in the same units.
-    STRING columns raise: an order-preserving rank needs a dictionary
-    pre-pass (distinct -> dense rank -> join) whose cost/benefit is a
-    caller decision — rank it to an integer column first, or make the
-    string the coarse ``partitionBy`` key and Z-order the residual
-    columns (the §15b composition)."""
+    STRING columns rank by ``string_method``:
+
+    - ``"prefix"`` (default): the order-preserving ``string_surrogate``
+      fold of the first 7 codepoints — a pure expression, zero extra
+      jobs, any cardinality; caller ``bounds`` are in surrogate units
+      (rarely worth supplying — let the agg compute them).
+    - ``"dict"``: EXACT equal-count ranks via ``string_dict_ranks``
+      (distinct -> ntile -> broadcast join back) — the write-time
+      pre-pass for prefix-skewed columns, gated by ``max_dict_values``.
+    - ``"error"``: the pre-r10 refusal, for callers that want to be
+      forced to pre-rank by hand.
+    """
     from pyspark.sql.types import DateType, StringType, TimestampType
 
+    if string_method not in ("prefix", "dict", "error"):
+        raise ValueError(
+            f"unknown string_method {string_method!r}: "
+            "expected 'prefix', 'dict', or 'error'"
+        )
     if bits is None:
         bits = min(ZORDER_BITS, 63 // max(len(cols), 1))
     by_name = {f.name: f.dataType for f in df.schema.fields}
     exprs: dict[str, Column] = {}
+    preset: dict[str, tuple[float, float]] = dict(bounds or {})
+    joined_cols: list[str] = []
     for c in cols:
         dt = by_name.get(c)
         if isinstance(dt, StringType):
-            raise ValueError(
-                f"with_zorder_key: column {c!r} is a string — rank it to "
-                "an integer first (dictionary pre-pass) or use it as the "
-                "partitionBy key and Z-order the other columns"
-            )
-        if isinstance(dt, DateType):
+            if string_method == "error":
+                raise ValueError(
+                    f"with_zorder_key: column {c!r} is a string — rank it "
+                    "to an integer first (dictionary pre-pass) or use it "
+                    "as the partitionBy key and Z-order the other columns"
+                )
+            if string_method == "dict":
+                rank_col = f"__rank_{c}"
+                d = string_dict_ranks(df, c, bits, max_dict_values)
+                df = df.join(
+                    F.broadcast(
+                        d.withColumnRenamed("__rank", rank_col)
+                    ),
+                    df[c] == d["__v"],
+                    "left",
+                ).drop("__v")
+                joined_cols.append(rank_col)
+                exprs[c] = F.col(rank_col)
+                preset.setdefault(c, (0.0, float((1 << bits) - 1)))
+            else:
+                exprs[c] = string_surrogate(F.col(c))
+        elif isinstance(dt, DateType):
             exprs[c] = F.unix_date(F.col(c))
         elif isinstance(dt, TimestampType):
             exprs[c] = F.unix_micros(F.col(c))
         else:
             exprs[c] = F.col(c)
-    if bounds is None:
+    missing = [c for c in cols if c not in preset]
+    if missing:
         agg = df.agg(
-            *[F.min(exprs[c]).alias(f"lo_{c}") for c in cols],
-            *[F.max(exprs[c]).alias(f"hi_{c}") for c in cols],
+            *[F.min(exprs[c]).alias(f"lo_{c}") for c in missing],
+            *[F.max(exprs[c]).alias(f"hi_{c}") for c in missing],
         ).first()
-        bounds = {
-            c: (float(agg[f"lo_{c}"]), float(agg[f"hi_{c}"])) for c in cols
-        }
+        for c in missing:
+            preset[c] = (float(agg[f"lo_{c}"]), float(agg[f"hi_{c}"]))
     ranks = [
-        scale_to_rank(exprs[c], bounds[c][0], bounds[c][1], bits)
+        scale_to_rank(exprs[c], preset[c][0], preset[c][1], bits)
         for c in cols
     ]
-    return df.withColumn(key_col, morton_interleave(ranks, bits))
+    return df.withColumn(key_col, morton_interleave(ranks, bits)).drop(
+        *joined_cols
+    )
 
 
 def zorder_cluster(
@@ -155,6 +276,7 @@ def zorder_cluster(
     n_files: int,
     bounds: dict[str, tuple[float, float]] | None = None,
     bits: int | None = None,
+    string_method: str = "prefix",
 ) -> DataFrame:
     """Range-cluster ``df`` by the Morton key of ``cols`` into
     ``n_files`` partitions, locally sorted — write the result with plain
@@ -162,7 +284,9 @@ def zorder_cluster(
     ``cols``.  The key column is dropped from the output: it exists to
     place rows, not to be stored (min/max of the real columns do the
     pruning)."""
-    keyed = with_zorder_key(df, cols, bounds=bounds, bits=bits)
+    keyed = with_zorder_key(
+        df, cols, bounds=bounds, bits=bits, string_method=string_method
+    )
     return (
         keyed.repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")

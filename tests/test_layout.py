@@ -130,8 +130,9 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
 def test_zorder_key_date_timestamp_and_string_types(spark):
     """Non-numeric rank inputs: DATE ranks as days (unix_date), TIMESTAMP
     as micros (unix_micros) — same key as pre-converting by hand — and a
-    STRING column is refused with guidance (rank pre-pass or partitionBy,
-    the §15b composition) instead of failing deep in the cast."""
+    STRING column ranks natively since r10 (prefix surrogate by default;
+    string_method='error' restores the old refusal for callers that want
+    to pre-rank by hand)."""
     from bigdatastructure_a5_spark.operators.layout import with_zorder_key
 
     df = spark.sql(
@@ -150,5 +151,108 @@ def test_zorder_key_date_timestamp_and_string_types(spark):
     assert sorted(map(tuple, keyed)) == sorted(map(tuple, manual))
     ts_keyed = with_zorder_key(df, ["ts", "x"]).select("__z").collect()
     assert len({r["__z"] for r in ts_keyed}) == 3  # distinct keys, no error
+    # strings rank natively now (prefix surrogate); the old refusal is
+    # opt-in via string_method='error'
+    s_keyed = with_zorder_key(df, ["flag", "x"]).select("__z").collect()
+    assert len({r["__z"] for r in s_keyed}) == 3
     with pytest.raises(ValueError, match="string"):
-        with_zorder_key(df, ["flag", "x"])
+        with_zorder_key(df, ["flag", "x"], string_method="error")
+
+
+def test_string_surrogate_is_order_preserving(spark):
+    """The prefix surrogate orders exactly like Spark's own string
+    comparison on prefix-distinct values, and monotonically (ties
+    allowed) everywhere — including empty strings, shared prefixes, and
+    values that only differ past the 7-char fold."""
+    from bigdatastructure_a5_spark.operators.layout import string_surrogate
+
+    vals = [
+        "", "a", "ab", "abc", "azz", "b", "Brand#11", "Brand#25",
+        "Brand#3", "https://www.x.com", "https://www.y.com",
+        "sameprefix-1", "sameprefix-2", "zzzzzzzz",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select(
+        "s", string_surrogate(F.col("s")).alias("k")
+    ).collect()
+    by_str = sorted(rows, key=lambda r: r.s)
+    ks = [r.k for r in by_str]
+    assert ks == sorted(ks)  # monotone in string order
+    # values that differ within the 9-char fold get DISTINCT surrogates
+    # (Brand#11 vs Brand#25 vs Brand#3 — the §15c categorical case);
+    # values identical through 9 chars collapse (ties allowed)
+    by_prefix = {}
+    for r in rows:
+        by_prefix.setdefault(r.s[:9], set()).add(r.k)
+    for pre, kset in by_prefix.items():
+        assert len(kset) == 1, (pre, kset)
+    k = {r.s: r.k for r in rows}
+    assert len({k["Brand#11"], k["Brand#25"], k["Brand#3"]}) == 3
+    assert k["sameprefix-1"] == k["sameprefix-2"]  # differ past the fold
+
+
+def test_zorder_prunes_string_dimension(spark, tmp_path):
+    """The VERDICT r9 item 4 case: a (brand-like string, numeric) 2-D box
+    must prune on BOTH dimensions under a string Z-order key — strictly
+    fewer row groups hit than a numeric-only single-column sort, for both
+    string methods.  The string is high-cardinality (400 distinct) with a
+    shared 'cat' prefix so the prefix fold has to spread on the suffix."""
+    from bigdatastructure_a5_spark.operators.layout import zorder_cluster
+
+    n = 256 * 256
+    grid = spark.range(n).select(
+        F.format_string("cat%03d", (F.col("id") % 400).cast("int")).alias(
+            "brand"
+        ),
+        (F.col("id") / 400).cast("long").alias("v"),
+    )
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "5000")
+    dirs = {}
+    try:
+        for method in ("prefix", "dict"):
+            d = str(tmp_path / f"z_{method}")
+            zorder_cluster(
+                grid, ["brand", "v"], n_files=64, string_method=method
+            ).write.parquet(d)
+            dirs[method] = d
+        sdir = str(tmp_path / "sorted_v")
+        grid.repartitionByRange(64, "v").sortWithinPartitions(
+            "v"
+        ).write.parquet(sdir)
+    finally:
+        spark.conf.set(key, prev)
+
+    def hit(dirname, blo, bhi, vlo, vhi):
+        cnt = tot = 0
+        for f in Path(dirname).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                cols = {
+                    md.row_group(g).column(i).path_in_schema: md.row_group(
+                        g
+                    ).column(i).statistics
+                    for i in range(md.row_group(g).num_columns)
+                }
+                tot += 1
+                b, v = cols["brand"], cols["v"]
+                if not (
+                    b.max < blo or b.min > bhi or v.max < vlo or v.min > vhi
+                ):
+                    cnt += 1
+        return cnt, tot
+    # box: ~1/8 of the brand range x ~1/8 of the v range (1/64 of the
+    # area — the v-sorted layout must read ~8 of 64 groups, the z-order
+    # ones only the handful whose 2-D min/max box intersects)
+    box = ("cat000", "cat049", 0, 19)
+    s_hit, s_tot = hit(sdir, *box)
+    for method, d in dirs.items():
+        z_hit, z_tot = hit(d, *box)
+        assert z_tot >= 64
+        assert z_hit < s_hit, (method, z_hit, s_hit)
+        # both layouts store identical data
+        assert (
+            spark.read.parquet(d).orderBy("brand", "v").collect()
+            == spark.read.parquet(sdir).orderBy("brand", "v").collect()
+        )

@@ -268,6 +268,92 @@ def measure_composed(spark, copies: int) -> list[str]:
     return rows
 
 
+def string_hits(store: str, brand_range, price_range):
+    """Static footer arithmetic for the (string, numeric) box: row groups
+    whose p_brand min/max STRING stats and p_retailprice min/max overlap
+    the predicate box.  Pruning always runs on the REAL column's stats —
+    the surrogate/dict rank only places rows, it is never stored."""
+    import pyarrow.parquet as pq
+
+    hit = rows_hit = groups = total = 0
+    for f in sorted(Path(store).rglob("*.parquet")):
+        md = pq.read_metadata(f)
+        idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            groups += 1
+            total += rg.num_rows
+            sb = rg.column(idx["p_brand"]).statistics
+            sp = rg.column(idx["p_retailprice"]).statistics
+            if sb.max < brand_range[0] or sb.min > brand_range[1]:
+                continue
+            if sp.max < price_range[0] or sp.min > price_range[1]:
+                continue
+            hit += 1
+            rows_hit += rg.num_rows
+    return hit, rows_hit, groups, total
+
+
+def measure_string(spark, copies: int) -> list[str]:
+    """§15c (VERDICT r9 item 4): Z-order with a STRING key — the
+    (p_brand, p_retailprice) 2-D box on the x100 part table, priced under
+    both string ranking methods (order-preserving prefix surrogate vs
+    exact dictionary ranks) against the single-sort baseline."""
+    from scale_fixtures import ensure_x10
+
+    from bigdatastructure_a5_spark.operators.layout import zorder_cluster
+
+    sf_dir = BASE if copies == 1 else ensure_x10(BASE, copies)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_brand", "p_retailprice"
+    )
+    lo, hi = part.agg(
+        F.min("p_retailprice"), F.max("p_retailprice")
+    ).first()
+    lo, hi = float(lo), float(hi)
+    # brand box: Brand#20..Brand#25 — 6 of 25 brands, lexicographically
+    # contiguous; price box: lowest 1/8 of the range (~3% of the area)
+    brand_range = ("Brand#20", "Brand#25")
+    price_range = (lo, lo + (hi - lo) / 8)
+    pred = (
+        F.col("p_brand").between(*brand_range)
+        & F.col("p_retailprice").between(*price_range)
+    )
+
+    STORE_ROOT.mkdir(exist_ok=True)
+    layouts = {
+        "sorted on p_retailprice": lambda df: df.repartitionByRange(
+            N_FILES, "p_retailprice"
+        ).sortWithinPartitions("p_retailprice"),
+        "z-order, string_method='prefix'": lambda df: zorder_cluster(
+            df, ["p_brand", "p_retailprice"], N_FILES,
+            string_method="prefix",
+        ),
+        "z-order, string_method='dict'": lambda df: zorder_cluster(
+            df, ["p_brand", "p_retailprice"], N_FILES,
+            string_method="dict",
+        ),
+    }
+    rows = []
+    for label, build in layouts.items():
+        store = STORE_ROOT / ("c_" + label.split(" ")[0].strip("(,'"))
+        build(part).write.mode("overwrite").parquet(str(store))
+        hit, rows_hit, groups, total_rows = string_hits(
+            str(store), brand_range, price_range
+        )
+        stored = spark.read.parquet(str(store))
+        sec = timed_reps(lambda: stored.filter(pred).count())
+        out_rows = stored.filter(pred).count()
+        rows.append(
+            f"| {label} | {groups} | {hit} | {hit / groups:.0%} | "
+            f"{rows_hit:,} | {rows_hit / total_rows:.1%} | {out_rows:,} | "
+            f"{sec:.2f} |"
+        )
+        print(rows[-1])
+        shutil.rmtree(store, ignore_errors=True)
+    return rows
+
+
 def main() -> None:
     from bigdatastructure_a5_spark.session import get_spark
 
@@ -276,6 +362,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rows = measure(spark, copies)
     comp_rows = measure_composed(spark, copies)
+    str_rows = measure_string(spark, copies)
     section = "\n".join(
         [
             SECTION,
@@ -334,10 +421,11 @@ def main() -> None:
             "are counted in the totals below); min/max skipping then",
             "prunes within the surviving directory.  A flat Z-order",
             "store can only prune on its two clustered columns — every",
-            "group spans 'A'..'R' on the flag (strings are exactly why",
-            "the coarse key belongs in partitionBy, not the Morton key —",
-            "with_zorder_key refuses strings and says so; dates and",
-            "timestamps rank natively via unix_date/unix_micros).",
+            "group spans 'A'..'R' on the flag (a 3-value string is a",
+            "PARTITION key, not a Morton dimension — wasting key bits on",
+            "3 values starves the numeric dimensions; dates and",
+            "timestamps rank natively via unix_date/unix_micros, and",
+            "higher-cardinality strings rank via the §15c methods).",
             "",
             "| layout | row groups | RG hit | hit share | rows in hit RGs | "
             "row share | answer rows | secs |",
@@ -353,6 +441,41 @@ def main() -> None:
             "100 TB the row-share column is the scan bill, and the",
             "composed layout is the only one whose bill is the answer's",
             "share of the table.",
+            "",
+            "### 15c. Z-order with a STRING key (two ranking methods)",
+            "",
+            "The x100 part table (200k rows) clustered on (p_brand,",
+            "p_retailprice) — a real (category, measure) box.  Strings",
+            "rank two ways (`with_zorder_key(string_method=...)`,",
+            "VERDICT r9 item 4): `'prefix'` folds the first 9 ASCII",
+            "codepoints (7 bits each) into an order-preserving bigint",
+            "surrogate (pure expression, zero extra jobs, any",
+            "cardinality; the 9x7 split was CHOSEN on this data — a 7x9",
+            "fold saw only the first digit past the shared 6-char",
+            "'Brand#' prefix and its pruning tied the single-sort",
+            "baseline at 14%) and `'dict'` builds exact equal-count",
+            "ranks (distinct -> ntile spread over the full rank space ->",
+            "broadcast join back, a write-time pre-pass gated at 1M",
+            "distinct values).  Pruning always runs on the real string",
+            "column's min/max stats; the rank only places rows.",
+            "Box: p_brand BETWEEN 'Brand#20' AND 'Brand#25' (6 of 25",
+            "brands) AND the lowest 1/8 of p_retailprice (~3% of the",
+            "area).",
+            "",
+            "| layout | row groups | RG hit | hit share | rows in hit RGs | "
+            "row share | answer rows | secs |",
+            "| --- | --- | --- | --- | --- | --- | --- | --- |",
+            *str_rows,
+            "",
+            "Reading: the price-only sort reads ~1/8 of groups and the",
+            "brand predicate prunes nothing (the second-column blind",
+            "spot); both string methods prune on BOTH dimensions once",
+            "the fold actually sees the discriminating characters.  At",
+            "100 TB: default to 'prefix' (free, any cardinality), reach",
+            "for 'dict' when the key's discriminating characters sit",
+            "past the 9-char fold (URL paths behind a shared host — the",
+            "7x9 tie above is exactly what that failure looks like) or",
+            "the dictionary is small anyway.",
         ]
     )
     path = REPO / "EXPERIMENTS.md"
