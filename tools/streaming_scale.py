@@ -153,12 +153,18 @@ def measure(spark, copy_points) -> list[str]:
 
 
 def run_join_microbatched(
-    spark, events_dir: str, n_files: int, provider: str | None
+    spark,
+    events_dir: str,
+    n_files: int,
+    provider: str | None,
+    extra_conf: dict | None = None,
 ) -> dict:
     """The x100 error-click interval join driven as ~``n_files``
     microbatches (ts-range-split files + ``maxFilesPerTrigger=1`` under
     AvailableNow — a long-running job's arrival order), optionally under
-    the RocksDB provider.  -> summary dict (summarize_progress shape)."""
+    the RocksDB provider with ``extra_conf`` scoped around the run (the
+    §13b changelog-checkpointing lever).  -> summary dict
+    (summarize_progress shape)."""
     import bigdatastructure_a5_spark.streaming.events as _stream_events
     from bigdatastructure_a5_spark.streaming.events import (
         run_stream_to_memory,
@@ -194,26 +200,32 @@ def run_join_microbatched(
         (sink, progress)
     )
     key = "spark.sql.streaming.stateStore.providerClass"
-    prior = spark.conf.get(key, None)
+    scoped = dict(extra_conf or {})
     if provider:
-        spark.conf.set(key, provider)
+        scoped[key] = provider
+    priors = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    run_tag = "hdfs" if not provider else (
+        "rocksdb_cl" if extra_conf else "rocksdb"
+    )
     t0 = time.perf_counter()
     try:
         out = run_stream_to_memory(
             spark,
             joined,
-            name=f"amortize_{'rocksdb' if provider else 'hdfs'}",
+            name=f"amortize_{run_tag}",
             output_mode="append",
             state_partitions=2,
         )
         out_rows = out.count()
     finally:
         _stream_events.STREAMING_OBSERVER = None
-        if provider:
+        for k, prior in priors.items():
             if prior is None:
-                spark.conf.unset(key)
+                spark.conf.unset(k)
             else:
-                spark.conf.set(key, prior)
+                spark.conf.set(k, prior)
     wall = time.perf_counter() - t0
     return summarize_progress("amortization", caps, wall, out_rows)
 
@@ -259,11 +271,25 @@ def amortization_rows(spark, copies: int = 100, n_files: int = 10) -> list[str]:
     for i, f in enumerate(part_files):
         _os.utime(f, (base_t + i, base_t + i))
     rows = []
-    for label, provider in (
-        ("in-memory (HDFSBacked)", None),
-        ("RocksDB", _ROCKSDB),
+    steadys: dict[str, float] = {}
+    for label, provider, extra in (
+        ("in-memory (HDFSBacked)", None, None),
+        ("RocksDB", _ROCKSDB, None),
+        # VERDICT r9 item 5: full snapshot upload per commit is the
+        # default; changelog checkpointing uploads only the batch's
+        # delta and snapshots in the background
+        (
+            "RocksDB + changelog checkpointing",
+            _ROCKSDB,
+            {
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing": "true"
+            },
+        ),
     ):
-        r = run_join_microbatched(spark, str(split_dir), n_files, provider)
+        r = run_join_microbatched(
+            spark, str(split_dir), n_files, provider, extra
+        )
         data_batches = [
             b for b in r["batches"] if b["input_rows"] > 0
             and b["batch_ms"] is not None
@@ -274,13 +300,14 @@ def amortization_rows(spark, copies: int = 100, n_files: int = 10) -> list[str]:
             if len(data_batches) > 1
             else float("nan")
         )
+        steadys[label] = steady
         rows.append(
             f"| x{copies} / {n_files} files | {label} | "
             f"{len(data_batches)} | {first:.2f} | {steady:.2f} | "
             f"{r['wall']:.1f} | {r['out_rows']:,} |"
         )
         print(rows[-1])
-    return rows
+    return rows, steadys
 
 
 def main() -> None:
@@ -292,7 +319,10 @@ def main() -> None:
     spark = get_spark("streaming-scale")
     spark.sparkContext.setLogLevel("ERROR")
     rows = measure(spark, copy_points)
-    amort_rows = amortization_rows(spark, max(copy_points))
+    amort_rows, steadys = amortization_rows(spark, max(copy_points))
+    s_mem = steadys.get("in-memory (HDFSBacked)", float("nan"))
+    s_rdb = steadys.get("RocksDB", float("nan"))
+    s_cl = steadys.get("RocksDB + changelog checkpointing", float("nan"))
     section = "\n".join(
         [
             SECTION,
@@ -373,13 +403,37 @@ def main() -> None:
             "",
             "Reading: the one-shot penalty decomposes.  Setup",
             "AMORTIZES: RocksDB's first microbatch costs about the",
-            "in-memory provider's.  What remains is a real ~2x",
-            "PER-BATCH cost at this state size (0.88 -> 1.73 s/batch:",
-            "every state update writes through the native store and",
-            "each commit uploads its changelog) — so 'a long-running",
-            "job amortizes the setup' is true, but steady state is",
-            "per-batch-I/O-priced, not free: switch providers when",
-            "state approaches the heap ceiling, not before.",
+            "in-memory provider's.  What remains is a real",
+            f"{s_rdb / s_mem:.1f}x PER-BATCH cost at this state size",
+            f"({s_mem:.2f} -> {s_rdb:.2f} s/batch) under the DEFAULT",
+            "commit mode, which uploads a full state snapshot every",
+            "batch.  The third row measures the documented lever for",
+            "exactly that residual (VERDICT r9 item 5):",
+            "`spark.sql.streaming.stateStore.rocksdb.",
+            "changelogCheckpointing=true` uploads only the batch's",
+            "delta and snapshots in the background — steady per-batch",
+            f"wall {s_rdb:.2f} -> {s_cl:.2f} s",
+            f"({s_cl / s_mem:.1f}x the in-memory provider — "
+            + (
+                "most of the RocksDB residual was the snapshot upload"
+                if s_cl < s_rdb
+                else "at this small per-batch state delta the changelog"
+                " mode does not pay for itself yet"
+            )
+            + ").  So 'a long-running job amortizes the setup' is",
+            "true, the per-batch residual is priced, and the changelog",
+            "row records what the standard mitigation buys at this",
+            "state size: switch providers when state approaches the",
+            "heap ceiling"
+            + (
+                ", and turn on changelog checkpointing with them."
+                if s_cl < s_rdb
+                else "; enable changelog checkpointing only once the"
+                " per-batch snapshot (state size x commit rate), not the"
+                " delta, dominates — here the whole store is ~1 MB and"
+                " the changelog machinery's own bookkeeping exceeds the"
+                " snapshot it replaces."
+            ),
         ]
     )
     path = REPO / "EXPERIMENTS.md"
