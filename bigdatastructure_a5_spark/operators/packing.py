@@ -48,6 +48,7 @@ def concat_and_chunk(
     n_tokens_col: str = "n_tokens",
     id_col: str | Sequence[str] = "doc_id",
     shard_col: str | None = None,
+    base_col: str | None = None,
 ) -> DataFrame:
     """(shard?, chunk_id, id, slice_start, slice_len, chunk_offset) rows.
 
@@ -75,6 +76,13 @@ def concat_and_chunk(
     not deterministic across runs.  Post-mixture frames carry duplicate
     ``doc_id``s (copies differ only in ``copy_id``): pass a composite
     key, e.g. ``id_col=["doc_id", "copy_id"]``.
+
+    ``base_col`` names a per-row bigint column holding the ABSOLUTE
+    stream offset at which this frame's shard begins (constant within a
+    shard) — the incremental-packing hook: a streaming packer passes the
+    tokens-packed-so-far carry so batch-local cumsums land at their
+    corpus-absolute positions and ``chunk_id``s continue across batches
+    (``streaming/packing.py``).  ``None`` (batch mode) packs from 0.
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
@@ -86,9 +94,14 @@ def concat_and_chunk(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     n = F.col(n_tokens_col).cast("bigint")
+    base = (
+        F.coalesce(F.col(base_col).cast("bigint"), F.lit(0))
+        if base_col
+        else F.lit(0).cast("bigint")
+    )
     out = (
         df.filter(n > 0)
-        .withColumn("__end", F.sum(n).over(w))
+        .withColumn("__end", base + F.sum(n).over(w))
         .withColumn("__start", F.col("__end") - n)
         .withColumn(
             "chunk_id",

@@ -1,0 +1,156 @@
+"""Incremental (streaming) sequence packing: pack-at-ingest into an
+ever-growing chunk stream.
+
+Beyond reference scope (the reference has no streaming — SURVEY.md §1.1);
+this is the streaming twin of ``operators.packing.concat_and_chunk``, the
+shape a crawl-to-trainer pipeline actually runs: documents arrive in
+batches for months, and each batch must extend the packed token stream
+WITHOUT re-packing the corpus — yesterday's chunk ids are already
+training examples and must never move.
+
+The batch packer's arithmetic makes this almost free: a document's chunk
+span is a pure function of its ABSOLUTE stream position, and the only
+cross-batch state is one bigint per shard — the tokens packed so far
+(the carry).  Each microbatch: (1) read the per-shard carry from the
+parquet state store, (2) run the SAME window arithmetic with the carry
+as the base offset (``concat_and_chunk(base_col=...)``), (3) append the
+emitted slice geometry to the output and the batch's per-shard token
+totals to the state.  No state store provider, no watermark: the state
+is O(shards) rows of plain parquet.
+
+Equivalence guarantee (pinned by tests/test_streaming_packing.py): when
+documents arrive in order-key order, the streamed geometry — for ANY
+batch split, including everything-in-one-batch — equals the batch
+packer's output on the concatenated corpus, row for row (absolute
+chunk ids, same slices).  A shard's last chunk may be emitted
+under-full in one batch and EXTENDED by the next (same chunk_id, later
+chunk_offsets) — exactly how the batch packer would have filled it.
+
+Ordering contract: like the offline packer, the order key must be
+unique per shard and GROW monotonically across batches (arrivals append
+to each shard's stream).  Out-of-order arrival would interleave
+positions that earlier batches already assigned — the carry makes
+position assignment append-only by construction, so a late document
+simply packs at the CURRENT end of its shard's stream (its id plays no
+role in its position; determinism then rests on arrival order, the same
+caveat as any at-ingest operator).
+
+Retry caveat (same contract as streaming/dedup.py): the two appends
+(geometry out, carry state) are idempotent-enough under foreachBatch
+retry only if the sink dir is per-batch-id committed; the state append
+carries ``batch_id`` so a retried batch OVERWRITES its own carry row
+rather than double-counting — the geometry append remains the
+production to-do (batch-id-suffixed files or a transactional format).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.operators.packing import concat_and_chunk
+
+
+def _carry_path(state_dir: str) -> str:
+    return str(Path(state_dir) / "carry")
+
+
+def read_carry(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current per-shard carry: ``(shard, base)`` — the sum of every
+    batch's appended token totals, deduplicated by (shard, batch_id) so
+    a retried batch's re-append replaces rather than double-counts."""
+    path = _carry_path(state_dir)
+    if not Path(path).exists():
+        return None
+    rows = spark.read.parquet(path)
+    # last write wins per (shard, batch_id): retries re-append the same
+    # totals; max() collapses them (totals for a given batch are
+    # deterministic, so any copy is the right one)
+    per_batch = rows.groupBy("shard", "batch_id").agg(
+        F.max("added").alias("added")
+    )
+    return per_batch.groupBy("shard").agg(F.sum("added").alias("base"))
+
+
+def pack_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    chunk_tokens: int,
+    batch_id: int = 0,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> None:
+    """One microbatch of the incremental packer (the foreachBatch body,
+    callable directly for batch-mode backfills and tests).
+
+    ``batch`` carries (id, shard, token count) rows — the same input
+    shape as ``concat_and_chunk`` with a mandatory shard column (an
+    unsharded incremental packer would serialize every batch through
+    one window partition AND one global carry; shard first, always).
+    """
+    carry = read_carry(spark, state_dir)
+    if carry is not None:
+        withbase = batch.join(
+            F.broadcast(carry.withColumnRenamed("shard", shard_col)),
+            on=[shard_col],
+            how="left",
+        )
+    else:
+        withbase = batch.withColumn("base", F.lit(0).cast("bigint"))
+    geo = concat_and_chunk(
+        withbase,
+        chunk_tokens,
+        n_tokens_col=n_tokens_col,
+        id_col=id_col,
+        shard_col=shard_col,
+        base_col="base",
+    )
+    geo.write.mode("append").parquet(out_dir)
+
+    n = F.col(n_tokens_col).cast("bigint")
+    added = (
+        batch.filter(n > 0)
+        .groupBy(shard_col)
+        .agg(F.sum(n).alias("added"))
+        .select(
+            F.col(shard_col).alias("shard"),
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            "added",
+        )
+    )
+    added.write.mode("append").parquet(_carry_path(state_dir))
+
+
+def streaming_pack_writer(
+    stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    chunk_tokens: int,
+    **batch_kwargs,
+):
+    """Wire ``pack_batch`` as a foreachBatch sink over a STREAMING
+    documents frame; returns the DataStreamWriter (caller picks the
+    trigger and calls .start())."""
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        pack_batch(
+            batch.sparkSession,
+            batch,
+            state_dir,
+            out_dir,
+            chunk_tokens,
+            batch_id=batch_id,
+            **batch_kwargs,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

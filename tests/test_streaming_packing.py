@@ -1,0 +1,178 @@
+"""Incremental packing (streaming/packing.py): stream == batch
+equivalence for any batch split, carry persistence across chunk
+boundaries, retry idempotence of the carry store, and the real
+foreachBatch wiring."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.operators.packing import concat_and_chunk
+from bigdatastructure_a5_spark.streaming.packing import (
+    pack_batch,
+    read_carry,
+    streaming_pack_writer,
+)
+
+L = 16
+SCHEMA = "doc_id bigint, shard bigint, n_tokens bigint"
+
+
+def _docs(spark, counts, shards=None):
+    rows = [
+        (i, (i % 2) if shards is None else shards[i], n)
+        for i, n in enumerate(counts)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _batch_geo(spark, docs):
+    return sorted(
+        tuple(r)
+        for r in concat_and_chunk(docs, L, shard_col="shard").collect()
+    )
+
+
+def _splits(docs, k):
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[int(len(ids) * i / k)] for i in range(1, k)]
+    lo = None
+    for hi in cuts + [None]:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("doc_id") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("doc_id") < hi)
+        yield docs.filter(cond)
+        lo = hi
+
+
+def test_sequential_batches_equal_batch_pack(spark, tmp_path):
+    """Three id-ordered microbatches produce EXACTLY the batch packer's
+    geometry — absolute chunk ids, identical slices — including chunks
+    that straddle a batch boundary (emitted under-full, then extended
+    by the next batch at the same chunk_id)."""
+    counts = [5, 3, 40, 1, 16, 7, 2, 31, 9, 4]
+    docs = _docs(spark, counts)
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    for i, b in enumerate(_splits(docs, 3)):
+        pack_batch(spark, b, state, out, L, batch_id=i)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == _batch_geo(spark, docs) and len(got) > 0
+    # a straddle exists: some chunk_id appears in more than one batch's
+    # rows — verify by the per-chunk offsets tiling [0, L)
+    by_chunk: dict[tuple, list] = {}
+    for r in spark.read.parquet(out).collect():
+        by_chunk.setdefault((r.shard, r.chunk_id), []).append(r)
+    for (shard, cid), rs in by_chunk.items():
+        rs.sort(key=lambda r: r.chunk_offset)
+        assert rs[0].chunk_offset == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a.chunk_offset + a.slice_len == b.chunk_offset
+
+
+def test_single_batch_equals_batch_pack(spark, tmp_path):
+    docs = _docs(spark, [5, 3, 40, 1, 16, 7])
+    state, out = str(tmp_path / "state1"), str(tmp_path / "out1")
+    pack_batch(spark, docs, state, out, L, batch_id=0)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == _batch_geo(spark, docs)
+
+
+def test_carry_accumulates_per_shard(spark, tmp_path):
+    """The state is one bigint per shard: after two batches the carry is
+    each shard's total packed tokens (zero-token docs excluded)."""
+    state, out = str(tmp_path / "state2"), str(tmp_path / "out2")
+    b1 = spark.createDataFrame(
+        [(0, 0, 5), (1, 1, 7), (2, 0, 0)], SCHEMA
+    )
+    b2 = spark.createDataFrame([(3, 0, 11), (4, 1, 2)], SCHEMA)
+    pack_batch(spark, b1, state, out, L, batch_id=0)
+    pack_batch(spark, b2, state, out, L, batch_id=1)
+    carry = {
+        r.shard: r.base for r in read_carry(spark, state).collect()
+    }
+    assert carry == {0: 16, 1: 9}
+
+
+def test_retried_batch_does_not_double_count_carry(spark, tmp_path):
+    """foreachBatch retries re-run the same batch_id: the carry store
+    dedups on (shard, batch_id), so a replayed state append leaves the
+    carry unchanged (the geometry append is the documented per-batch-id
+    commit to-do, same contract as streaming/dedup.py)."""
+    state, out = str(tmp_path / "state3"), str(tmp_path / "out3")
+    b1 = spark.createDataFrame([(0, 0, 5), (1, 1, 7)], SCHEMA)
+    pack_batch(spark, b1, state, out, L, batch_id=0)
+    pack_batch(spark, b1, state, out, L, batch_id=0)  # retry
+    carry = {
+        r.shard: r.base for r in read_carry(spark, state).collect()
+    }
+    assert carry == {0: 5, 1: 7}
+
+
+def test_new_shard_mid_stream_starts_at_zero(spark, tmp_path):
+    """A shard first seen in batch 2 has no carry row — its stream
+    starts at position 0 (chunk_id 0), while existing shards continue."""
+    state, out = str(tmp_path / "state4"), str(tmp_path / "out4")
+    pack_batch(
+        spark,
+        spark.createDataFrame([(0, 0, L + 2)], SCHEMA),
+        state, out, L, batch_id=0,
+    )
+    pack_batch(
+        spark,
+        spark.createDataFrame([(1, 0, 3), (2, 9, 4)], SCHEMA),
+        state, out, L, batch_id=1,
+    )
+    rows = spark.read.parquet(out).collect()
+    new_shard = [r for r in rows if r.shard == 9]
+    assert [(r.chunk_id, r.slice_start, r.slice_len, r.chunk_offset) for r in new_shard] == [
+        (0, 0, 4, 0)
+    ]
+    # shard 0 continued: doc 1 lands right after doc 0's 18 tokens
+    doc1 = [r for r in rows if r.doc_id == 1]
+    assert [(r.chunk_id, r.chunk_offset) for r in doc1] == [(1, 2)]
+
+
+def test_real_streaming_run_matches_batch_pack(spark, tmp_path):
+    """The foreachBatch wiring over a real file-source stream
+    (maxFilesPerTrigger=1, AvailableNow): identical geometry to the
+    batch packer.  File arrival is forced into id order via ascending
+    mtimes (the file source admits oldest-mtime-first)."""
+    counts = [5, 3, 40, 1, 16, 7, 2, 31]
+    docs = _docs(spark, counts)
+    src = tmp_path / "src"
+    src.mkdir()
+    base_t = time.time() - 100
+    for i, b in enumerate(_splits(docs, 3)):
+        p = str(src / f"split_{i}.parquet")
+        b.coalesce(1).write.mode("overwrite").parquet(p)
+        for f in sorted(
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(p)
+            for fn in fns
+        ):
+            os.utime(f, (base_t + i, base_t + i))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = str(tmp_path / "out_s")
+    q = (
+        streaming_pack_writer(
+            stream,
+            str(tmp_path / "state_s"),
+            out,
+            str(tmp_path / "ckpt"),
+            L,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == _batch_geo(spark, docs) and len(got) > 0
