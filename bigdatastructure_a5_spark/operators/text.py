@@ -287,6 +287,93 @@ def quality_score(
     )
 
 
+def _nonempty_lines(text_col: Column | str, sep: str) -> Column:
+    """Trimmed, non-empty segments of the text split on ``sep``."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.transform(F.split(c, sep), F.trim), lambda s: s != ""
+    )
+
+
+def duplicate_line_fraction(
+    text_col: Column | str, paragraph: bool = False
+) -> Column:
+    """Fraction of lines (or paragraphs) that repeat an earlier one —
+    the Gopher repetition filter family (Rae et al. 2021 discard
+    documents with high duplicate-line/paragraph fractions: boilerplate,
+    scraped navigation, generated spam).  ``1 - distinct/total`` over
+    trimmed non-empty lines; 0.0 for documents with no lines (nothing
+    repeats), NULL text stays NULL.
+
+    Pure built-in expressions (split/filter/array_distinct) — a map-side
+    column at any corpus size, same cost shape as quality_score; exact
+    integer-ratio arithmetic, so a DuckDB twin (LIST_DISTINCT/LEN over
+    STRING_SPLIT) matches bit-for-bit."""
+    lines = _nonempty_lines(text_col, r"\n\n+" if paragraph else r"\n")
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / n.cast("double"),
+    ).otherwise(
+        F.when(n == 0, F.lit(0.0))
+    )
+
+
+def top_ngram_token_share(
+    text_col: Column | str, n: int = 2, toks: Column | str | None = None
+) -> Column:
+    """Token share of the most frequent word n-gram: ``max_count * n /
+    n_tokens`` — the Gopher top-n-gram filter (a document whose top
+    2-gram covers a large token share is loops/boilerplate).  Counts
+    overlapping occurrences, so the share can exceed 1 on degenerate
+    repetition ("a a a a" at n=2) — callers threshold, they don't sum.
+
+    Zero Python and zero explode: the max frequency folds over the
+    SORTED shingle array with a run-length ``aggregate`` (struct
+    accumulator: previous value, current run, best run) — stays inside
+    whole-stage codegen, O(tokens log tokens) per row for the sort.
+    Documents shorter than n words score 0.0; NULL stays NULL.  Pass a
+    materialized ``toks`` column in hot paths (same reason as
+    quality_score)."""
+    from bigdatastructure_a5_spark.functions.hashing import (
+        word_shingles_from_tokens,
+    )
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if toks is None:
+        toks = tokens(c)
+    elif isinstance(toks, str):
+        toks = F.col(toks)
+    grams = F.array_sort(word_shingles_from_tokens(toks, n))
+    best = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("bigint")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_toks = F.size(toks)
+    return F.when(
+        n_toks >= n,
+        best.cast("double") * n / n_toks.cast("double"),
+    ).otherwise(F.when(n_toks >= 0, F.lit(0.0)))
+
+
 def curriculum_bins(
     df,
     n_bins: int = 10,

@@ -475,3 +475,142 @@ def test_curriculum_bins_plan_is_one_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_duplicate_line_fraction_hand_examples(spark):
+    """Gopher repetition filter: known duplicate-line/paragraph values,
+    empty text scores 0.0 (nothing repeats), NULL stays NULL."""
+    from bigdatastructure_a5_spark.operators.text import (
+        duplicate_line_fraction,
+    )
+
+    rows = [
+        (0, "a\nb\nc\na"),            # 4 lines, 3 distinct -> 0.25
+        (1, "x\nx\nx\nx"),            # 4 lines, 1 distinct -> 0.75
+        (2, "one\n\n  \ntwo"),        # blanks dropped -> 0.0
+        (3, ""),                       # no lines -> 0.0
+        (4, None),                     # NULL -> NULL
+        (5, "p1\n\np2\n\np1"),        # paragraphs: 3, 2 distinct -> 1/3
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.lf, r.pf)
+        for r in df.select(
+            "doc_id",
+            duplicate_line_fraction("text").alias("lf"),
+            duplicate_line_fraction("text", paragraph=True).alias("pf"),
+        ).collect()
+    }
+    assert got[0][0] == 0.25
+    assert got[1][0] == 0.75
+    assert got[2][0] == 0.0
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (None, None)
+    assert abs(got[5][1] - (1 - 2 / 3)) < 1e-12
+
+
+def test_top_ngram_token_share_hand_examples(spark):
+    """Top n-gram share: overlapping counts, short-doc zero, and the
+    degenerate all-same case exceeding 1 (callers threshold)."""
+    from bigdatastructure_a5_spark.operators.text import (
+        top_ngram_token_share,
+    )
+
+    rows = [
+        (0, "the cat sat on the cat mat"),  # 'the cat' x2 of 7 toks -> 4/7
+        (1, "a b c d"),                      # all 2-grams unique -> 2/4
+        (2, "word"),                         # shorter than n -> 0.0
+        (3, "a a a a"),                      # 'a a' x3 overlap -> 6/4 > 1
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", top_ngram_token_share("text", 2).alias("s")
+        ).collect()
+    }
+    assert abs(got[0] - 4 / 7) < 1e-12
+    assert got[1] == 0.5
+    assert got[2] == 0.0
+    assert got[3] == 1.5
+    assert got[4] is None
+
+
+def test_repetition_filters_match_duckdb_on_documents(spark, sf_dir):
+    """Cross-engine parity on the real documents table: the duplicate
+    -line fraction via LIST_DISTINCT and the top-2-gram share via an
+    UNNEST + GROUP BY replay (the engine's sorted run-length fold and
+    the oracle's group-count are the same max frequency)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.operators.text import (
+        duplicate_line_fraction,
+        top_ngram_token_share,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: (r.lf, r.share)
+        for r in docs.select(
+            "doc_id",
+            duplicate_line_fraction("text").alias("lf"),
+            top_ngram_token_share("text", 2).alias("share"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    lf = {
+        r[0]: r[1]
+        for r in con.sql(
+            r"""
+            WITH t AS (
+              SELECT doc_id,
+                     LIST_FILTER(
+                       LIST_TRANSFORM(STRING_SPLIT_REGEX(text, '\n'),
+                                      x -> TRIM(x)),
+                       x -> x <> '') AS lines
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN LEN(lines) > 0
+                        THEN 1.0 - CAST(LEN(LIST_DISTINCT(lines)) AS DOUBLE)
+                                   / CAST(LEN(lines) AS DOUBLE)
+                        ELSE 0.0 END AS lf
+            FROM t
+            """
+        ).fetchall()
+    }
+    share = {
+        r[0]: r[1]
+        for r in con.sql(
+            r"""
+            WITH t AS (
+              SELECT doc_id,
+                     STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text),
+                                                      '\s+', ' ', 'g')),
+                                  ' ') AS w
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, LEN(w) AS n_toks,
+                     UNNEST([ARRAY_TO_STRING(w[i:i+1], ' ')
+                             FOR i IN GENERATE_SERIES(1, LEN(w) - 1)]) AS g
+              FROM t WHERE LEN(w) >= 2
+            ),
+            c AS (
+              SELECT doc_id, n_toks, g, COUNT(*) AS cnt
+              FROM s GROUP BY doc_id, n_toks, g
+            )
+            SELECT doc_id, MAX(cnt) * 2.0 / MAX(n_toks) AS share
+            FROM c GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    want = {
+        d: (lf[d], share.get(d, 0.0)) for d in lf
+    }
+    assert got == want and len(got) > 0
