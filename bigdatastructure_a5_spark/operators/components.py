@@ -1,0 +1,156 @@
+"""Connected components over near-duplicate pairs: pairs -> clusters ->
+one kept representative per cluster.
+
+The dedup operators (operators/dedup.py) emit PAIRS; a curation pipeline
+needs CLUSTERS.  The two differ exactly when similarity is not observed
+transitively: on pairs {(a,c), (b,c)} the pair-drop rule ("drop id_b of
+every pair") keeps BOTH a and b even though they share a near-duplicate
+c — transitive closure puts all three in one cluster and keeps only its
+representative.  Production dedup (the policy behind SlimPajama's and
+FineWeb's MinHash stages — public writeups) clusters for this reason.
+
+Algorithm: iterative MIN-LABEL PROPAGATION — every vertex starts
+labeled with its own id; each round every vertex takes the min label
+across itself and its neighbors; stop when no label changes.  Rounds
+needed = the graph diameter.  The scale argument for choosing it over
+the O(log n) star-contraction family (Kiveris et al., "Connected
+Components in MapReduce and Beyond" — the standard citation for big CC)
+is the SHAPE of dedup graphs: near-duplicate clusters are tiny
+quasi-cliques (banded LSH links most members pairwise), so the diameter
+is 2-4 and propagation converges in as many rounds of one equi-join +
+one min-aggregation each — all shuffles on the vertex key, no
+driver-side graph state (the only collect is the per-round convergence
+COUNT).  A pathological long-chain graph would need diameter rounds;
+``max_iterations`` guards it and the docstring says what to do (raise
+it, or pre-contract with star steps).
+
+Per-round label frames are ``localCheckpoint(eager=True)``-ed, not
+merely persisted: persistence caches DATA but keeps the logical plan,
+and an iterative self-join's plan nests exponentially with the round
+count — measured here as a driver ``OutOfMemoryError`` inside plan
+STRINGIFICATION (AQE's explain string) at ~10 rounds on a 23-vertex
+test graph.  Local checkpointing truncates the lineage to the
+materialized blocks each round, which is how every iterative-on-Spark
+system (GraphX/GraphFrames included) bounds plan growth; the trade —
+checkpoint blocks are executor-local and a lost executor kills the job
+rather than recomputing — is the standard one for short iterative jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.session import persist_df
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex appearing in ``pairs``;
+    ``component`` is the MIN vertex id of the connected component —
+    deterministic, engine-independent, and directly usable as the
+    cluster's kept representative.
+
+    ``pairs`` is undirected input (each edge listed once in either
+    direction); isolated vertices don't appear (a doc with no pairs is
+    its own kept singleton by construction — no row needed).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iterations`` (= the graph diameter exceeded it): near-dup
+    graphs converge in a handful of rounds, so hitting the guard means
+    the input is not a dedup graph — raise the cap for long-chain
+    graphs, or pre-contract with star steps.
+    """
+    e = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = persist_df(sym)
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iterations):
+            nbr_min = (
+                sym.join(
+                    labels.select(
+                        F.col("id").alias("b"), F.col("comp").alias("bcomp")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("bcomp").alias("nmin"))
+                .select(F.col("a").alias("id"), "nmin")
+            )
+            # localCheckpoint, not persist: truncate the lineage so the
+            # next round's plan starts from materialized blocks (module
+            # docstring — persisted-only iteration OOMs the driver in
+            # plan stringification)
+            new_labels = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce("nmin", F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                labels.select("id", F.col("comp").alias("old"))
+                .join(new_labels, "id")
+                .filter(F.col("old") != F.col("comp"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return new_labels
+    finally:
+        sym.unpersist()
+    raise RuntimeError(
+        f"connected_components: no fixpoint within {max_iterations} "
+        "rounds — graph diameter exceeds the cap (not a dedup-shaped "
+        "graph); raise max_iterations or pre-contract with star steps"
+    )
+
+
+def cluster_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    tracker: list | None = None,
+) -> DataFrame:
+    """Keep one representative (the min id) per near-duplicate CLUSTER:
+    transitive-closure dedup, the policy stricter than the pair-drop
+    rule exactly on non-transitive pair sets (module docstring).
+
+    Cost: the CC rounds (diameter-bounded, cluster-key shuffles) + one
+    anti-join of the corpus against the non-representative ids — the
+    same size-gated anti-join shape as pipeline.curate_documents (the
+    drop set is |clustered vertices - clusters|, far smaller than the
+    corpus).
+
+    The component labels arrive as the fixpoint's locally-checkpointed
+    frame (already materialized — the anti-join reads blocks, not the
+    propagation rounds); ``tracker`` still receives it for interface
+    symmetry with the other tracked operators (unpersist on a
+    checkpointed frame is a harmless no-op; the blocks free with the
+    reference)."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    if tracker is not None:
+        tracker.append(comp)
+    drop = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

@@ -1,0 +1,169 @@
+"""Connected-component clustering (operators/components.py): fixpoint
+correctness vs a union-find reference and a DuckDB recursive-CTE twin,
+the pair-rule divergence case, and the composition over real minhash
+pairs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatastructure_a5_spark.operators.components import (
+    cluster_dedup,
+    connected_components,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def _spark_cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    comp = connected_components(df)
+    out = {r.id: r.comp for r in comp.collect()}
+    comp.unpersist()
+    return out
+
+
+def test_components_match_union_find(spark):
+    """Chains, cliques, singleton pairs, and a long path in one graph —
+    labels equal the union-find's min-root everywhere."""
+    edges = [
+        (1, 2), (2, 3),                      # chain
+        (10, 11), (11, 12), (10, 12),        # triangle
+        (20, 21),                            # pair
+        (30, 31), (31, 32), (32, 33), (33, 34), (34, 35),  # path, diam 5
+        (40, 41), (41, 40),                  # duplicate edge both ways
+    ]
+    assert _spark_cc(spark, edges) == _union_find(edges)
+
+
+def test_components_match_duckdb_recursive_cte(spark):
+    """Cross-engine: the min label per component equals DuckDB's
+    transitive closure (WITH RECURSIVE reachability + MIN) on the same
+    edge list."""
+    import duckdb
+
+    edges = [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23] + [
+        (100, 101),
+        (102, 101),
+    ]
+    got = _spark_cc(spark, edges)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    want = {
+        r[0]: r[1]
+        for r in con.sql(
+            """
+            WITH RECURSIVE sym AS (
+              SELECT a, b FROM e UNION SELECT b, a FROM e
+            ),
+            reach(a, b) AS (
+              SELECT a, a FROM (SELECT a FROM sym UNION SELECT b FROM sym)
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_cluster_dedup_beats_pair_rule_on_nontransitive_pairs(spark):
+    """THE divergence case: pairs {(a,c), (b,c)} — the pair-drop rule
+    ('drop id_b of every pair') keeps a AND b; transitive clustering
+    keeps only the cluster min a.  This is why production dedup
+    clusters."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 9)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    # pair rule: drop {3} -> keeps 1, 2, 9
+    pair_rule_kept = {
+        r.doc_id
+        for r in docs.join(
+            pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).collect()
+    }
+    assert pair_rule_kept == {1, 2, 9}
+    tracked: list = []
+    kept = {
+        r.doc_id
+        for r in cluster_dedup(docs, pairs, tracker=tracked).collect()
+    }
+    for df in tracked:
+        df.unpersist()
+    assert kept == {1, 9}  # one representative for {1,2,3}; 9 untouched
+
+
+def test_diameter_guard_raises(spark):
+    """A path longer than max_iterations hits the guard loudly instead
+    of returning a wrong (unconverged) labeling."""
+    edges = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(df, max_iterations=2)
+
+
+def test_cluster_dedup_over_real_minhash_pairs(spark):
+    """Composition over the real dedup stage: minhash near-dup pairs on
+    the fixture documents -> clusters -> kept set.  Invariants: kept ==
+    docs - (clustered vertices - one representative per cluster), every
+    cluster representative is its cluster's min id, and the kept set is
+    a subset of the pair-rule's (transitive closure can only drop
+    MORE)."""
+    from bigdatastructure_a5_spark.catalog import load_table
+    from bigdatastructure_a5_spark.operators.dedup import (
+        near_duplicates_minhash,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = near_duplicates_minhash(docs, "doc_id", "text", threshold=0.8)
+    edge_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert edge_rows, "fixture should contain near-duplicates"
+    comp = connected_components(
+        spark.createDataFrame(edge_rows, "id_a bigint, id_b bigint")
+    )
+    got = {r.id: r.comp for r in comp.collect()}
+    comp.unpersist()
+    assert got == _union_find(edge_rows)
+    tracked: list = []
+    kept = {
+        r.doc_id
+        for r in cluster_dedup(
+            docs,
+            spark.createDataFrame(edge_rows, "id_a bigint, id_b bigint"),
+            tracker=tracked,
+        )
+        .select("doc_id")
+        .collect()
+    }
+    for df in tracked:
+        df.unpersist()
+    n_docs = docs.count()
+    clustered = set(got)
+    n_clusters = len(set(got.values()))
+    assert len(kept) == n_docs - (len(clustered) - n_clusters)
+    pair_rule_kept_n = n_docs - len({b for _, b in edge_rows})
+    assert len(kept) <= pair_rule_kept_n
