@@ -49,6 +49,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    rounds: list | None = None,
 ) -> DataFrame:
     """(id, component) for every vertex appearing in ``pairs``;
     ``component`` is the MIN vertex id of the connected component —
@@ -64,6 +65,10 @@ def connected_components(
     graphs converge in a handful of rounds, so hitting the guard means
     the input is not a dedup graph — raise the cap for long-chain
     graphs, or pre-contract with star steps.
+
+    ``rounds``, if given, receives the number of propagation rounds run
+    to the fixpoint (including the final no-change confirmation round) —
+    the diagnostic EXPERIMENTS §18 reports.
     """
     e = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -79,7 +84,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     try:
-        for _ in range(max_iterations):
+        for it in range(max_iterations):
             nbr_min = (
                 sym.join(
                     labels.select(
@@ -113,6 +118,8 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                if rounds is not None:
+                    rounds.append(it + 1)
                 return new_labels
     finally:
         sym.unpersist()
