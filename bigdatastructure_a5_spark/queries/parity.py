@@ -356,9 +356,7 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.union(b).distinct().subtract(d)
 
 
-@query(
-    "window_topn_per_group",
-    oracle="""
+WINDOW_TOPN_ORACLE = """
     SELECT c_nationkey, c_custkey, c_acctbal, rn
     FROM (
       SELECT c_nationkey, c_custkey, c_acctbal,
@@ -369,12 +367,16 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     ) t
     WHERE rn <= 3
-    """,
-    tags=("ext:window",),
-)
+    """
+
+
 def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers per nation by balance (unique order -> deterministic).
-    At scale: single hash-partition by the window key, no global sort."""
+    At scale: single hash-partition by the window key, no global sort.
+    Rotated out of the driver registry in r10 (slot went to
+    dedup_clusters); stays engine-vs-oracle checked in tests/test_tools.py,
+    and window machinery stays driver-gated via events_sessionize (lag
+    window), events_sliding_window, and curriculum_bins (ntile window)."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")

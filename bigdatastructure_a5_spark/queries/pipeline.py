@@ -228,6 +228,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(pairs, tracked)
 
 
+#: DuckDB twin of operators/components.connected_components over the
+#: minhash pair set: the same pairs CTE as dedup_minhash_lsh's oracle,
+#: transitively closed with WITH RECURSIVE, MIN label per vertex — the
+#: fixpoint the engine's min-label propagation converges to.
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_SHINGLES_SQL + _JACCARD_PAIRS_SQL})
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("ext:dedup",))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS (operators/components.py): the minhash
+    pair set transitively closed by min-label propagation — one
+    (doc_id, cluster_id) row per clustered document, cluster_id = the
+    cluster's min doc_id (its kept representative).  This is the policy
+    production dedup runs (one survivor per cluster) and it differs
+    from the pair-drop rule exactly on non-transitive pair sets; the
+    oracle replays the closure with a recursive CTE, so the driver
+    hash-checks an ITERATIVE distributed algorithm end-to-end.
+    Propagation rounds = the dup-graph diameter (quasi-cliques, 2-3);
+    per-round plans are localCheckpoint-bounded."""
+    from bigdatastructure_a5_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tracked: list = []
+    pairs = near_duplicates_minhash(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16,
+        tracker=tracked,
+    )
+    comp = connected_components(pairs)
+    for df in tracked:
+        df.unpersist()
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
 #: DuckDB twin of operators.dedup.simhash64 with the md5_hash60 token hash:
 #: bit b of the fingerprint = majority vote of token-hash bit b.  The md5
 #: prefix arithmetic is identical in both engines (functions/hashing.py:78),

@@ -112,6 +112,7 @@ def test_lifted_oracles_match_full_at_x10():
         "dedup_simhash",
         "pipeline_curation",
         "decontam_benchmark",
+        "dedup_clusters",
     }
 
     def canon(rel):
@@ -709,4 +710,28 @@ def test_composite_shipping_priority_matches_duckdb(spark, sf_dir):
         (r[0], round(r[1], 9), str(r[2]), r[3])
         for r in con.sql(COMPOSITE_SHIPPING_ORACLE).fetchall()
     ]
+    assert got == want and len(got) > 0
+
+
+def test_window_topn_per_group_matches_duckdb(spark, sf_dir):
+    """Top-N-per-group stays engine-vs-oracle checked after the r10
+    second rotation wave (its slot went to dedup_clusters; window
+    machinery stays driver-gated via events_sessionize (lag),
+    events_sliding_window, and curriculum_bins (ntile))."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.parity import (
+        WINDOW_TOPN_ORACLE,
+        window_topn_per_group,
+    )
+
+    got = sorted(
+        tuple(r) for r in window_topn_per_group(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(WINDOW_TOPN_ORACLE).fetchall())
     assert got == want and len(got) > 0

@@ -77,6 +77,7 @@ def _canon_rows(cols, rows):
 #: registered oracle even above x10 (the escape hatch ADVICE r6 asked to
 #: restore) — expect quadratic oracle cost in that mode.
 PAIR_ORACLE_QUERIES = {
+    "dedup_clusters",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

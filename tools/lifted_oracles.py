@@ -100,6 +100,33 @@ def _lift_pairs(
     """
 
 
+def _lift_clusters(base_pairs_sql: str, domain_sql: str, copies: int) -> str:
+    """Lift the cluster labels: at xN every in-domain base doc's copies
+    are exact duplicates (jaccard 1.0 pairs in every band), so ALL
+    in-domain docs cluster, base components merge across copies, and the
+    min label of a merged component is the min BASE id of the doc's base
+    component (copy-0 ids are the smallest).  Close the BASE graph with a
+    recursive CTE — seeded with every in-domain vertex so base singletons
+    become their own (copy-clique) cluster — then cross the labels with
+    the copy shifts."""
+    return f"""
+    WITH RECURSIVE bp AS (SELECT id_a, id_b FROM ({base_pairs_sql})),
+    dom AS (SELECT doc_id FROM ({domain_sql})),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM bp UNION SELECT id_b, id_a FROM bp
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM dom
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    base_comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a),
+    copies AS (SELECT UNNEST(RANGE({copies})) AS c)
+    SELECT bc.id + c.c * {OFFSET} AS doc_id, bc.comp AS cluster_id
+    FROM base_comp bc, copies c
+    """
+
+
 def _lift_curation(base_sql: str, copies: int) -> str:
     """Lift the curation survivor set: base survivors with >= 3 tokens stay
     singular (their copies are dropped as exact duplicates of copy 0); the
@@ -164,6 +191,11 @@ def lifted_oracles(copies: int) -> dict[str, str]:
         "hamming",
         "CAST(0 AS INT)",
         _SIMHASH_DOMAIN,
+        copies,
+    )
+    out["dedup_clusters"] = _lift_clusters(
+        _base_restricted(REGISTRY["dedup_minhash_lsh"].oracle),
+        _TRIGRAM_DOMAIN,
         copies,
     )
     out["pipeline_curation"] = _lift_curation(
