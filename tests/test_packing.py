@@ -368,3 +368,39 @@ def test_assemble_chunks_sharded_and_zero_python(spark):
         assert [t for r in rows for t in r.toks] == stream
         for r in rows[:-1]:
             assert r.n_tokens == L
+
+
+def test_assembly_after_mixture_with_composite_keys(spark):
+    """The full trainer path: mixture (duplicate doc_ids distinguished
+    by copy_id) -> composite-key packing -> assembly.  Tokens join back
+    on doc_id alone (each copy slices the same token array); the
+    assembled stream must repeat upsampled documents exactly n_copies
+    times and still fill every non-final chunk to L."""
+    from bigdatastructure_a5_spark.operators.packing import assemble_chunks
+
+    token_lists = {0: ["a0", "a1", "a2"], 1: ["b0", "b1"], 2: ["c0"] * 7}
+    copies = {0: 2, 1: 1, 2: 3}
+    mixed = spark.createDataFrame(
+        [
+            (d, c, len(token_lists[d]))
+            for d, n in copies.items()
+            for c in range(n)
+        ],
+        "doc_id bigint, copy_id bigint, n_tokens bigint",
+    )
+    toks = spark.createDataFrame(
+        [(d, t) for d, t in token_lists.items()],
+        "doc_id bigint, toks array<string>",
+    )
+    packed = concat_and_chunk(mixed, L, id_col=["doc_id", "copy_id"])
+    out = assemble_chunks(packed, toks).collect()
+    stream = [
+        t
+        for d in sorted(copies)
+        for _ in range(copies[d])
+        for t in token_lists[d]
+    ]
+    by_chunk = sorted(out, key=lambda r: r.chunk_id)
+    assert [t for r in by_chunk for t in r.toks] == stream
+    for r in by_chunk[:-1]:
+        assert r.n_tokens == L
