@@ -374,6 +374,46 @@ def top_ngram_token_share(
     ).otherwise(F.when(n_toks >= 0, F.lit(0.0)))
 
 
+#: PII patterns, written in the COMMON dialect of Java regex (Spark) and
+#: RE2 (DuckDB): no lookaround, no backreferences — both engines support
+#: (?i), (?:...), {m,n}, \d, \b.  Email before phone in the redaction
+#: order: an email's digit runs must not be half-eaten by the phone
+#: pattern first.  These are scrubbing heuristics (recall-leaning, like
+#: every production PII scrubber), not validators — a malformed IP like
+#: 999.999.999.999 redacts too, which is the right failure direction.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"(?i)\b[a-z0-9][a-z0-9._%+-]*@[a-z0-9][a-z0-9.-]*\.[a-z]{2,}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d()\s.-]{6,}\d",
+}
+
+
+def redact_pii(text_col: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace PII spans with ``<EMAIL>`` / ``<IPV4>`` / ``<PHONE>``
+    placeholder tokens — the standard scrub a training corpus gets
+    before packing.  Pure chained ``regexp_replace`` (zero Python,
+    map-side at any corpus size); redaction order is the PII_PATTERNS
+    insertion order (emails first, so phone digits inside addresses are
+    already gone)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    kinds = list(PII_PATTERNS) if kinds is None else kinds
+    for kind in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def pii_counts(text_col: Column | str, kind: str) -> Column:
+    """Match count for one PII kind — the audit column next to the
+    redaction (how much PII a source carries is itself a curation
+    signal).  ``size(regexp_extract_all(...))`` in Spark ==
+    ``LEN(REGEXP_EXTRACT_ALL(...))`` in DuckDB for every pattern in the
+    common dialect; bigint for the schema gate."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), 0)).cast(
+        "bigint"
+    )
+
+
 def curriculum_bins(
     df,
     n_bins: int = 10,

@@ -614,3 +614,58 @@ def test_repetition_filters_match_duckdb_on_documents(spark, sf_dir):
         d: (lf[d], share.get(d, 0.0)) for d in lf
     }
     assert got == want and len(got) > 0
+
+
+def test_pii_redaction_and_counts_cross_engine(spark):
+    """PII scrub: emails/IPs/phones redact to placeholder tokens, counts
+    match DuckDB bit-for-bit (the patterns live in the Java-regex ∩ RE2
+    common dialect — no lookaround, no backreferences), and redaction
+    order protects email digits from the phone pattern."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.operators.text import (
+        PII_PATTERNS,
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        (0, "contact Jo.Smith+spam@example.co.uk or call +1 (555) 123-4567."),
+        (1, "server at 192.168.1.254, backup 10.0.0.1 — no phone"),
+        (2, "digits 12345 are fine, 1234567890 is a phone-shaped run"),
+        (3, "no pii at all here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.red, r.n_email, r.n_ip, r.n_phone)
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("red"),
+            pii_counts("text", "email").alias("n_email"),
+            pii_counts("text", "ipv4").alias("n_ip"),
+            pii_counts("text", "phone").alias("n_phone"),
+        ).collect()
+    }
+    # redaction semantics
+    assert "<EMAIL>" in got[0][0] and "<PHONE>" in got[0][0]
+    assert "Jo.Smith" not in got[0][0] and "555" not in got[0][0]
+    assert got[1][0].count("<IPV4>") == 2 and "<PHONE>" not in got[1][0]
+    assert "12345 are fine" in got[2][0] and "<PHONE>" in got[2][0]
+    assert got[3][0] == rows[3][1]
+    assert got[4] == (None, None, None, None)
+    # count parity vs DuckDB on the same patterns
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    for kind, col_ix in (("email", 1), ("ipv4", 2), ("phone", 3)):
+        want = {
+            r[0]: r[1]
+            for r in con.execute(
+                "SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL(text, ?)) "
+                "AS BIGINT) FROM d",
+                [PII_PATTERNS[kind]],
+            ).fetchall()
+        }
+        for doc_id, vals in got.items():
+            assert vals[col_ix] == want[doc_id], (kind, doc_id)
