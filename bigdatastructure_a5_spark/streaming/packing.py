@@ -110,6 +110,13 @@ def pack_batch(
         shard_col=shard_col,
         base_col="base",
     )
+    # geometry BEFORE carry — the crash-ordering twin of streaming/
+    # dedup.py's shingles-before-bands: a crash between the two appends
+    # then leaves geometry without its carry update, and the retry
+    # re-packs the batch at the SAME base — duplicate geometry rows
+    # (same values, dedupable on key columns), never WRONG positions.
+    # Carry-first would shift the retried batch by its own tokens and
+    # corrupt every subsequent offset silently.
     geo.write.mode("append").parquet(out_dir)
 
     n = F.col(n_tokens_col).cast("bigint")

@@ -176,3 +176,56 @@ def test_real_streaming_run_matches_batch_pack(spark, tmp_path):
     q.awaitTermination(300)
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert got == _batch_geo(spark, docs) and len(got) > 0
+
+
+def test_streamed_mixture_then_incremental_pack_matches_batch(spark, tmp_path):
+    """The streaming trainer path: the mixer runs UNCHANGED on each
+    microbatch (stateless projection — stream==batch is pinned in
+    test_mixture), and its copies feed the incremental packer with
+    composite order keys.  The streamed geometry must equal the batch
+    path (mix everything, pack once) row for row."""
+    from bigdatastructure_a5_spark.operators.mixture import mix_domains
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("src0", "src1", "src2")[i % 3], 3 + (i * 5) % 9)
+            for i in range(30)
+        ],
+        "doc_id bigint, source string, n_tokens bigint",
+    )
+    weights = {"src0": 2.0, "src1": 0.0, "src2": 1.0}
+
+    def mix(frame):
+        return mix_domains(
+            frame, weights, domain_col="source", default_weight=0.5
+        ).select(
+            "doc_id",
+            "copy_id",
+            (F.col("doc_id") % 4).alias("shard"),
+            "n_tokens",
+        )
+
+    # batch path: mix the whole corpus, pack once
+    want = sorted(
+        tuple(r)
+        for r in concat_and_chunk(
+            mix(docs), L, id_col=["doc_id", "copy_id"], shard_col="shard"
+        ).collect()
+    )
+    # streamed path: 3 id-ordered microbatches, mixer inside the batch
+    state, out = str(tmp_path / "state_mx"), str(tmp_path / "out_mx")
+    for i, b in enumerate(_splits(docs, 3)):
+        pack_batch(
+            spark,
+            mix(b),
+            state,
+            out,
+            L,
+            batch_id=i,
+            id_col=["doc_id", "copy_id"],
+        )
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == want and len(got) > 0
+    # the dropped domain reached neither path
+    src1_ids = {r.doc_id for r in docs.filter("source = 'src1'").collect()}
+    assert src1_ids.isdisjoint({r[2] for r in got})  # col 2 = doc_id
