@@ -46,10 +46,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             from bigdatastructure_a5_spark.session import (
+                ensure_generate_filter_exclusion,
                 ensure_workers_can_import,
             )
 
             ensure_workers_can_import(spark)
+            # the driver harness runs these on ITS OWN session: make the
+            # optimizer contract (no InferFiltersFromGenerate) hold there
+            # too — a dynamic conf, merged with the session's own list
+            ensure_generate_filter_exclusion(spark)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

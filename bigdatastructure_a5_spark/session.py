@@ -178,6 +178,23 @@ GENERATE_FILTER_RULE = (
 )
 
 
+def ensure_generate_filter_exclusion(spark: SparkSession) -> None:
+    """ADD the InferFiltersFromGenerate exclusion to a live session —
+    ``spark.sql.optimizer.excludedRules`` is a dynamic SQL conf, so this
+    works on any session, including one the engine did not build (the
+    driver harness runs registry queries on ITS session; without the
+    exclusion every shingle-family query silently pays the O(tokens²)
+    inlined-tokenizer wall).  Merges with whatever the user already
+    excluded; called by the registry wrapper so every gate query runs
+    under the same optimizer contract as get_spark sessions."""
+    key = "spark.sql.optimizer.excludedRules"
+    cur = spark.conf.get(key, "") or ""
+    if GENERATE_FILTER_RULE not in cur:
+        spark.conf.set(
+            key, f"{cur},{GENERATE_FILTER_RULE}".strip(",")
+        )
+
+
 def require_generate_filter_exclusion(spark: SparkSession) -> None:
     """Warn LOUDLY if the session lacks the InferFiltersFromGenerate
     exclusion that the text-family operators (dedup shingling, decontam)

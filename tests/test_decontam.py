@@ -207,3 +207,23 @@ def test_guard_warns_when_exclusion_missing(spark):
         warnings.simplefilter("error")  # any warning now fails the test
         shingled = shingle_sets(corpus, "doc_id", "text", 3)
         contamination_matches(shingled, shingled)
+
+
+def test_registry_wrapper_heals_missing_exclusion(spark):
+    """The driver harness runs registry queries on its OWN session; the
+    registry wrapper must add the InferFiltersFromGenerate exclusion
+    there (dynamic conf, merged with the session's list) so gate queries
+    never pay the O(tokens²) wall on a vanilla session."""
+    from bigdatastructure_a5_spark.registry import all_queries
+    from bigdatastructure_a5_spark.session import GENERATE_FILTER_RULE
+
+    key = "spark.sql.optimizer.excludedRules"
+    saved = spark.conf.get(key, "")
+    try:
+        spark.conf.set(key, "some.other.Rule")
+        all_queries()["text_quality"](spark, "/root/testdata/sf0.001")
+        cur = spark.conf.get(key, "")
+        assert GENERATE_FILTER_RULE in cur
+        assert "some.other.Rule" in cur  # merged, not clobbered
+    finally:
+        spark.conf.set(key, saved)
