@@ -200,6 +200,97 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_in_cells(
+    celled: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    candidate_margin: float = 1e-9,
+    tracker: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: exact cosine >= threshold
+    computed ONLY within each IVF cell (Abbas et al. 2023 dedup inside
+    k-means clusters — public method).  Input is a ``with_ivf_cells``
+    frame; output is (id_a, id_b, cosine), id_a < id_b, like
+    ``cosine_pairs``.
+
+    The scale trade vs the exact all-pairs tiling: work drops from
+    O(n²/B²) per tile x B² tiles to O((n/C)²) per cell x C cells — with
+    the sqrt(n) auto-sizing that is O(n^1.5) total instead of O(n²) —
+    at the cost of RECALL ONLY for pairs straddling a cell boundary
+    (both members of a tight duplicate pair usually land in the same
+    nearest-centroid cell; raise the pair recall by clustering coarser
+    or probing neighbor cells — the same dial as ann/IVF serving).
+    Every emitted pair is EXACT (same refine expression as
+    cosine_pairs), so within-cell output is a strict subset of the
+    all-pairs answer with identical cosine values.
+
+    Each cell packs into one Arrow task (one BLAS gram matrix per
+    cell): size cells to task memory exactly like ``cosine_pairs``
+    sizes blocks — at sqrt(n) cells a cell is ~sqrt(n) vectors.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from bigdatastructure_a5_spark.session import adopt_tracker, persist_df
+
+    tracker, finish = adopt_tracker(tracker)
+    vecs = celled.filter(F.col(vec_col).isNotNull())
+    relaxed = threshold - candidate_margin
+    packed = persist_df(
+        vecs.select(
+            F.col(cell_col).alias("cell"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).alias("v"),
+            ).alias("iv"),
+        )
+        .groupBy("cell")
+        .agg(F.collect_list("iv").alias("members"))
+    )
+    tracker.append(packed)
+
+    def score_cells(it):
+        import pandas as pd
+
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                ids = np.array([m["id"] for m in row["members"]], dtype=np.int64)
+                if len(ids) < 2:
+                    continue
+                x = np.stack(
+                    [np.asarray(m["v"], dtype=np.float64) for m in row["members"]]
+                )
+                xn = np.linalg.norm(x, axis=1)
+                xn[xn == 0] = 1.0
+                scores = (x / xn[:, None]) @ (x / xn[:, None]).T
+                ii, jj = np.nonzero(scores >= relaxed)
+                keep = ii < jj  # upper triangle: each pair once, no self
+                lo, hi = ids[ii[keep]], ids[jj[keep]]
+                a = np.minimum(lo, hi)
+                b = np.maximum(lo, hi)
+                yield pd.DataFrame({"id_a": a, "id_b": b}).drop_duplicates()
+
+    cand_schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+    cands = packed.repartition(
+        max(celled.sparkSession.sparkContext.defaultParallelism, 8), "cell"
+    ).mapInPandas(score_cells, schema=cand_schema)
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return finish(
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity("va", "vb").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def rademacher_signs(
     n_tables: int, n_planes: int, dim: int, seed: int = 42
 ) -> list[list[list[float]]]:

@@ -878,3 +878,99 @@ def test_capped_jaccard_matches_capped_oracle_x30(spark):
     )
     assert len(s_rows) > 0
     assert s_rows == d_rows
+
+
+def test_semantic_dedup_within_cells(spark, sf_dir):
+    """SemDeDup composition over the real embeddings: IVF cells ->
+    within-cell exact cosine pairs -> cluster dedup.  Pins (a) strict
+    subset of the all-pairs answer with bit-identical cosine values,
+    (b) high pair recall at the dedup-grade threshold (tight duplicates
+    co-locate in the nearest-centroid cell), (c) one representative per
+    cluster survives."""
+    from bigdatastructure_a5_spark.operators.components import cluster_dedup
+    from bigdatastructure_a5_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_in_cells,
+        fit_centroids_sample,
+        with_ivf_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (i, c.tolist())
+        for i, c in enumerate(
+            fit_centroids_sample(emb, n_centroids=8, sample_rows=256)
+        )
+    ]
+    celled = with_ivf_cells(emb, cents)
+
+    tracked: list = []
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_in_cells(
+            celled, threshold=0.45, tracker=tracked
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs(emb, threshold=0.45, tracker=tracked).collect()
+    }
+    assert want, "fixture should contain near-dup embeddings"
+    # (a) subset with identical exact values (the fixture's 0.45 pairs
+    # are LOOSE relations, so no recall claim here — that leg runs on a
+    # corpus with planted tight duplicates below)
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k]
+
+    # (b) recall on TIGHT duplicates (the SemDeDup regime): plant
+    # near-copies (1% noise, cosine ~0.9995) of random base vectors —
+    # a tight pair's two members share a nearest centroid essentially
+    # always, so within-cell recall at 0.99 must be ~total
+    import random
+
+    rng = random.Random(7)
+    base = [
+        [rng.gauss(0, 1) for _ in range(16)] for _ in range(40)
+    ]
+    rows = [(i, v) for i, v in enumerate(base)] + [
+        (100 + i, [x + rng.gauss(0, 0.01) for x in v])
+        for i, v in enumerate(base[:15])  # 15 planted tight pairs
+    ]
+    planted = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    pc = [
+        (i, c.tolist())
+        for i, c in enumerate(
+            fit_centroids_sample(planted, n_centroids=6, sample_rows=128)
+        )
+    ]
+    got_t = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_in_cells(
+            with_ivf_cells(planted, pc), threshold=0.99, tracker=tracked
+        ).collect()
+    }
+    want_t = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(
+            planted, threshold=0.99, tracker=tracked
+        ).collect()
+    }
+    assert len(want_t) >= 15
+    recall = len(got_t & want_t) / len(want_t)
+    assert recall >= 0.9, f"tight-pair within-cell recall {recall:.0%}"
+
+    # (c) cluster dedup over the semantic pairs keeps one rep per cluster
+    pairs_df = spark.createDataFrame(
+        [(a, b) for a, b in got_t], "id_a bigint, id_b bigint"
+    )
+    docs = planted.select(F.col("vec_id").alias("doc_id"))
+    kept = cluster_dedup(docs, pairs_df, tracker=tracked)
+    n_docs, n_kept = docs.count(), kept.count()
+    clustered = {x for pr in got_t for x in pr}
+    for df in tracked:
+        df.unpersist()
+    assert n_kept < n_docs
+    assert n_kept >= n_docs - len(clustered) + 1
