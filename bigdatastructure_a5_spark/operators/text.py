@@ -374,6 +374,66 @@ def top_ngram_token_share(
     ).otherwise(F.when(n_toks >= 0, F.lit(0.0)))
 
 
+def document_report(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Every per-document text signal in ONE pass: token/char counts,
+    quality score, language id, repetition fractions, top-2-gram share,
+    PII counts, content fingerprint.  At 100 TB the corpus scan IS the
+    budget — a pipeline that computes quality in one job and language in
+    another pays the scan twice; this report materializes the token
+    array once and fans every signal out of it as sibling expressions in
+    a single projection (zero exchanges, zero Python, one scan —
+    plan-pinned).
+
+    Each signal is individually verified elsewhere (driver oracles or
+    DuckDB-parity pytests); the report pins that the FUSED forms equal
+    the standalone ones (tests), so fusion is a pure cost optimization,
+    never a semantics fork.
+    """
+    from bigdatastructure_a5_spark.functions.hashing import (
+        md5_fingerprint,
+        token_count,
+        tokens,
+    )
+
+    with_scores = with_lang_scores(
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            tokens(text_col).alias("__toks"),
+        ),
+        text_col,
+        toks_col="__toks",
+    )
+    stop_hits = None
+    for lang in STOPWORDS:
+        c = F.col(f"sc_{lang}")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    return with_scores.select(
+        id_col,
+        token_count(text_col).alias("n_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        quality_score(
+            text_col, toks="__toks", stop_hits=stop_hits
+        ).alias("quality"),
+        lang_id_from_scores().alias("lang_id"),
+        duplicate_line_fraction(text_col).alias("dup_line_frac"),
+        duplicate_line_fraction(text_col, paragraph=True).alias(
+            "dup_para_frac"
+        ),
+        top_ngram_token_share(text_col, 2, toks="__toks").alias(
+            "top_2gram_share"
+        ),
+        pii_counts(text_col, "email").alias("n_email"),
+        pii_counts(text_col, "ipv4").alias("n_ipv4"),
+        pii_counts(text_col, "phone").alias("n_phone"),
+        md5_fingerprint(text_col).alias("fingerprint"),
+    )
+
+
 #: PII patterns, written in the COMMON dialect of Java regex (Spark) and
 #: RE2 (DuckDB): no lookaround, no backreferences — both engines support
 #: (?i), (?:...), {m,n}, \d, \b.  Email before phone in the redaction

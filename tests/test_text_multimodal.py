@@ -669,3 +669,73 @@ def test_pii_redaction_and_counts_cross_engine(spark):
         }
         for doc_id, vals in got.items():
             assert vals[col_ix] == want[doc_id], (kind, doc_id)
+
+
+def test_document_report_single_pass_and_matches_standalone(spark, sf_dir):
+    """The fused per-document report equals the standalone operators
+    column by column (fusion is a cost optimization, never a semantics
+    fork) and its plan is ONE scan, zero exchanges, zero Python."""
+    from bigdatastructure_a5_spark.functions.hashing import (
+        md5_fingerprint,
+        token_count,
+        tokens,
+    )
+    from bigdatastructure_a5_spark.operators.text import (
+        document_report,
+        duplicate_line_fraction,
+        lang_id_from_scores,
+        pii_counts,
+        quality_score,
+        top_ngram_token_share,
+        with_lang_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    report = document_report(docs)
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    got = {r.doc_id: r for r in report.collect()}
+    standalone = {
+        r.doc_id: r
+        for r in with_lang_scores(
+            docs.select("doc_id", "text", tokens("text").alias("__toks")),
+            "text",
+            toks_col="__toks",
+        )
+        .select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            quality_score("text", toks="__toks").alias("quality"),
+            lang_id_from_scores().alias("lang_id"),
+            duplicate_line_fraction("text").alias("dup_line_frac"),
+            top_ngram_token_share("text", 2, toks="__toks").alias(
+                "top_2gram_share"
+            ),
+            pii_counts("text", "email").alias("n_email"),
+            md5_fingerprint("text").alias("fingerprint"),
+        )
+        .collect()
+    }
+    assert set(got) == set(standalone) and len(got) > 0
+    for d, r in got.items():
+        s = standalone[d]
+        assert (
+            r.n_tokens,
+            r.quality,
+            r.lang_id,
+            r.dup_line_frac,
+            r.top_2gram_share,
+            r.n_email,
+            r.fingerprint,
+        ) == (
+            s.n_tokens,
+            s.quality,
+            s.lang_id,
+            s.dup_line_frac,
+            s.top_2gram_share,
+            s.n_email,
+            s.fingerprint,
+        )
