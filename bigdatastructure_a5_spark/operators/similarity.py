@@ -200,6 +200,52 @@ def cosine_pairs(
     )
 
 
+def with_ivf_cells_probed(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` NEAREST cells (one output
+    row per assignment) — the recall dial for within-cell pair scoring:
+    a pair is found if the two vectors share ANY of their probed cells,
+    so boundary-straddling pairs that single-cell assignment splits get
+    a second (third, ...) chance at ~n_probe x the scoring work.  Same
+    BLAS shape and tie rules as the single-cell path (stable argsort —
+    ties break toward the smaller cell id, matching argmax-first);
+    ``n_probe=1`` reproduces ``with_ivf_cells(method='blas')`` exactly,
+    pinned in pytest."""
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    ranked = sorted(centroids, key=lambda t: int(t[0]))
+    cids = np.array([int(cid) for cid, _ in ranked], dtype=np.int64)
+    cmat = np.array([cv for _, cv in ranked], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    degenerate = cnorm == 0.0
+    scale = 1.0 / np.where(degenerate, 1.0, cnorm)
+    p = min(n_probe, len(ranked))
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cids, cmat, scale, degenerate, p)
+    )
+
+    @F.pandas_udf("array<int>")
+    def _cells(vecs: pd.Series) -> pd.Series:
+        b_cids, b_cmat, b_scale, b_degen, b_p = bc.value
+        mat = np.zeros((len(vecs), b_cmat.shape[1]), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == b_cmat.shape[1]:
+                mat[i] = v
+        scores = (mat @ b_cmat.T) * b_scale
+        scores[:, b_degen] = -np.inf
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :b_p]
+        return pd.Series(
+            [b_cids[row].astype("int32").tolist() for row in order]
+        )
+
+    return df.withColumn(cell_col, F.explode(_cells(F.col(vec_col))))
+
+
 def cosine_pairs_in_cells(
     celled: DataFrame,
     threshold: float,
@@ -274,11 +320,22 @@ def cosine_pairs_in_cells(
     cand_schema = StructType(
         [StructField("id_a", LongType()), StructField("id_b", LongType())]
     )
-    cands = packed.repartition(
-        max(celled.sparkSession.sparkContext.defaultParallelism, 8), "cell"
-    ).mapInPandas(score_cells, schema=cand_schema)
-    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cands = (
+        packed.repartition(
+            max(celled.sparkSession.sparkContext.defaultParallelism, 8),
+            "cell",
+        )
+        .mapInPandas(score_cells, schema=cand_schema)
+        # a multi-probe input (with_ivf_cells_probed) finds the same
+        # pair in every shared cell; dedup before the refine join —
+        # candidate-sized, and a no-op shuffle for single-cell input
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # multi-probe inputs also carry each vector once per probed cell:
+    # collapse the refine sides to one row per id
+    uniq = vecs.dropDuplicates([id_col])
+    a = uniq.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = uniq.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return finish(
         cands.join(a, "id_a")
         .join(b, "id_b")

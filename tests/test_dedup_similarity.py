@@ -974,3 +974,51 @@ def test_semantic_dedup_within_cells(spark, sf_dir):
         df.unpersist()
     assert n_kept < n_docs
     assert n_kept >= n_docs - len(clustered) + 1
+
+
+def test_multi_probe_cells_raise_within_cell_recall(spark, sf_dir):
+    """The recall dial: n_probe nearest cells per vector — probe 1
+    reproduces the single-cell assignment exactly, and higher probes
+    strictly grow the (still exact-subset) pair set toward the all-pairs
+    answer on the loose-pair corpus where single cells split them."""
+    from bigdatastructure_a5_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_in_cells,
+        fit_centroids_sample,
+        with_ivf_cells,
+        with_ivf_cells_probed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (i, c.tolist())
+        for i, c in enumerate(
+            fit_centroids_sample(emb, n_centroids=8, sample_rows=256)
+        )
+    ]
+    tracked: list = []
+    want = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(emb, threshold=0.45, tracker=tracked).collect()
+    }
+
+    def pairs(celled):
+        return {
+            (r.id_a, r.id_b)
+            for r in cosine_pairs_in_cells(
+                celled, threshold=0.45, tracker=tracked
+            ).collect()
+        }
+
+    # probe 1 == the single-cell BLAS assignment
+    single = pairs(with_ivf_cells(emb, cents, method="blas"))
+    p1 = pairs(with_ivf_cells_probed(emb, cents, n_probe=1))
+    assert p1 == single
+    p3 = pairs(with_ivf_cells_probed(emb, cents, n_probe=3))
+    p8 = pairs(with_ivf_cells_probed(emb, cents, n_probe=8))
+    for df in tracked:
+        df.unpersist()
+    # monotone recall, all exact subsets; full probe == all pairs
+    assert p1 <= p3 <= p8 <= want
+    assert len(p3) > len(p1)
+    assert p8 == want  # probing every one of the 8 cells is exhaustive
