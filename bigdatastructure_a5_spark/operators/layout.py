@@ -201,7 +201,7 @@ def with_zorder_key(
     STRING columns rank by ``string_method``:
 
     - ``"prefix"`` (default): the order-preserving ``string_surrogate``
-      fold of the first 7 codepoints — a pure expression, zero extra
+      fold of the first 9 ASCII codepoints — a pure expression, zero extra
       jobs, any cardinality; caller ``bounds`` are in surrogate units
       (rarely worth supplying — let the agg compute them).
     - ``"dict"``: EXACT equal-count ranks via ``string_dict_ranks``

@@ -393,17 +393,23 @@ def document_report(
     the standalone ones (tests), so fusion is a pure cost optimization,
     never a semantics fork.
     """
-    from bigdatastructure_a5_spark.functions.hashing import (
-        md5_fingerprint,
-        token_count,
-        tokens,
-    )
+    from bigdatastructure_a5_spark.functions.hashing import normalized_text
 
+    # materialize the normalization ONCE, then the token split ONCE, and
+    # derive every downstream signal from the materialized columns — a
+    # naive token_count(text)/md5_fingerprint(text) here would re-run
+    # the normalization regex several more times per row, the exact
+    # expression-duplication cost quality_score's docstring measures
     with_scores = with_lang_scores(
         df.select(
             F.col(id_col),
             F.col(text_col),
-            tokens(text_col).alias("__toks"),
+            normalized_text(text_col).alias("__norm"),
+        ).select(
+            F.col(id_col),
+            F.col(text_col),
+            "__norm",
+            F.split(F.col("__norm"), " ").alias("__toks"),
         ),
         text_col,
         toks_col="__toks",
@@ -412,9 +418,14 @@ def document_report(
     for lang in STOPWORDS:
         c = F.col(f"sc_{lang}")
         stop_hits = c if stop_hits is None else stop_hits + c
+    n_tokens = (
+        F.when(F.col("__norm") == "", F.lit(0))
+        .otherwise(F.size("__toks"))
+        .cast("bigint")
+    )
     return with_scores.select(
         id_col,
-        token_count(text_col).alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
         F.length(text_col).cast("bigint").alias("n_chars"),
         quality_score(
             text_col, toks="__toks", stop_hits=stop_hits
@@ -430,7 +441,9 @@ def document_report(
         pii_counts(text_col, "email").alias("n_email"),
         pii_counts(text_col, "ipv4").alias("n_ipv4"),
         pii_counts(text_col, "phone").alias("n_phone"),
-        md5_fingerprint(text_col).alias("fingerprint"),
+        # md5_fingerprint(text) == md5 of the NORMALIZED text — reuse
+        # the materialized column instead of re-normalizing
+        F.md5(F.col("__norm")).alias("fingerprint"),
     )
 
 
@@ -444,7 +457,14 @@ def document_report(
 PII_PATTERNS: dict[str, str] = {
     "email": r"(?i)\b[a-z0-9][a-z0-9._%+-]*@[a-z0-9][a-z0-9.-]*\.[a-z]{2,}\b",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    "phone": r"\+?\d[\d()\s.-]{6,}\d",
+    # shaped groups (cc? NXX NXX XX-XXXXXX), not "digits and separators":
+    # a free [\d\s.-]+ class redacts year lists and numeric table columns
+    # wholesale ('2020 2021 2022 2023' -> one <PHONE>); the grouped form
+    # keeps those while matching +1 (555) 123-4567 / 555-123-4567 /
+    # 1234567890.  Known miss: 2-4-4 groupings (+44 20 7946 0958) — the
+    # precision/recall trade is documented, extend the alternation per
+    # deployment locale.
+    "phone": r"\+?\d{0,3}[\s.-]?\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{2,6}",
 }
 
 
@@ -465,10 +485,21 @@ def redact_pii(text_col: Column | str, kinds: list[str] | None = None) -> Column
 def pii_counts(text_col: Column | str, kind: str) -> Column:
     """Match count for one PII kind — the audit column next to the
     redaction (how much PII a source carries is itself a curation
-    signal).  ``size(regexp_extract_all(...))`` in Spark ==
+    signal).
+
+    Counted on the text with every EARLIER kind (PII_PATTERNS order)
+    already redacted, so the counts agree with what ``redact_pii``
+    actually replaces: on raw text the phone pattern also matches the
+    digit runs inside emails and IPv4s, and the audit would overstate
+    phone PII on exactly the documents the redaction order protects.
+    ``size(regexp_extract_all(...))`` in Spark ==
     ``LEN(REGEXP_EXTRACT_ALL(...))`` in DuckDB for every pattern in the
     common dialect; bigint for the schema gate."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    kinds = list(PII_PATTERNS)
+    prior = kinds[: kinds.index(kind)]
+    c = redact_pii(text_col, kinds=prior) if prior else (
+        F.col(text_col) if isinstance(text_col, str) else text_col
+    )
     return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), 0)).cast(
         "bigint"
     )

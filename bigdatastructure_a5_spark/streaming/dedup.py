@@ -132,10 +132,21 @@ def process_batch(
         tracker=tracked,
     ).select(F.col("id_b").alias("id"))
 
-    # (2) + (3) cross-batch: stored bands -> candidates -> exact verify
+    # (2) + (3) cross-batch: stored bands -> candidates -> exact verify.
+    # First-batch probe via a Spark-side read attempt, not a local
+    # Path.exists(): on a cluster the state dir is an hdfs://'/s3:// path
+    # the driver's filesystem cannot see — a local probe would stay False
+    # forever and every batch would skip the cross-batch check (silently
+    # missed duplicates).
+    from pyspark.errors import AnalysisException
+
     cross = None
-    if Path(bands_dir).exists():
+    stored_bands = None
+    try:
         stored_bands = spark.read.parquet(bands_dir)
+    except AnalysisException:
+        pass
+    if stored_bands is not None:
         if state_buckets is not None:
             # prune the store read to buckets the batch actually touches
             batch_buckets = [

@@ -60,11 +60,20 @@ def _carry_path(state_dir: str) -> str:
 def read_carry(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Current per-shard carry: ``(shard, base)`` — the sum of every
     batch's appended token totals, deduplicated by (shard, batch_id) so
-    a retried batch's re-append replaces rather than double-counts."""
+    a retried batch's re-append replaces rather than double-counts.
+
+    The first-batch probe is a Spark-side read attempt, NOT a local
+    ``Path.exists()``: the state dir is a Spark path (hdfs://, s3://...)
+    that the driver's local filesystem cannot see — a local probe would
+    return False forever on a cluster and every batch would silently
+    pack from base 0 (overlapping chunk ids, corrupted offsets)."""
+    from pyspark.errors import AnalysisException
+
     path = _carry_path(state_dir)
-    if not Path(path).exists():
+    try:
+        rows = spark.read.parquet(path)
+    except AnalysisException:
         return None
-    rows = spark.read.parquet(path)
     # last write wins per (shard, batch_id): retries re-append the same
     # totals; max() collapses them (totals for a given batch are
     # deterministic, so any copy is the right one)
@@ -80,7 +89,7 @@ def pack_batch(
     state_dir: str,
     out_dir: str,
     chunk_tokens: int,
-    batch_id: int = 0,
+    batch_id: int,
     n_tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     shard_col: str = "shard",
@@ -92,6 +101,13 @@ def pack_batch(
     shape as ``concat_and_chunk`` with a mandatory shard column (an
     unsharded incremental packer would serialize every batch through
     one window partition AND one global carry; shard first, always).
+
+    ``batch_id`` is REQUIRED and must be unique per distinct batch (the
+    streaming writer passes foreachBatch's): the carry store dedups on
+    (shard, batch_id) to absorb retries, so two DIFFERENT batches
+    sharing an id would collapse to one carry entry — later batches
+    would pack at stale offsets, silently overlapping already-emitted
+    chunks.  A backfill loop must number its batches.
     """
     carry = read_carry(spark, state_dir)
     if carry is not None:

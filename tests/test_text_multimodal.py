@@ -635,6 +635,7 @@ def test_pii_redaction_and_counts_cross_engine(spark):
         (2, "digits 12345 are fine, 1234567890 is a phone-shaped run"),
         (3, "no pii at all here"),
         (4, None),
+        (5, "results: 2020 2021 2022 2023 and v1.2.3 stay intact"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {
@@ -654,15 +655,27 @@ def test_pii_redaction_and_counts_cross_engine(spark):
     assert "12345 are fine" in got[2][0] and "<PHONE>" in got[2][0]
     assert got[3][0] == rows[3][1]
     assert got[4] == (None, None, None, None)
-    # count parity vs DuckDB on the same patterns
+    # grouped phone shape: year lists and version strings stay intact
+    assert got[5][0] == rows[5][1] and got[5][3] == 0
+    # counts agree with the redaction order: the IPs do NOT also count
+    # as phones, the email's digits do not feed the phone pattern
+    assert got[1][3] == 0 and got[0][3] == 1
+    # count parity vs DuckDB: same patterns, same prior-kind redaction
     con = duckdb.connect()
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    kinds = list(PII_PATTERNS)
     for kind, col_ix in (("email", 1), ("ipv4", 2), ("phone", 3)):
+        expr = "text"
+        for prior in kinds[: kinds.index(kind)]:
+            expr = (
+                f"REGEXP_REPLACE({expr}, '{PII_PATTERNS[prior]}', "
+                f"'<{prior.upper()}>', 'g')"
+            )
         want = {
             r[0]: r[1]
             for r in con.execute(
-                "SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL(text, ?)) "
+                f"SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL({expr}, ?)) "
                 "AS BIGINT) FROM d",
                 [PII_PATTERNS[kind]],
             ).fetchall()

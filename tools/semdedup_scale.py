@@ -67,7 +67,11 @@ def measure(spark, copy_points) -> list[str]:
                 fit_centroids_sample(emb, n_centroids=n_cells)
             )
         ]
-        celled = with_ivf_cells(emb, cents)
+        # method='blas' explicitly: the 4-probe path uses BLAS tie rules,
+        # and the SQL argmax (auto picks it at <= 32 cells) can flip an
+        # assignment on a float-noise tie — the monotonicity assertion
+        # below requires both paths to share tie behavior
+        celled = with_ivf_cells(emb, cents, method="blas")
         within = {
             (r.id_a, r.id_b)
             for r in cosine_pairs_in_cells(

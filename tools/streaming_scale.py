@@ -230,7 +230,9 @@ def run_join_microbatched(
     return summarize_progress("amortization", caps, wall, out_rows)
 
 
-def amortization_rows(spark, copies: int = 100, n_files: int = 10) -> list[str]:
+def amortization_rows(
+    spark, copies: int = 100, n_files: int = 10
+) -> tuple[list[str], dict[str, float]]:
     """§13b (VERDICT r8 item 6): per-batch wall AFTER the first batch,
     both providers — is RocksDB's one-shot ~5x wall penalty setup cost
     (amortized by a long-running job) or per-batch write amplification?"""
