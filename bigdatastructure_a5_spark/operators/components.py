@@ -34,6 +34,9 @@ materialized blocks each round, which is how every iterative-on-Spark
 system (GraphX/GraphFrames included) bounds plan growth; the trade —
 checkpoint blocks are executor-local and a lost executor kills the job
 rather than recomputing — is the standard one for short iterative jobs.
+For long production runs pass ``checkpoint_dir`` (a shared-filesystem
+path): every round then uses RELIABLE ``.checkpoint()`` and survives
+executor loss, at the cost of one distributed write per round.
 """
 
 from __future__ import annotations
@@ -50,6 +53,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 25,
     rounds: list | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every vertex appearing in ``pairs``;
     ``component`` is the MIN vertex id of the connected component —
@@ -69,7 +73,26 @@ def connected_components(
     ``rounds``, if given, receives the number of propagation rounds run
     to the fixpoint (including the final no-change confirmation round) —
     the diagnostic EXPERIMENTS §18 reports.
+
+    ``checkpoint_dir`` selects the lineage-truncation mode.  ``None``
+    (default) uses ``localCheckpoint`` — blocks live on executors, the
+    right trade for short local/test runs.  A path (hdfs://, s3a://...)
+    switches every round to RELIABLE ``.checkpoint()`` via
+    ``setCheckpointDir``: blocks live on the shared filesystem, so a
+    lost executor recomputes from the last checkpoint instead of
+    killing a long CC job — the production-cluster mode (VERDICT r10
+    item 5).  Labels are identical under both modes (pytest-pinned);
+    only durability and per-round write cost differ.
     """
+
+    def truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=True)
+
+    if checkpoint_dir is not None:
+        sc = pairs.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
     e = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -77,11 +100,10 @@ def connected_components(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     sym = persist_df(sym)
-    labels = (
+    labels = truncate(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     try:
         for it in range(max_iterations):
@@ -96,19 +118,18 @@ def connected_components(
                 .agg(F.min("bcomp").alias("nmin"))
                 .select(F.col("a").alias("id"), "nmin")
             )
-            # localCheckpoint, not persist: truncate the lineage so the
-            # next round's plan starts from materialized blocks (module
-            # docstring — persisted-only iteration OOMs the driver in
-            # plan stringification)
-            new_labels = (
-                labels.join(nbr_min, "id", "left")
-                .select(
+            # checkpoint (local or reliable — see checkpoint_dir), not
+            # persist: truncate the lineage so the next round's plan
+            # starts from materialized blocks (module docstring —
+            # persisted-only iteration OOMs the driver in plan
+            # stringification)
+            new_labels = truncate(
+                labels.join(nbr_min, "id", "left").select(
                     "id",
                     F.least(
                         F.col("comp"), F.coalesce("nmin", F.col("comp"))
                     ).alias("comp"),
                 )
-                .localCheckpoint(eager=True)
             )
             changed = (
                 labels.select("id", F.col("comp").alias("old"))

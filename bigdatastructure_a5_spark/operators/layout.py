@@ -37,7 +37,7 @@ ZORDER_BITS = 16
 
 
 def scale_to_rank(
-    col: Column, lo: float, hi: float, bits: int = ZORDER_BITS
+    col: Column, lo: float | int, hi: float | int, bits: int = ZORDER_BITS
 ) -> Column:
     """Min/max-scale a numeric column to an integer rank in [0, 2^bits):
     the per-column input to the Morton interleave.  ``lo``/``hi`` are the
@@ -46,15 +46,29 @@ def scale_to_rank(
     the IVF cell assignment).  NULLs rank 0 (they cluster together at
     the low end, which is exactly what a pruning layout wants).
 
+    When BOTH bounds are Python ints the shift ``col - lo`` happens in
+    EXACT bigint arithmetic before the (lossy) double cast.  This is
+    load-bearing for ``string_surrogate`` values: they sit near 2^62,
+    where a double's ULP is 1024 — casting first would erase the low ~10
+    bits (the folded chars 8-9), collapsing strings that differ only
+    there onto one rank (ADVICE r10).  The post-subtraction span is
+    small whenever the strings share a prefix — exactly the case where
+    those low bits carry all the signal.
+
     A degenerate column (lo == hi) ranks 0 everywhere instead of
     dividing by zero."""
-    span = float(hi) - float(lo)
-    if span <= 0:
+    if float(hi) - float(lo) <= 0:
         return F.lit(0).cast("bigint")
     max_rank = (1 << bits) - 1
-    scaled = F.floor(
-        (col.cast("double") - F.lit(float(lo))) / F.lit(span) * max_rank
-    ).cast("bigint")
+    if isinstance(lo, int) and isinstance(hi, int):
+        span = float(hi - lo)  # exact int subtraction, then one rounding
+        shifted = (col.cast("bigint") - F.lit(lo).cast("bigint")).cast(
+            "double"
+        )
+    else:
+        span = float(hi) - float(lo)
+        shifted = col.cast("double") - F.lit(float(lo))
+    scaled = F.floor(shifted / F.lit(span) * max_rank).cast("bigint")
     # clamp: float rounding at the top edge can land exactly on 2^bits
     return F.coalesce(
         F.least(F.greatest(scaled, F.lit(0)), F.lit(max_rank)),
@@ -76,9 +90,12 @@ def string_surrogate(
     7 bits fits the signed 64-bit key and keeps exact order through
     codepoint 126 — i.e. exact for ASCII, which is what categorical keys
     overwhelmingly are (measured on 'Brand#NN': 7x9 saw only the first
-    digit, 9x7 separates all 25 brands); non-ASCII codepoints clamp to
-    127 (ties).  Empty/short strings pad with 0 ("ab" < "abc" holds);
-    NULL stays NULL (scale_to_rank ranks it 0).
+    digit, 9x7 separates all 25 brands — END-TO-END: the 9x7 surrogates
+    sit near 2^62 where double ULP is 1024, so the separation survives
+    ranking only because ``scale_to_rank`` shifts by the bigint minimum
+    BEFORE its double cast; pinned in test_layout); non-ASCII codepoints
+    clamp to 127 (ties).  Empty/short strings pad with 0 ("ab" < "abc"
+    holds); NULL stays NULL (scale_to_rank ranks it 0).
 
     This is the ZERO-JOB scale path for string Z-order keys: a pure
     rendered expression over any cardinality.  Its weakness is shared
@@ -260,7 +277,14 @@ def with_zorder_key(
             *[F.max(exprs[c]).alias(f"hi_{c}") for c in missing],
         ).first()
         for c in missing:
-            preset[c] = (float(agg[f"lo_{c}"]), float(agg[f"hi_{c}"]))
+            # keep integer bounds as Python ints: scale_to_rank then does
+            # the col - lo shift in exact bigint arithmetic (critical for
+            # string surrogates near 2^62, where double ULP is 1024)
+            lo_v, hi_v = agg[f"lo_{c}"], agg[f"hi_{c}"]
+            if isinstance(lo_v, int) and isinstance(hi_v, int):
+                preset[c] = (lo_v, hi_v)
+            else:
+                preset[c] = (float(lo_v), float(hi_v))
     ranks = [
         scale_to_rank(exprs[c], preset[c][0], preset[c][1], bits)
         for c in cols

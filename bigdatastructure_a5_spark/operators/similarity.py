@@ -214,8 +214,15 @@ def with_ivf_cells_probed(
     a second (third, ...) chance at ~n_probe x the scoring work.  Same
     BLAS shape and tie rules as the single-cell path (stable argsort —
     ties break toward the smaller cell id, matching argmax-first);
-    ``n_probe=1`` reproduces ``with_ivf_cells(method='blas')`` exactly,
-    pinned in pytest."""
+    ``n_probe=1`` reproduces ``with_ivf_cells(method='blas')`` exactly
+    on well-formed vectors, pinned in pytest.
+
+    NULL or wrong-dimension vectors get an EMPTY cell array (the explode
+    drops them): they cannot score a meaningful cosine anyway, and
+    zero-filling them instead would argsort all-zero scores — piling
+    every malformed vector into the n_probe smallest cell ids, inflating
+    those cells' O(members^2) work, and (for wrong-length vectors)
+    crashing the cell scorer's np.stack (ADVICE r10)."""
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     ranked = sorted(centroids, key=lambda t: int(t[0]))
@@ -233,14 +240,19 @@ def with_ivf_cells_probed(
     def _cells(vecs: pd.Series) -> pd.Series:
         b_cids, b_cmat, b_scale, b_degen, b_p = bc.value
         mat = np.zeros((len(vecs), b_cmat.shape[1]), dtype=np.float64)
+        valid = np.zeros(len(vecs), dtype=bool)
         for i, v in enumerate(vecs):
             if v is not None and len(v) == b_cmat.shape[1]:
                 mat[i] = v
+                valid[i] = True
         scores = (mat @ b_cmat.T) * b_scale
         scores[:, b_degen] = -np.inf
         order = np.argsort(-scores, axis=1, kind="stable")[:, :b_p]
         return pd.Series(
-            [b_cids[row].astype("int32").tolist() for row in order]
+            [
+                b_cids[row].astype("int32").tolist() if ok else []
+                for row, ok in zip(order, valid)
+            ]
         )
 
     return df.withColumn(cell_col, F.explode(_cells(F.col(vec_col))))

@@ -143,10 +143,11 @@ _PACK_ORACLE = """
       FROM p
     )
     SELECT shard, chunk_id, doc_id,
-           GREATEST(s, chunk_id * 512) - s AS slice_start,
-           LEAST(e, (chunk_id + 1) * 512)
-             - GREATEST(s, chunk_id * 512) AS slice_len,
-           GREATEST(s, chunk_id * 512) - chunk_id * 512 AS chunk_offset
+           CAST(GREATEST(s, chunk_id * 512) - s AS BIGINT) AS slice_start,
+           CAST(LEAST(e, (chunk_id + 1) * 512)
+             - GREATEST(s, chunk_id * 512) AS BIGINT) AS slice_len,
+           CAST(GREATEST(s, chunk_id * 512) - chunk_id * 512
+             AS BIGINT) AS chunk_offset
     FROM x
     """
 

@@ -137,15 +137,14 @@ def process_batch(
     # Path.exists(): on a cluster the state dir is an hdfs://'/s3:// path
     # the driver's filesystem cannot see — a local probe would stay False
     # forever and every batch would skip the cross-batch check (silently
-    # missed duplicates).
-    from pyspark.errors import AnalysisException
+    # missed duplicates).  Only PATH_NOT_FOUND means "first batch" —
+    # any other analysis failure (empty-but-existing dir, schema drift)
+    # re-raises rather than silently disabling cross-batch dedup forever
+    # (streaming/state.py; ADVICE r10).
+    from bigdatastructure_a5_spark.streaming.state import read_state_or_none
 
     cross = None
-    stored_bands = None
-    try:
-        stored_bands = spark.read.parquet(bands_dir)
-    except AnalysisException:
-        pass
+    stored_bands = read_state_or_none(spark, bands_dir)
     if stored_bands is not None:
         if state_buckets is not None:
             # prune the store read to buckets the batch actually touches

@@ -35,12 +35,17 @@ simply packs at the CURRENT end of its shard's stream (its id plays no
 role in its position; determinism then rests on arrival order, the same
 caveat as any at-ingest operator).
 
-Retry caveat (same contract as streaming/dedup.py): the two appends
-(geometry out, carry state) are idempotent-enough under foreachBatch
-retry only if the sink dir is per-batch-id committed; the state append
-carries ``batch_id`` so a retried batch OVERWRITES its own carry row
-rather than double-counting — the geometry append remains the
-production to-do (batch-id-suffixed files or a transactional format).
+Retry contract (pinned by tests/test_streaming_packing.py): a retried
+batch packs at the SAME base on every attempt, because the base is the
+carry summed over STRICTLY EARLIER batch_ids — a batch's own carry row
+(appended by a first attempt that crashed before the checkpoint commit)
+can never feed back into its base.  Retries therefore re-emit
+position-identical geometry rows (duplicates on the key columns,
+dedupable downstream), never WRONG positions; the state append carries
+``batch_id`` so a retried batch's carry re-append collapses rather than
+double-counts.  Exactly-once geometry output remains the production
+to-do (batch-id-suffixed files or a transactional format) — but the
+failure mode is duplicate rows, not corrupt offsets.
 """
 
 from __future__ import annotations
@@ -57,23 +62,40 @@ def _carry_path(state_dir: str) -> str:
     return str(Path(state_dir) / "carry")
 
 
-def read_carry(spark: SparkSession, state_dir: str) -> DataFrame | None:
+def read_carry(
+    spark: SparkSession,
+    state_dir: str,
+    before_batch_id: int | None = None,
+) -> DataFrame | None:
     """Current per-shard carry: ``(shard, base)`` — the sum of every
     batch's appended token totals, deduplicated by (shard, batch_id) so
     a retried batch's re-append replaces rather than double-counts.
+
+    ``before_batch_id`` restricts the sum to batches STRICTLY EARLIER —
+    the retry-safety keystone: batch N's base must be the same number on
+    every attempt, so it can never include batch N's own carry row.
+    Without the filter, a batch redelivered AFTER its first attempt
+    appended the carry (crash between foreachBatch return and checkpoint
+    commit) would pack at ``base + its own tokens`` — geometry at
+    positions overlapping the NEXT batch's chunks, silent stream
+    corruption (ADVICE r10 high).  ``pack_batch`` always passes it;
+    ``None`` (sum everything) is the read-the-final-state query shape.
 
     The first-batch probe is a Spark-side read attempt, NOT a local
     ``Path.exists()``: the state dir is a Spark path (hdfs://, s3://...)
     that the driver's local filesystem cannot see — a local probe would
     return False forever on a cluster and every batch would silently
-    pack from base 0 (overlapping chunk ids, corrupted offsets)."""
-    from pyspark.errors import AnalysisException
+    pack from base 0 (overlapping chunk ids, corrupted offsets).  Only
+    PATH_NOT_FOUND means "first batch"; any other analysis failure
+    (empty-but-existing dir, schema drift) re-raises — see
+    streaming/state.py."""
+    from bigdatastructure_a5_spark.streaming.state import read_state_or_none
 
-    path = _carry_path(state_dir)
-    try:
-        rows = spark.read.parquet(path)
-    except AnalysisException:
+    rows = read_state_or_none(spark, _carry_path(state_dir))
+    if rows is None:
         return None
+    if before_batch_id is not None:
+        rows = rows.filter(F.col("batch_id") < F.lit(int(before_batch_id)))
     # last write wins per (shard, batch_id): retries re-append the same
     # totals; max() collapses them (totals for a given batch are
     # deterministic, so any copy is the right one)
@@ -109,7 +131,10 @@ def pack_batch(
     would pack at stale offsets, silently overlapping already-emitted
     chunks.  A backfill loop must number its batches.
     """
-    carry = read_carry(spark, state_dir)
+    # strictly-earlier batches only: the base is then a pure function of
+    # batch_id, identical on every retry attempt regardless of whether
+    # the first attempt already appended this batch's carry row
+    carry = read_carry(spark, state_dir, before_batch_id=batch_id)
     if carry is not None:
         withbase = batch.join(
             F.broadcast(carry.withColumnRenamed("shard", shard_col)),

@@ -53,6 +53,32 @@ def test_components_match_union_find(spark):
     assert _spark_cc(spark, edges) == _union_find(edges)
 
 
+def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    """``checkpoint_dir`` switches the per-round lineage truncation from
+    executor-local blocks to reliable ``.checkpoint()`` on a shared
+    path (the production mode: a lost executor recomputes instead of
+    killing the job — VERDICT r10 item 5).  Labels must be identical
+    under both modes, and the reliable run must actually write
+    checkpoint data under the given dir."""
+    import os
+
+    edges = [
+        (1, 2), (2, 3),
+        (10, 11), (11, 12), (10, 12),
+        (30, 31), (31, 32), (32, 33), (33, 34), (34, 35),
+    ]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    local = {r.id: r.comp for r in connected_components(df).collect()}
+    ckpt = str(tmp_path / "cc_ckpt")
+    reliable = {
+        r.id: r.comp
+        for r in connected_components(df, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable == local == _union_find(edges)
+    wrote = any(files for _, _, files in os.walk(ckpt))
+    assert wrote, "reliable mode must write checkpoint blocks to the dir"
+
+
 def test_components_match_duckdb_recursive_cte(spark):
     """Cross-engine: the min label per component equals DuckDB's
     transitive closure (WITH RECURSIVE reachability + MIN) on the same

@@ -1022,3 +1022,59 @@ def test_multi_probe_cells_raise_within_cell_recall(spark, sf_dir):
     assert p1 <= p3 <= p8 <= want
     assert len(p3) > len(p1)
     assert p8 == want  # probing every one of the 8 cells is exhaustive
+
+
+def test_probed_cells_drop_malformed_vectors(spark, sf_dir):
+    """ADVICE r10: NULL / wrong-dimension vectors must get NO probed
+    cells (empty array, dropped by the explode) — zero-filling them
+    would pile every malformed vector into the smallest cell ids
+    (inflating those cells' O(members^2) work) and a wrong-length
+    vector reaching the cell scorer crashes its np.stack.  The pair
+    set over a corrupted corpus must equal the clean corpus's."""
+    from bigdatastructure_a5_spark.operators.similarity import (
+        cosine_pairs_in_cells,
+        fit_centroids_sample,
+        with_ivf_cells_probed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = [
+        (i, c.tolist())
+        for i, c in enumerate(
+            fit_centroids_sample(emb, n_centroids=4, sample_rows=256)
+        )
+    ]
+    bad = spark.createDataFrame(
+        [
+            (10_000_001, None),
+            (10_000_002, [0.5] * (dim - 1)),  # wrong dimension
+            (10_000_003, [0.5] * (dim + 3)),
+        ],
+        f"vec_id bigint, embedding array<double>",
+    )
+    corrupted = emb.select("vec_id", "embedding").unionByName(bad)
+
+    celled_bad = with_ivf_cells_probed(corrupted, cents, n_probe=2)
+    # malformed ids were assigned no cell at all
+    assert (
+        celled_bad.filter(F.col("vec_id") >= 10_000_000).count() == 0
+    )
+    tracked: list = []
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_in_cells(
+            celled_bad, threshold=0.45, tracker=tracked
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_in_cells(
+            with_ivf_cells_probed(emb, cents, n_probe=2),
+            threshold=0.45,
+            tracker=tracked,
+        ).collect()
+    }
+    for df in tracked:
+        df.unpersist()
+    assert got == want and len(got) > 0

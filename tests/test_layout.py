@@ -191,6 +191,42 @@ def test_string_surrogate_is_order_preserving(spark):
     assert k["sameprefix-1"] == k["sameprefix-2"]  # differ past the fold
 
 
+def test_surrogate_ranks_survive_double_ulp(spark):
+    """ADVICE r10: surrogates sit near 2^62 where double ULP is 1024 —
+    ranking must shift by the exact bigint minimum BEFORE the double
+    cast or strings differing only in folded chars 8-9 collapse (the 25
+    Brand#NN values used to map to only 10 ranks).  End-to-end through
+    scale_to_rank with the agg-computed integer bounds, all 25 brands
+    must hold distinct ranks."""
+    from bigdatastructure_a5_spark.operators.layout import (
+        scale_to_rank,
+        string_surrogate,
+    )
+
+    brands = [f"Brand#{a}{b}" for a in "12345" for b in "12345"]
+    df = spark.createDataFrame([(v,) for v in brands], "s string")
+    keyed = df.select("s", string_surrogate(F.col("s")).alias("k"))
+    agg = keyed.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).first()
+    assert isinstance(agg.lo, int) and agg.lo.bit_length() >= 60
+    ranks = {
+        r.rank
+        for r in keyed.select(
+            scale_to_rank(F.col("k"), agg.lo, agg.hi).alias("rank")
+        ).collect()
+    }
+    assert len(ranks) == 25, f"expected 25 distinct ranks, got {len(ranks)}"
+    # float bounds take the legacy (lossy) path — documents the contrast
+    lossy = {
+        r.rank
+        for r in keyed.select(
+            scale_to_rank(F.col("k"), float(agg.lo), float(agg.hi)).alias(
+                "rank"
+            )
+        ).collect()
+    }
+    assert len(lossy) < 25
+
+
 def test_zorder_prunes_string_dimension(spark, tmp_path):
     """The VERDICT r9 item 4 case: a (brand-like string, numeric) 2-D box
     must prune on BOTH dimensions under a string Z-order key — strictly

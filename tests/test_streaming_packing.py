@@ -101,16 +101,90 @@ def test_carry_accumulates_per_shard(spark, tmp_path):
 def test_retried_batch_does_not_double_count_carry(spark, tmp_path):
     """foreachBatch retries re-run the same batch_id: the carry store
     dedups on (shard, batch_id), so a replayed state append leaves the
-    carry unchanged (the geometry append is the documented per-batch-id
-    commit to-do, same contract as streaming/dedup.py)."""
+    carry unchanged — AND the re-emitted geometry is position-identical
+    (the retry packs at the same base even though the first attempt
+    already appended this batch's carry row; ADVICE r10 high).  The
+    worst case is crash between foreachBatch return and checkpoint
+    commit: geometry written, carry written, batch redelivered whole."""
     state, out = str(tmp_path / "state3"), str(tmp_path / "out3")
     b1 = spark.createDataFrame([(0, 0, 5), (1, 1, 7)], SCHEMA)
     pack_batch(spark, b1, state, out, L, batch_id=0)
+    first = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     pack_batch(spark, b1, state, out, L, batch_id=0)  # retry
     carry = {
         r.shard: r.base for r in read_carry(spark, state).collect()
     }
     assert carry == {0: 5, 1: 7}
+    # geometry: every retried row is an exact duplicate of a first-attempt
+    # row — same positions, never shifted by the batch's own carry
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert after == sorted(first * 2)
+    assert sorted(set(after)) == first == _batch_geo(spark, b1)
+    # and a FOLLOWING batch still packs at the correct (single-count) base
+    b2 = spark.createDataFrame([(2, 0, 4)], SCHEMA)
+    pack_batch(spark, b2, state, out, L, batch_id=1)
+    doc2 = [
+        r
+        for r in spark.read.parquet(out).collect()
+        if r.doc_id == 2
+    ]
+    assert [(r.chunk_id, r.chunk_offset) for r in doc2] == [(0, 5)]
+
+
+def test_crash_between_geometry_and_carry_is_retry_safe(spark, tmp_path):
+    """Crash BETWEEN the two sinks (geometry appended, carry not yet —
+    the write order pack_batch guarantees): the retry re-packs at the
+    same base, appending position-identical duplicates, and the final
+    deduplicated geometry equals the batch packer's output.  This is
+    why geometry-before-carry is the safe order — carry-first would
+    shift the retry by the batch's own tokens (VERDICT r10 item 8)."""
+    state, out = str(tmp_path / "state5"), str(tmp_path / "out5")
+    b1 = spark.createDataFrame([(0, 0, 5), (1, 1, 7)], SCHEMA)
+    pack_batch(spark, b1, state, out, L, batch_id=0)
+    b2 = spark.createDataFrame([(2, 0, L + 3), (3, 1, 2)], SCHEMA)
+
+    # first attempt of batch 1 crashes after the geometry append, before
+    # the carry append: replicate exactly the geometry half of pack_batch
+    carry = read_carry(spark, state, before_batch_id=1)
+    withbase = b2.join(
+        F.broadcast(carry.withColumnRenamed("shard", "shard")),
+        on=["shard"],
+        how="left",
+    )
+    concat_and_chunk(
+        withbase, L, shard_col="shard", base_col="base"
+    ).write.mode("append").parquet(out)
+
+    # redelivery: the full body runs again with the same batch_id
+    pack_batch(spark, b2, state, out, L, batch_id=1)
+
+    rows = [tuple(r) for r in spark.read.parquet(out).collect()]
+    b2_rows = [r for r in rows if r[2] in (2, 3)]  # col 2 = doc_id
+    # every batch-1 row appears exactly twice, at identical positions
+    from collections import Counter
+
+    assert set(Counter(map(tuple, b2_rows)).values()) == {2}
+    # deduplicated stream == the batch packer over the whole corpus
+    both = _docs(spark, [5, 7, L + 3, 2], shards=[0, 1, 0, 1])
+    assert sorted(set(map(tuple, rows))) == _batch_geo(spark, both)
+    # carry is single-counted
+    carry2 = {r.shard: r.base for r in read_carry(spark, state).collect()}
+    assert carry2 == {0: 5 + L + 3, 1: 9}
+
+
+def test_existing_but_unreadable_state_dir_raises(spark, tmp_path):
+    """A state dir that EXISTS but fails analysis (empty dir — 'unable
+    to infer schema') must raise, not masquerade as first-batch: packing
+    from base 0 over real prior state silently overlaps chunk ids
+    (ADVICE r10).  A genuinely missing path still means first batch."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    state = tmp_path / "state6"
+    assert read_carry(spark, str(state)) is None  # missing -> first batch
+    (state / "carry").mkdir(parents=True)  # exists, no parquet inside
+    with pytest.raises(AnalysisException):
+        read_carry(spark, str(state))
 
 
 def test_new_shard_mid_stream_starts_at_zero(spark, tmp_path):

@@ -214,11 +214,23 @@ def main() -> int:
     print_lock = threading.Lock()
     failures = []
 
-    def _kind(t: str) -> str:
+    def _kind(t: str, duck: bool = False) -> str:
         # dtype kinds must align too (the driver checks schema, not just
-        # names): compare via arrow-ish buckets int/float/str/ts/bool
+        # names): compare via arrow-ish buckets int/float/str/ts/bool.
+        # Oracle-side types Spark cannot emit (HUGEINT from SUM-window
+        # promotion, unsigned ints) are NOT bucketed — they FAIL, because
+        # the driver's value hash distinguishes the physical type even
+        # when the stringified values match (the pack_chunks r9/r10 red:
+        # two rounds invisible locally because hugeint bucketed to int).
         t = t.lower()
-        for k in ("int", "long", "short", "byte", "hugeint"):
+        if duck:
+            for bad in (
+                "uhugeint", "hugeint",
+                "utinyint", "usmallint", "uinteger", "ubigint",
+            ):
+                if bad in t:
+                    return f"non-spark-native({bad})"
+        for k in ("int", "long", "short", "byte"):
             if k in t:
                 return "int"
         for k in ("double", "float", "decimal", "real"):
@@ -275,7 +287,7 @@ def main() -> int:
             problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
         else:
             s_types = {c: _kind(t) for c, t in sdf.dtypes}
-            d_types = {c: _kind(t) for c, t in zip(d_cols, d_typestrs)}
+            d_types = {c: _kind(t, duck=True) for c, t in zip(d_cols, d_typestrs)}
             for c in s_types:
                 if s_types[c] != d_types.get(c, s_types[c]):
                     problems.append(
