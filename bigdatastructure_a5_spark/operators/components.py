@@ -68,7 +68,11 @@ def connected_components(
     ``max_iterations`` (= the graph diameter exceeded it): near-dup
     graphs converge in a handful of rounds, so hitting the guard means
     the input is not a dedup graph — raise the cap for long-chain
-    graphs, or pre-contract with star steps.
+    graphs, or pre-contract with star steps.  Measured (EXPERIMENTS
+    §18 deep-chain table): rounds = min-id eccentricity + 1 — a chain
+    of L bridged 5-cliques takes exactly 2L rounds (2/8/16/32 for
+    L=1/4/8/16), so the default cap of 25 covers diameter <= ~24;
+    dedup quasi-cliques converge in 2 at every measured scale.
 
     ``rounds``, if given, receives the number of propagation rounds run
     to the fixpoint (including the final no-change confirmation round) —

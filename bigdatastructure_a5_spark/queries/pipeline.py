@@ -67,9 +67,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_fingerprint",
-    oracle=f"""
+#: text_fingerprint's oracle, kept importable for its engine-vs-oracle
+#: pytest twin (tests/test_tools.py) after the r11 registry rotation:
+#: its slot went to ``document_report``, which carries the md5
+#: fingerprint column (and the full fused text-signal surface); the
+#: rolling hash stays cross-engine-checked via the pytest twin.
+TEXT_FINGERPRINT_ORACLE = f"""
     SELECT doc_id,
            MD5({_NORM_SQL}) AS fingerprint,
            LIST_REDUCE(
@@ -80,16 +83,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              (a, b) -> (a * 131 + b) % 2147483647
            ) AS rolling_fp
     FROM documents
-    """,
-    tags=("ext:text",),
-)
+    """
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both per-document content fingerprints in one pass: md5 of the
     normalized text (order-insensitive-of-position content hash, identical
     hex on every engine) and the order-sensitive polynomial rolling hash
     (streaming-friendly char-level fold, bit-identical via DuckDB
     list_reduce).  One scan, two projections — cheaper than two queries,
-    and both hashes stay oracle-checked."""
+    and both hashes stay oracle-checked (pytest twin post-r11-rotation)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -411,9 +414,13 @@ def decontam_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(matches, tracked)
 
 
-@query(
-    "neardup_embedding_cosine",
-    oracle="""
+#: neardup_embedding_cosine's oracle, kept importable for its
+#: engine-vs-oracle pytest twin (tests/test_tools.py) after the r11
+#: rotation: its slot went to ``dedup_semantic``, which shares the SAME
+#: exact cosine refine expression (the within-cell pair set is a strict
+#: subset of this all-pairs answer) — the Arrow tile scorer stays
+#: cross-engine-checked via the pytest twin.
+NEARDUP_EMBEDDING_ORACLE = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     )
@@ -421,16 +428,77 @@ def decontam_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
            LIST_COSINE_SIMILARITY(a.emb, b.emb) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE LIST_COSINE_SIMILARITY(a.emb, b.emb) >= 0.45
-    """,
-    tags=("ext:similarity",),
-)
+    """
+
+
 def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup pairs (cosine >= 0.45), exact all-pairs
     baseline.  Both engines fold the 64-dim dot product sequentially in
     double precision, so values are bit-identical (verified) and the oracle
-    hash-matches without rounding."""
+    hash-matches without rounding (pytest twin post-r11-rotation)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, threshold=0.45)
+
+
+@query(
+    "dedup_semantic",
+    # DuckDB twin of cosine_pairs_in_cells over the deterministic
+    # seed-point codebook (8 lowest-id vectors): cell = argmax cosine
+    # (ties to smallest cid) via a window — the same assignment rule as
+    # sim_ann_ivf's oracle — then EXACT all-pairs restricted to same-cell
+    # pairs.  The cosine fold is bit-identical across engines (proven by
+    # the bruteforce/ann oracles), so the within-cell pair set and its
+    # cosine values hash-match without rounding.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT 8),
+    celled AS (
+      SELECT e.vec_id, e.emb, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY LIST_COSINE_SIMILARITY(e.emb, c.cemb) DESC, c.cid
+             ) AS rn
+      FROM e CROSS JOIN cent c
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           LIST_COSINE_SIMILARITY(a.emb, b.emb) AS cosine
+    FROM (SELECT vec_id, emb, cid FROM celled WHERE rn = 1) a
+    JOIN (SELECT vec_id, emb, cid FROM celled WHERE rn = 1) b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE LIST_COSINE_SIMILARITY(a.emb, b.emb) >= 0.45
+    """,
+    tags=("ext:similarity", "ext:dedup"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    ``cosine_pairs_in_cells``): exact cosine pairs computed ONLY within
+    IVF cells — the dedup tier that scales O(n^1.5) where all-pairs is
+    O(n^2) (Abbas et al. 2023, dedup inside k-means clusters).  Gate
+    form: deterministic 8-seed codebook (the 8 lowest-id vectors), cell
+    assignment as the rendered-SQL argmax (bit-exact vs the oracle's
+    window), Arrow-batched within-cell scoring, exact refine.  Every
+    emitted pair is exact; recall vs all-pairs is the documented
+    boundary-straddle trade (7/14 pairs on this fixture — raise with
+    with_ivf_cells_probed, EXPERIMENTS §19)."""
+    from bigdatastructure_a5_spark.operators.similarity import (
+        cosine_pairs_in_cells,
+        with_ivf_cells,
+    )
+    from bigdatastructure_a5_spark.session import materialize_release
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = _head_vectors(spark, sf_dir, 8)
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding]) for r in head
+    ]
+    celled = with_ivf_cells(emb, cents, "embedding", "__cell", method="sql")
+    tracked: list = []
+    pairs = cosine_pairs_in_cells(
+        celled, threshold=0.45, cell_col="__cell", tracker=tracked
+    )
+    return materialize_release(pairs, tracked)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
@@ -690,18 +758,26 @@ _LANG_SCORES_SQL = f"""
 """
 
 
-@query(
-    "text_langid",
-    oracle=_LANG_SCORES_SQL
-    + """
-    SELECT doc_id,
+#: The argmax-with-earliest-language-tiebreak CASE over the sc_* marker
+#: counts — shared by the text_langid and document_report oracles so the
+#: two gates cannot drift.
+_LANGID_CASE_SQL = """
            CASE
              WHEN GREATEST(sc_en, sc_es, sc_de, sc_fr) = 0 THEN 'und'
              WHEN sc_en = GREATEST(sc_en, sc_es, sc_de, sc_fr) THEN 'en'
              WHEN sc_es = GREATEST(sc_es, sc_de, sc_fr) THEN 'es'
              WHEN sc_de = GREATEST(sc_de, sc_fr) THEN 'de'
              ELSE 'fr'
-           END AS detected_lang,
+           END
+"""
+
+
+@query(
+    "text_langid",
+    oracle=_LANG_SCORES_SQL
+    + f"""
+    SELECT doc_id,
+           {_LANGID_CASE_SQL} AS detected_lang,
            sc_en AS en_markers
     FROM s
     """,
@@ -814,6 +890,125 @@ def curriculum_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_bins(scored, n_bins=8).select(
         "doc_id", "lang", "quality", F.col("bin").cast("bigint").alias("bin")
     )
+
+
+def _pii_count_sql(kind: str) -> str:
+    """DuckDB twin of operators/text.pii_counts: count ``kind``'s matches
+    on text with every EARLIER pattern already redacted (the counts then
+    agree with what redact_pii actually replaces)."""
+    from bigdatastructure_a5_spark.operators.text import PII_PATTERNS
+
+    kinds = list(PII_PATTERNS)
+    expr = "text"
+    for prior in kinds[: kinds.index(kind)]:
+        expr = (
+            f"REGEXP_REPLACE({expr}, '{PII_PATTERNS[prior]}', "
+            f"'<{prior.upper()}>', 'g')"
+        )
+    return (
+        f"CAST(LEN(REGEXP_EXTRACT_ALL({expr}, "
+        f"'{PII_PATTERNS[kind]}')) AS BIGINT)"
+    )
+
+
+def _dup_frac_sql(sep_regex: str) -> str:
+    """DuckDB twin of operators/text.duplicate_line_fraction over one
+    separator regex: 1 - distinct/total over trimmed non-empty segments;
+    0.0 when no segments; NULL text falls through to NULL."""
+    lines = (
+        f"LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT_REGEX(text, "
+        f"'{sep_regex}'), x -> TRIM(x)), x -> x <> '')"
+    )
+    return f"""
+           CASE WHEN LEN({lines}) > 0
+                THEN 1.0 - CAST(LEN(LIST_DISTINCT({lines})) AS DOUBLE)
+                           / CAST(LEN({lines}) AS DOUBLE)
+                WHEN LEN({lines}) = 0 THEN CAST(0.0 AS DOUBLE)
+           END
+    """
+
+
+_DUP_LINE_SQL = _dup_frac_sql(r"\n")
+_DUP_PARA_SQL = _dup_frac_sql(r"\n\n+")
+
+
+#: DuckDB twin of operators/text.document_report — the per-signal parity
+#: SQL stitched into one SELECT: the _QUALITY_SQL and _LANGID_CASE_SQL
+#: constants shared with text_quality/text_langid (those gates cannot
+#: drift from this one), the repetition-filter SQL from the pytest
+#: parity twin, the PII prior-redaction counts, and MD5 of the shared
+#: normalization.  The top-2-gram share needs a GROUP BY (UNNEST replay
+#: of the engine's sorted run-length fold), so it lives in its own CTE
+#: and left-joins back (docs with < 2 tokens get 0.0, matching Spark).
+_DOCUMENT_REPORT_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_NORM_SQL} AS norm
+      FROM documents
+    ),
+    w0 AS (
+      SELECT doc_id, text, norm, STRING_SPLIT(norm, ' ') AS w FROM t
+    ),
+    s AS (
+      SELECT doc_id, text, norm, w,
+             {_in_list_sql('en')} AS sc_en,
+             {_in_list_sql('es')} AS sc_es,
+             {_in_list_sql('de')} AS sc_de,
+             {_in_list_sql('fr')} AS sc_fr
+      FROM w0
+    ),
+    g2 AS (
+      SELECT doc_id, MAX(cnt) * 2.0 / MAX(n_toks) AS share
+      FROM (
+        SELECT doc_id, n_toks, g, COUNT(*) AS cnt
+        FROM (
+          SELECT doc_id, LEN(w) AS n_toks,
+                 UNNEST([ARRAY_TO_STRING(w[i:i+1], ' ')
+                         FOR i IN GENERATE_SERIES(1, LEN(w) - 1)]) AS g
+          FROM w0 WHERE LEN(w) >= 2
+        ) GROUP BY doc_id, n_toks, g
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CASE WHEN norm = '' THEN CAST(0 AS BIGINT)
+                ELSE CAST(LEN(w) AS BIGINT) END AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           {_QUALITY_SQL}
+           AS quality,
+           {_LANGID_CASE_SQL} AS lang_id,
+           {_DUP_LINE_SQL} AS dup_line_frac,
+           {_DUP_PARA_SQL} AS dup_para_frac,
+           COALESCE(g2.share, CAST(0.0 AS DOUBLE)) AS top_2gram_share,
+           {_pii_count_sql('email')} AS n_email,
+           {_pii_count_sql('ipv4')} AS n_ipv4,
+           {_pii_count_sql('phone')} AS n_phone,
+           MD5(norm) AS fingerprint
+    FROM s LEFT JOIN g2 ON s.doc_id = g2.doc_id
+    """
+
+
+@query(
+    "document_report",
+    oracle=_DOCUMENT_REPORT_ORACLE,
+    tags=("ext:text",),
+)
+def document_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document text signal in ONE scan (operators/text.py
+    ``document_report``): token/char counts, composite quality, language
+    id, duplicate-line/paragraph fractions, top-2-gram share, PII audit
+    counts, content fingerprint — the fused projection a 100 TB curation
+    pass actually runs (the corpus scan IS the budget; computing each
+    signal in its own job pays it N times).  Zero exchanges, zero
+    Python, plan-pinned in pytest; this gate pins that the FUSION
+    preserves every column's exact semantics against the stitched
+    per-signal oracle SQL.  Fixture note: the driver corpus has no
+    newlines or PII strings, so dup fractions and PII counts gate at
+    their (exact) zero baselines here — their non-trivial values are
+    DuckDB-parity-pinned on synthetic docs in
+    tests/test_text_multimodal.py."""
+    from bigdatastructure_a5_spark.operators.text import document_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return document_report(docs)
 
 
 # ---------------------------------------------------------------------------

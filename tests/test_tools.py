@@ -735,3 +735,55 @@ def test_window_topn_per_group_matches_duckdb(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in con.sql(WINDOW_TOPN_ORACLE).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_text_fingerprint_matches_duckdb(spark, sf_dir):
+    """Both content fingerprints stay engine-vs-oracle checked after the
+    r11 rotation (the slot went to document_report, which carries the
+    md5 fingerprint column; the rolling polynomial hash is only checked
+    here)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.pipeline import (
+        TEXT_FINGERPRINT_ORACLE,
+        text_fingerprint,
+    )
+
+    got = sorted(
+        tuple(r) for r in text_fingerprint(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.sql(TEXT_FINGERPRINT_ORACLE).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_neardup_embedding_cosine_matches_duckdb(spark, sf_dir):
+    """The exact all-pairs cosine baseline (Arrow tile scorer) stays
+    engine-vs-oracle checked after the r11 rotation (its slot went to
+    dedup_semantic, whose within-cell pairs are a strict subset sharing
+    the same refine expression)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.pipeline import (
+        NEARDUP_EMBEDDING_ORACLE,
+        neardup_embedding_cosine,
+    )
+
+    got = sorted(
+        tuple(r) for r in neardup_embedding_cosine(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.sql(NEARDUP_EMBEDDING_ORACLE).fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -26,10 +26,11 @@ construction makes every document an N-way exact-duplicate group, so the
 registered oracles' shingle joins explode as copies^2 — the lifted oracle
 computes the base-level answer once and lifts it arithmetically, linear
 in the copy count, returning the identical rows (validated vs the full
-oracles at x10 by tests/test_tools.py).  `neardup_embedding_cosine` is
-not liftable (rotated copies change the fold order, breaking
-bit-exactness) and runs its registered all-pairs oracle in full — the
-same complexity class as the operator itself (exact all-pairs).
+oracles at x10 by tests/test_tools.py).  `dedup_semantic` (like the
+rotated-out `neardup_embedding_cosine` before it) is not liftable
+(rotated copies change the fold order, breaking bit-exactness) and runs
+its registered within-cell all-pairs oracle in full — the same
+complexity class as the operator itself.
 """
 
 from __future__ import annotations
@@ -71,8 +72,9 @@ def _canon_rows(cols, rows):
 #: doc sits in an N-way exact-dup group, so the registered oracle side
 #: alone is O(N^2) per group.  Checked in full at x10; above that the four
 #: text-family members run the exact LIFTED oracle (tools/lifted_oracles)
-#: instead, and neardup_embedding_cosine runs its registered oracle in
-#: full (exact all-pairs is the operator's own complexity class).
+#: instead, and dedup_semantic runs its registered oracle in full (the
+#: within-cell pair set inherits all-pairs' complexity class per cell;
+#: neardup_embedding_cosine moved to a pytest twin in the r11 rotation).
 #: Naming one of these explicitly on the command line FORCES the full
 #: registered oracle even above x10 (the escape hatch ADVICE r6 asked to
 #: restore) — expect quadratic oracle cost in that mode.
@@ -81,7 +83,7 @@ PAIR_ORACLE_QUERIES = {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "neardup_embedding_cosine",
+    "dedup_semantic",
     "pipeline_curation",
 }
 

@@ -76,6 +76,57 @@ def measure(spark, copy_points) -> list[str]:
     return rows
 
 
+def measure_deep_chains(
+    spark,
+    chain_cliques=(1, 4, 8, 16),
+    n_chains: int = 200,
+    k: int = 5,
+) -> list[str]:
+    """Deliberately DEEP graphs (VERDICT r10 item 7): chains of k-cliques
+    bridged end-to-end, so the diameter is ~2*L instead of the dedup
+    quasi-clique's ~2 — this measures the round-count sensitivity that
+    the xN table cannot (its diameter is flat by construction).  Rounds
+    for min-label propagation = the min-id vertex's eccentricity + 1
+    confirmation round, so the L rungs directly price max_iterations."""
+    import time as _time
+
+    from bigdatastructure_a5_spark.operators.components import (
+        connected_components,
+    )
+
+    rows = []
+    for L in chain_cliques:
+        edges = []
+        for c in range(n_chains):
+            base = c * 1_000_000
+            for i in range(L):
+                ids = [base + i * 100 + j for j in range(k)]
+                edges.extend(
+                    (ids[a], ids[b])
+                    for a in range(k)
+                    for b in range(a + 1, k)
+                )
+                if i:
+                    edges.append((base + (i - 1) * 100 + (k - 1), ids[0]))
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        n_vertices = n_chains * L * k
+        rounds: list = []
+        t0 = _time.perf_counter()
+        comp = connected_components(df, max_iterations=200, rounds=rounds)
+        n_clusters = comp.select("comp").distinct().count()
+        t_cc = _time.perf_counter() - t0
+        comp.unpersist()
+        assert n_clusters == n_chains, (L, n_clusters)
+        diameter = 2 * L - 1 if L > 1 else 1
+        rows.append(
+            f"| chain of {L} cliques (k={k}) x {n_chains} | "
+            f"{n_vertices:,} | {len(edges):,} | ~{diameter} | "
+            f"{rounds[0]} | {t_cc:.1f} |"
+        )
+        print(rows[-1])
+    return rows
+
+
 def main() -> None:
     from bigdatastructure_a5_spark.session import get_spark
 
@@ -87,6 +138,7 @@ def main() -> None:
     spark = get_spark("components-scale")
     spark.sparkContext.setLogLevel("ERROR")
     rows = measure(spark, copy_points)
+    deep_rows = measure_deep_chains(spark)
     section = "\n".join(
         [
             SECTION,
@@ -126,6 +178,28 @@ def main() -> None:
             "cliques, not longer paths — which is the",
             "premise for choosing diameter-bounded propagation over",
             "star-contraction in the first place.",
+            "",
+            "**Round-count sensitivity on deliberately DEEP graphs**",
+            "(`measure_deep_chains`): chains of 5-cliques bridged",
+            "end-to-end — diameter ~2L where the dedup quasi-clique's",
+            "is ~2 — so the round count (and max_iterations guidance)",
+            "is a measured number, not an assumption inherited from the",
+            "quasi-clique claim:",
+            "",
+            "| graph | vertices | edges | diameter | rounds | CC secs |",
+            "| --- | --- | --- | --- | --- | --- |",
+            *deep_rows,
+            "",
+            "Reading: rounds track the min-id vertex's eccentricity",
+            "(+1 confirmation) — linear in chain depth, flat in chain",
+            "COUNT (200 parallel chains converge simultaneously; each",
+            "round is one equi-join regardless of how many chains it",
+            "advances).  Guidance from the data: the default",
+            "max_iterations=25 covers diameter <= ~24 (every dedup",
+            "graph by a wide margin, and chains up to ~8 cliques);",
+            "deeper deliberately-chained graphs need the cap raised —",
+            "cost grows one join per extra diameter unit — or the",
+            "star-contraction escape the guard message names.",
         ]
     )
     path = REPO / "EXPERIMENTS.md"

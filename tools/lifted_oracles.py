@@ -31,7 +31,7 @@ corpus, an EXACT xN oracle whose cost is linear in the copy count:
 
 The lifted SQL is therefore O(base_pairs * copies^2) in OUTPUT (which is
 the true answer's size — the operator emits the same rows) but never joins
-anything larger than the base corpus.  `neardup_embedding_cosine` is NOT
+anything larger than the base corpus.  `dedup_semantic` is NOT
 liftable: scale_fixtures rotates each copy's vector (to avoid cosine
 ties), and a rotated dot product folds the same terms in a different
 order, so values are not bit-identical to any base-level computation — its

@@ -63,7 +63,7 @@ OUTPUT_QUADRATIC = {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "neardup_embedding_cosine",
+    "dedup_semantic",
     "pipeline_curation",
     # xN copies multiply BOTH slices, so the true cross-slice match set is
     # copies^2 (lifted_oracles._lift_decontam states the arithmetic)
