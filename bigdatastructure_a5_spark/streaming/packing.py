@@ -46,6 +46,16 @@ dedupable downstream), never WRONG positions; the state append carries
 double-counts.  Exactly-once geometry output remains the production
 to-do (batch-id-suffixed files or a transactional format) — but the
 failure mode is duplicate rows, not corrupt offsets.
+
+Incremental ASSEMBLY (``assemble_batch`` /
+``streaming_assembly_writer``) is the trainer-facing sibling: complete
+chunk TEXT at ingest.  Extra state beyond the carry is one
+partial-chunk TAIL per shard (< chunk_tokens tokens, latest-batch-wins
+parquet rows); each batch re-packs [tail + new docs] from the last
+chunk boundary and emits ONLY chunks that completed — fixed-size
+training examples by construction, straddling chunks emitted exactly
+once by the batch that completes them.  Same strictly-earlier-batch_id
+retry rule on both stores; same chunks-before-state write order.
 """
 
 from __future__ import annotations
@@ -188,6 +198,215 @@ def streaming_pack_writer(
 
     def body(batch: DataFrame, batch_id: int) -> None:
         pack_batch(
+            batch.sparkSession,
+            batch,
+            state_dir,
+            out_dir,
+            chunk_tokens,
+            batch_id=batch_id,
+            **batch_kwargs,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ASSEMBLY: complete chunk TEXT at ingest (geometry's trainer-
+# facing sibling).  The extra cross-batch state beyond the carry is one
+# PARTIAL-CHUNK TAIL per shard: the (< chunk_tokens) tokens of the shard's
+# unfilled last chunk.  Each batch re-packs [tail + new docs] from the
+# last chunk boundary, emits every chunk that COMPLETED (exactly
+# chunk_tokens tokens — complete chunks are final and never move, because
+# positions are append-only), and stores the new tail.  Retry-safe by the
+# same strictly-earlier-batch_id rule as the carry.
+# ---------------------------------------------------------------------------
+
+#: Synthetic order key for the carried tail "document" — sorts before any
+#: real id, so the tail replays at the exact stream positions it owns.
+_TAIL_SENTINEL = -(1 << 62)
+
+
+def _tails_path(state_dir: str) -> str:
+    return str(Path(state_dir) / "tails")
+
+
+def read_tails(
+    spark: SparkSession,
+    state_dir: str,
+    before_batch_id: int | None = None,
+) -> DataFrame | None:
+    """Latest per-shard partial-chunk tail: ``(shard, toks)`` from the row
+    with the highest batch_id strictly below ``before_batch_id`` (tails
+    REPLACE per batch, unlike the summed carry).  None before the first
+    assembled batch; PATH_NOT_FOUND-only probe like read_carry."""
+    from pyspark.sql import Window
+
+    from bigdatastructure_a5_spark.streaming.state import read_state_or_none
+
+    rows = read_state_or_none(spark, _tails_path(state_dir))
+    if rows is None:
+        return None
+    if before_batch_id is not None:
+        rows = rows.filter(F.col("batch_id") < F.lit(int(before_batch_id)))
+    w = Window.partitionBy("shard").orderBy(F.col("batch_id").desc())
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("shard", "toks")
+    )
+
+
+def assemble_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    chunk_tokens: int,
+    batch_id: int,
+    toks_col: str = "toks",
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> None:
+    """One microbatch of the incremental ASSEMBLER (foreachBatch body):
+    emit the batch's COMPLETED chunks as (shard, chunk_id, toks,
+    n_tokens == chunk_tokens) rows and persist the new partial tail.
+
+    ``batch`` carries (id, shard, token array) rows — the assembler
+    derives counts from the arrays, so geometry and text can never
+    disagree.  Emitted chunk ids are ABSOLUTE (continuations of every
+    earlier batch); a chunk that straddles batches is emitted exactly
+    once, by the batch that completes it.  The shard's unfilled last
+    chunk is NEVER emitted — it lives in the tail store until full,
+    so downstream training data contains only fixed-size examples.
+
+    Write order (same contract as pack_batch): chunks BEFORE state
+    (tail, then carry) — a crash between the writes makes the retry
+    re-emit identical chunk rows (dedupable on (shard, chunk_id)),
+    never wrong ones, because the retry's base and tail come from
+    strictly-earlier batch_ids on every attempt.
+    """
+    from bigdatastructure_a5_spark.operators.packing import assemble_chunks
+
+    n = F.size(F.col(toks_col))
+    docs = batch.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).cast("bigint").alias("__oid"),
+        F.col(toks_col).alias("toks"),
+    ).filter(n > 0)
+
+    carry = read_carry(spark, state_dir, before_batch_id=batch_id)
+    tails = read_tails(spark, state_dir, before_batch_id=batch_id)
+    if tails is not None:
+        tail_docs = tails.filter(F.size("toks") > 0).select(
+            "shard",
+            F.lit(_TAIL_SENTINEL).cast("bigint").alias("__oid"),
+            "toks",
+        )
+        docs = tail_docs.unionByName(docs)
+    combined = docs.withColumn(
+        "n_tokens", F.size("toks").cast("bigint")
+    )
+    if carry is not None:
+        # base = first position of the shard's UNFILLED chunk: tokens
+        # packed so far minus the tail's length (the tail re-packs)
+        base = carry.withColumnRenamed("base", "__packed")
+        if tails is not None:
+            tail_len = tails.select(
+                "shard", F.size("toks").cast("bigint").alias("__tl")
+            )
+            base = base.join(tail_len, "shard", "left")
+        else:
+            base = base.withColumn("__tl", F.lit(0).cast("bigint"))
+        base = base.select(
+            "shard",
+            (
+                F.col("__packed")
+                - F.coalesce("__tl", F.lit(0).cast("bigint"))
+            ).alias("base"),
+        )
+        combined = combined.join(F.broadcast(base), "shard", "left")
+    else:
+        combined = combined.withColumn("base", F.lit(0).cast("bigint"))
+
+    geo = concat_and_chunk(
+        combined.select("shard", "__oid", "n_tokens", "base"),
+        chunk_tokens,
+        n_tokens_col="n_tokens",
+        id_col="__oid",
+        shard_col="shard",
+        base_col="base",
+    )
+    # join tokens back on (shard, __oid): the tail sentinel id repeats
+    # across shards, so the shard must be part of the join key
+    asm = assemble_chunks(
+        geo,
+        combined.select("shard", "__oid", "toks"),
+        id_cols=["shard", "__oid"],
+        shard_col="shard",
+    )
+    from bigdatastructure_a5_spark.session import persist_df
+
+    asm = persist_df(asm)
+    try:
+        complete = asm.filter(F.col("n_tokens") == chunk_tokens)
+        complete.write.mode("append").parquet(out_dir)
+
+        # new tail = the shard's (single) incomplete last chunk; shards
+        # ending exactly on a boundary store an EMPTY tail row — skipping
+        # the write would resurrect the pre-batch tail on the next read
+        touched = combined.select("shard").distinct()
+        partial = asm.filter(F.col("n_tokens") < chunk_tokens).select(
+            "shard", "toks"
+        )
+        new_tails = (
+            touched.join(partial, "shard", "left")
+            .select(
+                "shard",
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+                F.coalesce(
+                    "toks", F.array().cast("array<string>")
+                ).alias("toks"),
+            )
+        )
+        new_tails.write.mode("append").parquet(_tails_path(state_dir))
+
+        added = (
+            batch.select(
+                F.col(shard_col).alias("shard"),
+                F.size(F.col(toks_col)).cast("bigint").alias("n"),
+            )
+            .filter(F.col("n") > 0)
+            .groupBy("shard")
+            .agg(F.sum("n").alias("added"))
+            .select(
+                "shard",
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+                "added",
+            )
+        )
+        added.write.mode("append").parquet(_carry_path(state_dir))
+    finally:
+        asm.unpersist()
+
+
+def streaming_assembly_writer(
+    stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    chunk_tokens: int,
+    **batch_kwargs,
+):
+    """Wire ``assemble_batch`` as a foreachBatch sink over a STREAMING
+    documents frame; returns the DataStreamWriter (caller picks the
+    trigger and calls .start())."""
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        assemble_batch(
             batch.sparkSession,
             batch,
             state_dir,

@@ -303,3 +303,190 @@ def test_streamed_mixture_then_incremental_pack_matches_batch(spark, tmp_path):
     # the dropped domain reached neither path
     src1_ids = {r.doc_id for r in docs.filter("source = 'src1'").collect()}
     assert src1_ids.isdisjoint({r[2] for r in got})  # col 2 = doc_id
+
+
+# ---------------------------------------------------------------------------
+# Incremental ASSEMBLY (complete chunk text at ingest)
+# ---------------------------------------------------------------------------
+
+TOK_SCHEMA = "doc_id bigint, shard bigint, toks array<string>"
+
+
+def _tok_docs(spark, counts, shards=None):
+    rows = [
+        (
+            i,
+            (i % 2) if shards is None else shards[i],
+            [f"w{i}_{j}" for j in range(n)],
+        )
+        for i, n in enumerate(counts)
+    ]
+    return spark.createDataFrame(rows, TOK_SCHEMA)
+
+
+def _batch_assembled(spark, docs):
+    """Batch-mode twin: assemble the whole corpus, return complete
+    chunks {(shard, chunk_id): toks} and partial tails {shard: toks}."""
+    from bigdatastructure_a5_spark.operators.packing import assemble_chunks
+
+    combined = docs.withColumn("n_tokens", F.size("toks").cast("bigint"))
+    geo = concat_and_chunk(
+        combined, L, n_tokens_col="n_tokens", shard_col="shard"
+    )
+    asm = assemble_chunks(
+        geo,
+        combined.select("shard", "doc_id", "toks"),
+        id_cols=["shard", "doc_id"],
+        shard_col="shard",
+    ).collect()
+    complete = {
+        (r.shard, r.chunk_id): list(r.toks) for r in asm if r.n_tokens == L
+    }
+    tails = {r.shard: list(r.toks) for r in asm if r.n_tokens < L}
+    return complete, tails
+
+
+def _read_out(spark, out):
+    rows = spark.read.parquet(out).collect()
+    return {(r.shard, r.chunk_id): list(r.toks) for r in rows}
+
+
+def test_incremental_assembly_equals_batch_for_any_split(spark, tmp_path):
+    """Streamed COMPLETE chunks (text, absolute ids) equal the batch
+    assembler's complete chunks for 1- and 3-way splits — including
+    chunks straddling batch boundaries (emitted once, by the batch that
+    completes them) — and the final stored tail equals the batch path's
+    partial last chunk per shard."""
+    from bigdatastructure_a5_spark.streaming.packing import (
+        assemble_batch,
+        read_tails,
+    )
+
+    counts = [5, 3, 40, 1, 16, 7, 2, 31, 9, 4]
+    docs = _tok_docs(spark, counts)
+    want_complete, want_tails = _batch_assembled(spark, docs)
+    assert want_complete and want_tails  # fixture exercises both
+
+    for k, label in ((1, "one"), (3, "three")):
+        state = str(tmp_path / f"st_{label}")
+        out = str(tmp_path / f"out_{label}")
+        for i, b in enumerate(_splits(docs, k)):
+            assemble_batch(spark, b, state, out, L, batch_id=i)
+        assert _read_out(spark, out) == want_complete
+        got_tails = {
+            r.shard: list(r.toks)
+            for r in read_tails(spark, state).collect()
+            if r.toks
+        }
+        assert got_tails == want_tails
+
+
+def test_incremental_assembly_never_emits_partial_chunks(spark, tmp_path):
+    """Every emitted row is exactly L tokens — the unfilled last chunk
+    stays in the tail store (training data is fixed-size by
+    construction), and a later batch completes it at the same absolute
+    chunk_id with the earlier batch's tokens in front."""
+    from bigdatastructure_a5_spark.streaming.packing import assemble_batch
+
+    state, out = str(tmp_path / "st_p"), str(tmp_path / "out_p")
+    # batch 0: 10 tokens on shard 0 — no complete chunk yet (L=16)
+    b0 = spark.createDataFrame(
+        [(0, 0, [f"a{j}" for j in range(10)])], TOK_SCHEMA
+    )
+    assemble_batch(spark, b0, state, out, L, batch_id=0)
+    import os
+
+    assert not any(
+        f.endswith(".parquet") and os.path.getsize(os.path.join(dp, f)) > 0
+        for dp, _, fns in os.walk(out)
+        for f in fns
+    ) or len(_read_out(spark, out)) == 0
+    # batch 1: 10 more — chunk 0 completes with 6 carried + 10 new... (16)
+    b1 = spark.createDataFrame(
+        [(1, 0, [f"b{j}" for j in range(10)])], TOK_SCHEMA
+    )
+    assemble_batch(spark, b1, state, out, L, batch_id=1)
+    got = _read_out(spark, out)
+    assert set(got) == {(0, 0)}
+    assert got[(0, 0)] == [f"a{j}" for j in range(10)] + [
+        f"b{j}" for j in range(6)
+    ]
+
+
+def test_incremental_assembly_retry_is_position_identical(spark, tmp_path):
+    """A redelivered batch re-emits byte-identical complete chunks (same
+    ids, same token arrays) and leaves the tail single-valued — the
+    strictly-earlier-batch_id rule applied to BOTH state stores."""
+    from collections import Counter
+
+    from bigdatastructure_a5_spark.streaming.packing import (
+        assemble_batch,
+        read_tails,
+    )
+
+    state, out = str(tmp_path / "st_r"), str(tmp_path / "out_r")
+    b0 = spark.createDataFrame(
+        [(0, 0, [f"a{j}" for j in range(20)])], TOK_SCHEMA
+    )
+    assemble_batch(spark, b0, state, out, L, batch_id=0)
+    assemble_batch(spark, b0, state, out, L, batch_id=0)  # retry
+    rows = [
+        (r.shard, r.chunk_id, tuple(r.toks))
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert set(Counter(rows).values()) == {2}  # exact duplicates only
+    assert {(s, c) for s, c, _ in rows} == {(0, 0)}
+    tails = {r.shard: list(r.toks) for r in read_tails(spark, state).collect()}
+    assert tails == {0: [f"a{j}" for j in range(16, 20)]}
+    # follow-up batch still packs at the single-counted position
+    b1 = spark.createDataFrame(
+        [(1, 0, [f"b{j}" for j in range(12)])], TOK_SCHEMA
+    )
+    assemble_batch(spark, b1, state, out, L, batch_id=1)
+    got = _read_out(spark, out)
+    assert got[(0, 1)] == [f"a{j}" for j in range(16, 20)] + [
+        f"b{j}" for j in range(12)
+    ]
+
+
+def test_incremental_assembly_real_streaming_run(spark, tmp_path):
+    """The foreachBatch wiring over a real file-source stream: identical
+    complete chunks to the batch assembler."""
+    from bigdatastructure_a5_spark.streaming.packing import (
+        streaming_assembly_writer,
+    )
+
+    counts = [5, 3, 40, 1, 16, 7, 2, 31]
+    docs = _tok_docs(spark, counts)
+    want_complete, _ = _batch_assembled(spark, docs)
+    src = tmp_path / "asrc"
+    src.mkdir()
+    base_t = time.time() - 100
+    for i, b in enumerate(_splits(docs, 3)):
+        p = str(src / f"split_{i}.parquet")
+        b.coalesce(1).write.mode("overwrite").parquet(p)
+        for f in sorted(
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(p)
+            for fn in fns
+        ):
+            os.utime(f, (base_t + i, base_t + i))
+    stream = (
+        spark.readStream.schema(TOK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = str(tmp_path / "aout")
+    q = (
+        streaming_assembly_writer(
+            stream,
+            str(tmp_path / "astate"),
+            out,
+            str(tmp_path / "ackpt"),
+            L,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert _read_out(spark, out) == want_complete and len(want_complete) > 0

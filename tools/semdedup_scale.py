@@ -143,6 +143,10 @@ def main() -> None:
             "shared cell — ~4x the scoring work).  Every emitted pair is",
             "verified a subset of the exact answer, and probing verified",
             "monotone, at every rung before timing is reported.",
+            "Since r11 the operator also carries a DRIVER row",
+            "(`dedup_semantic`: 8-seed codebook, rendered-SQL argmax",
+            "assignment, within-cell pairs hash-matched against the",
+            "same-cell-filtered all-pairs oracle at sf0.01 and x10).",
             "",
             "| corpus | vectors | exact pairs | exact secs | cells | "
             "1-probe pairs | recall | 1-probe secs | "
