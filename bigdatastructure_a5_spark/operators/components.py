@@ -276,6 +276,8 @@ def cluster_dedup(
     src: str = "id_a",
     dst: str = "id_b",
     tracker: list | None = None,
+    algorithm: str = "label",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep one representative (the min id) per near-duplicate CLUSTER:
     transitive-closure dedup, the policy stricter than the pair-drop
@@ -292,8 +294,22 @@ def cluster_dedup(
     propagation rounds); ``tracker`` still receives it for interface
     symmetry with the other tracked operators (unpersist on a
     checkpointed frame is a harmless no-op; the blocks free with the
-    reference)."""
-    comp = connected_components(pairs, src=src, dst=dst)
+    reference).
+
+    ``algorithm``: ``"label"`` (default — min-label propagation, the
+    right choice for diameter-2-4 dedup graphs) or ``"star"``
+    (``connected_components_star``, for deep/unknown topologies);
+    ``checkpoint_dir`` selects reliable per-round checkpointing on
+    either (see ``connected_components``)."""
+    if algorithm == "label":
+        cc = connected_components
+    elif algorithm == "star":
+        cc = connected_components_star
+    else:
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: expected 'label' or 'star'"
+        )
+    comp = cc(pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir)
     if tracker is not None:
         tracker.append(comp)
     drop = comp.filter(F.col("id") != F.col("comp")).select(

@@ -264,3 +264,24 @@ def test_star_contraction_beats_propagation_on_deep_chains(spark):
     assert star == _union_find(edges)
     assert {v for v in star.values()} == {0, 1_000_000, 2_000_000}
     assert rounds[0] <= 8, f"star took {rounds[0]} rounds on diameter ~31"
+
+
+def test_cluster_dedup_star_algorithm_matches_label(spark):
+    """cluster_dedup(algorithm='star') keeps the identical set as the
+    default label-propagation path, and an unknown algorithm raises."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 9)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    kept_label = {
+        r.doc_id for r in cluster_dedup(docs, pairs).collect()
+    }
+    kept_star = {
+        r.doc_id
+        for r in cluster_dedup(docs, pairs, algorithm="star").collect()
+    }
+    assert kept_star == kept_label == {1, 9}
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        cluster_dedup(docs, pairs, algorithm="bogus")
