@@ -117,3 +117,100 @@ def test_trainer_capstone_composes(spark):
     )
     if copies_src0[0] is not None:
         assert copies_src0[0] >= 2  # weight 2.0: every kept doc >= 2 copies
+
+
+def test_trainer_capstone_streams_at_ingest(spark, tmp_path):
+    """The AT-INGEST trainer path — the composition a crawl pipeline
+    actually runs as one foreachBatch body: streaming near-dup dedup ->
+    domain mixture -> train-split filter -> incremental chunk ASSEMBLY.
+    The emitted complete chunks (text, absolute ids) must equal the
+    batch pipeline (offline dedup rule -> same mixture/split -> batch
+    assembler) run over the whole corpus, and the final tails must
+    match the batch path's partial last chunks."""
+    from bigdatastructure_a5_spark.operators.dedup import (
+        near_duplicates_minhash,
+    )
+    from bigdatastructure_a5_spark.streaming.dedup import process_batch
+    from bigdatastructure_a5_spark.streaming.packing import (
+        assemble_batch,
+        read_tails,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    )
+    weights = {"src0": 2.0, "src1": 0.0}
+
+    def stage(frame):
+        """Stateless tail of the ingest pipeline: mixture -> train-only
+        -> single-bigint composite key (mixture copies share doc_id)."""
+        mixed = mix_domains(
+            frame, weights, domain_col="source", default_weight=1.0
+        )
+        labeled = assign_split(
+            mixed, {"train": 0.75, "val": 0.125, "test": 0.125}
+        )
+        return labeled.filter(F.col("split") == "train").select(
+            (F.col("doc_id") * 1024 + F.col("copy_id")).alias("key"),
+            (F.col("doc_id") % 4).alias("shard"),
+            tokens("text").alias("toks"),
+        )
+
+    # ---- batch twin: offline dedup rule, then the same stage ----
+    pairs = near_duplicates_minhash(docs, "doc_id", "text", threshold=0.8)
+    dropped = [r.id_b for r in pairs.collect()]
+    kept_all = docs.filter(~F.col("doc_id").isin(dropped))
+    combined = stage(kept_all).withColumn(
+        "n_tokens", F.size("toks").cast("bigint")
+    )
+    geo = concat_and_chunk(
+        combined, L, id_col="key", shard_col="shard"
+    )
+    asm = assemble_chunks(
+        geo,
+        combined.select("shard", "key", "toks"),
+        id_cols=["shard", "key"],
+        shard_col="shard",
+    ).collect()
+    want_complete = {
+        (r.shard, r.chunk_id): list(r.toks) for r in asm if r.n_tokens == L
+    }
+    want_tails = {r.shard: list(r.toks) for r in asm if r.n_tokens < L}
+    assert want_complete, "fixture must produce complete chunks"
+
+    # ---- streamed: 3 id-ordered batches, the full body per batch ----
+    dstate, dout = str(tmp_path / "dstate"), str(tmp_path / "dkept")
+    astate, aout = str(tmp_path / "astate"), str(tmp_path / "aout")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    bounds = [ids[i * len(ids) // 3] for i in (1, 2)] + [ids[-1] + 1]
+    lo = ids[0]
+    for i, hi in enumerate(bounds):
+        b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        process_batch(spark, b, dstate, dout)  # dedup at ingest
+        kept_b = spark.read.parquet(dout).filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        assemble_batch(
+            spark,
+            stage(kept_b),
+            astate,
+            aout,
+            L,
+            batch_id=i,
+            toks_col="toks",
+            id_col="key",
+            shard_col="shard",
+        )
+        lo = hi
+
+    got = {
+        (r.shard, r.chunk_id): list(r.toks)
+        for r in spark.read.parquet(aout).collect()
+    }
+    assert got == want_complete
+    got_tails = {
+        r.shard: list(r.toks)
+        for r in read_tails(spark, astate).collect()
+        if r.toks
+    }
+    assert got_tails == want_tails
