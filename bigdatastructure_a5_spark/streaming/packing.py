@@ -421,3 +421,90 @@ def streaming_assembly_writer(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+#: Compacted state rows carry this batch_id: strictly smaller than every
+#: real foreachBatch id (they start at 0), so the strictly-earlier-
+#: batch_id retry rule reads compacted history exactly like the original
+#: rows it replaced.
+_COMPACT_SENTINEL = -1
+
+
+def compact_state(
+    spark: SparkSession, state_dir: str, before_batch_id: int
+) -> None:
+    """Fold state rows with ``batch_id < before_batch_id`` into one
+    sentinel row per shard — the maintenance pass §20 prices: the stores
+    are append-only (one parquet footer per batch), so after thousands
+    of batches the per-batch read pays a file-count tax; compaction
+    resets it without touching semantics.
+
+    - carry: earlier rows sum (after per-(shard, batch_id) max dedup)
+      into a single ``batch_id = -1`` row per shard;
+    - tails: only the LATEST earlier row per shard survives, re-tagged
+      ``batch_id = -1``; later rows keep winning by batch_id order.
+
+    The sentinel sorts strictly below every real batch id, so
+    ``read_carry(..., before_batch_id=N)`` and ``read_tails`` see
+    exactly the values the replaced rows produced — pytest-pinned by
+    continuing a stream across a compaction and comparing against the
+    uncompacted run.
+
+    MUST run while the stream is STOPPED (between runs, or from a
+    maintenance window): the swap is not atomic against a concurrent
+    ``pack_batch`` append — the same contract as Spark's own
+    checkpoint-maintenance tooling.  Crash-safety of the swap itself:
+    the new store is fully written to a staging dir first; only the
+    final directory swap is vulnerable, and re-running compaction
+    repairs it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    if before_batch_id <= _COMPACT_SENTINEL + 1:
+        return
+    from bigdatastructure_a5_spark.streaming.state import read_state_or_none
+
+    cut = F.lit(int(before_batch_id))
+    sent = F.lit(_COMPACT_SENTINEL).cast("bigint")
+
+    def swap_in(frame: DataFrame, path: str) -> None:
+        staging = tempfile.mkdtemp(
+            prefix="compact_", dir=str(Path(path).parent)
+        )
+        frame.write.mode("overwrite").parquet(staging)
+        old = str(Path(path).parent / (Path(path).name + ".old"))
+        shutil.rmtree(old, ignore_errors=True)
+        Path(path).rename(old)
+        Path(staging).rename(path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    carry = read_state_or_none(spark, _carry_path(state_dir))
+    if carry is not None:
+        old_part = (
+            carry.filter(F.col("batch_id") < cut)
+            .groupBy("shard", "batch_id")
+            .agg(F.max("added").alias("added"))
+            .groupBy("shard")
+            .agg(F.sum("added").alias("added"))
+            .select("shard", sent.alias("batch_id"), "added")
+        )
+        keep = carry.filter(F.col("batch_id") >= cut).select(
+            "shard", "batch_id", "added"
+        )
+        swap_in(old_part.unionByName(keep), _carry_path(state_dir))
+
+    tails = read_state_or_none(spark, _tails_path(state_dir))
+    if tails is not None:
+        w = Window.partitionBy("shard").orderBy(F.col("batch_id").desc())
+        old_part = (
+            tails.filter(F.col("batch_id") < cut)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("shard", sent.alias("batch_id"), "toks")
+        )
+        keep = tails.filter(F.col("batch_id") >= cut).select(
+            "shard", "batch_id", "toks"
+        )
+        swap_in(old_part.unionByName(keep), _tails_path(state_dir))

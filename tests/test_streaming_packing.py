@@ -490,3 +490,88 @@ def test_incremental_assembly_real_streaming_run(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert _read_out(spark, out) == want_complete and len(want_complete) > 0
+
+
+def test_compaction_preserves_stream_semantics(spark, tmp_path):
+    """compact_state folds pre-N state rows into sentinel (-1) rows —
+    continuing the stream across a compaction must produce EXACTLY the
+    uncompacted run's output: same geometry, same assembled chunks,
+    same carry, same tails.  The sentinel sorts strictly below every
+    real batch id, so the strictly-earlier retry rule is untouched —
+    a retry of the first post-compaction batch re-packs at the same
+    base."""
+    from bigdatastructure_a5_spark.streaming.packing import (
+        assemble_batch,
+        compact_state,
+        read_tails,
+    )
+
+    counts = [5, 3, 40, 1, 16, 7, 2, 31, 9, 4, 12, 29]
+    tdocs = _tok_docs(spark, counts)
+    batches = list(_splits(tdocs, 4))
+
+    # uncompacted reference run
+    st_a, out_a = str(tmp_path / "sa"), str(tmp_path / "oa")
+    for i, b in enumerate(batches):
+        assemble_batch(spark, b, st_a, out_a, L, batch_id=i)
+
+    # compacted run: compact after batch 1, continue with 2 and 3
+    st_b, out_b = str(tmp_path / "sb"), str(tmp_path / "ob")
+    for i, b in enumerate(batches[:2]):
+        assemble_batch(spark, b, st_b, out_b, L, batch_id=i)
+    compact_state(spark, st_b, before_batch_id=2)
+    # sentinel rows exist, real pre-cut rows are gone
+    carry_rows = spark.read.parquet(str(tmp_path / "sb" / "carry"))
+    assert {r.batch_id for r in carry_rows.collect()} == {-1}
+    # retry of the first post-compaction batch: same base either way
+    assemble_batch(spark, batches[2], st_b, out_b, L, batch_id=2)
+    assemble_batch(spark, batches[2], st_b, out_b, L, batch_id=2)  # retry
+    assemble_batch(spark, batches[3], st_b, out_b, L, batch_id=3)
+
+    got_a = _read_out(spark, out_a)
+    got_b = _read_out(spark, out_b)  # retry dups collapse in the dict
+    assert got_b == got_a and len(got_a) > 0
+    tails_a = {
+        r.shard: list(r.toks) for r in read_tails(spark, st_a).collect()
+    }
+    tails_b = {
+        r.shard: list(r.toks) for r in read_tails(spark, st_b).collect()
+    }
+    assert tails_b == tails_a
+    carry_a = {
+        r.shard: r.base for r in read_carry(spark, st_a).collect()
+    }
+    carry_b = {
+        r.shard: r.base for r in read_carry(spark, st_b).collect()
+    }
+    assert carry_b == carry_a
+
+
+def test_compaction_shrinks_state_files(spark, tmp_path):
+    """The point of the maintenance pass (EXPERIMENTS §20): after many
+    appends the store is many files; compaction collapses the pre-cut
+    history to one row-set."""
+    import os
+
+    from bigdatastructure_a5_spark.streaming.packing import compact_state
+
+    state, out = str(tmp_path / "st"), str(tmp_path / "out")
+    for i in range(6):
+        b = spark.createDataFrame([(i, 0, 7), (100 + i, 1, 9)], SCHEMA)
+        pack_batch(spark, b, state, out, L, batch_id=i)
+
+    def n_files(p):
+        return sum(
+            1
+            for dp, _, fns in os.walk(p)
+            for f in fns
+            if f.endswith(".parquet")
+        )
+
+    carry_dir = os.path.join(state, "carry")
+    before = n_files(carry_dir)
+    compact_state(spark, state, before_batch_id=6)
+    after = n_files(carry_dir)
+    assert after < before
+    carry = {r.shard: r.base for r in read_carry(spark, state).collect()}
+    assert carry == {0: 6 * 7, 1: 6 * 9}

@@ -132,13 +132,16 @@ def main() -> None:
             "depth — driven by parquet FILE COUNT (one footer per",
             "append), not data volume.  At production cadence",
             "(thousands of batches) the deployment answer is periodic",
-            "carry/tail COMPACTION — rewrite rows with batch_id < N as",
-            "one sentinel row per shard (batch_id -1 sorts strictly",
-            "earlier than every real batch, so the",
-            "strictly-earlier-batch_id retry rule is untouched) — or an",
-            "external table format that compacts on write.  Until the",
-            "file count is thousands, the tax is milliseconds; the",
-            "chunk/geometry OUTPUT path is append-only parquet either",
+            "carry/tail COMPACTION — implemented as",
+            "``streaming/packing.compact_state``: rows with batch_id < N",
+            "rewrite to one sentinel row per shard (batch_id -1 sorts",
+            "strictly earlier than every real batch, so the",
+            "strictly-earlier-batch_id retry rule is untouched; run",
+            "between stream runs — the swap is not atomic against a",
+            "concurrent append).  Pytest pins stream-across-compaction",
+            "output identical to the uncompacted run, retry included.",
+            "Until the file count is thousands, the tax is milliseconds;",
+            "the chunk/geometry OUTPUT path is append-only parquet either",
             "way and never re-read by the packer.",
         ]
     )
