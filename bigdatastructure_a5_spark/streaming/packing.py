@@ -43,9 +43,12 @@ can never feed back into its base.  Retries therefore re-emit
 position-identical geometry rows (duplicates on the key columns,
 dedupable downstream), never WRONG positions; the state append carries
 ``batch_id`` so a retried batch's carry re-append collapses rather than
-double-counts.  Exactly-once geometry output remains the production
-to-do (batch-id-suffixed files or a transactional format) — but the
-failure mode is duplicate rows, not corrupt offsets.
+double-counts.  ``exactly_once=True`` goes further: the batch's
+output writes to ``out_dir/batch=<id>`` with OVERWRITE, so a retry
+replaces its own directory and the stream carries no duplicates at
+all (plain parquet, no transactional format needed); the default
+append mode's failure envelope stays duplicate rows, never corrupt
+offsets.
 
 Incremental ASSEMBLY (``assemble_batch`` /
 ``streaming_assembly_writer``) is the trainer-facing sibling: complete
@@ -70,6 +73,27 @@ from bigdatastructure_a5_spark.operators.packing import concat_and_chunk
 
 def _carry_path(state_dir: str) -> str:
     return str(Path(state_dir) / "carry")
+
+
+def _write_output(
+    df: DataFrame, out_dir: str, batch_id: int, exactly_once: bool
+) -> None:
+    """Output write for one batch.  ``exactly_once=False`` (default)
+    appends to ``out_dir`` — a foreachBatch retry then re-emits
+    position-identical DUPLICATE rows (dedupable, never wrong).
+    ``exactly_once=True`` writes to ``out_dir/batch=<id>`` with
+    overwrite: a retry replaces its own directory, so the output stream
+    carries NO duplicates at all — closing the module docstring's
+    exactly-once to-do with plain parquet (readers see an extra
+    ``batch`` partition column via partition discovery; a crash
+    mid-overwrite leaves at worst a partial batch dir that the retry
+    overwrites whole)."""
+    if exactly_once:
+        df.write.mode("overwrite").parquet(
+            str(Path(out_dir) / f"batch={int(batch_id)}")
+        )
+    else:
+        df.write.mode("append").parquet(out_dir)
 
 
 def read_carry(
@@ -125,6 +149,7 @@ def pack_batch(
     n_tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     shard_col: str = "shard",
+    exactly_once: bool = False,
 ) -> None:
     """One microbatch of the incremental packer (the foreachBatch body,
     callable directly for batch-mode backfills and tests).
@@ -168,7 +193,7 @@ def pack_batch(
     # (same values, dedupable on key columns), never WRONG positions.
     # Carry-first would shift the retried batch by its own tokens and
     # corrupt every subsequent offset silently.
-    geo.write.mode("append").parquet(out_dir)
+    _write_output(geo, out_dir, batch_id, exactly_once)
 
     n = F.col(n_tokens_col).cast("bigint")
     added = (
@@ -270,6 +295,7 @@ def assemble_batch(
     toks_col: str = "toks",
     id_col: str = "doc_id",
     shard_col: str = "shard",
+    exactly_once: bool = False,
 ) -> None:
     """One microbatch of the incremental ASSEMBLER (foreachBatch body):
     emit the batch's COMPLETED chunks as (shard, chunk_id, toks,
@@ -353,7 +379,7 @@ def assemble_batch(
     asm = persist_df(asm)
     try:
         complete = asm.filter(F.col("n_tokens") == chunk_tokens)
-        complete.write.mode("append").parquet(out_dir)
+        _write_output(complete, out_dir, batch_id, exactly_once)
 
         # new tail = the shard's (single) incomplete last chunk; shards
         # ending exactly on a boundary store an EMPTY tail row — skipping

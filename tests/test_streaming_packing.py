@@ -575,3 +575,49 @@ def test_compaction_shrinks_state_files(spark, tmp_path):
     assert after < before
     carry = {r.shard: r.base for r in read_carry(spark, state).collect()}
     assert carry == {0: 6 * 7, 1: 6 * 9}
+
+
+def test_exactly_once_output_mode_retry_produces_no_duplicates(
+    spark, tmp_path
+):
+    """exactly_once=True: each batch's output overwrites its own
+    out_dir/batch=<id> directory, so a redelivered batch leaves ZERO
+    duplicate rows — and the union over batch dirs equals the default
+    append mode's deduplicated stream for both the packer and the
+    assembler."""
+    from bigdatastructure_a5_spark.streaming.packing import assemble_batch
+
+    counts = [5, 3, 40, 1, 16, 7, 2, 31]
+    # packer
+    docs = _docs(spark, counts)
+    state, out = str(tmp_path / "st_eo"), str(tmp_path / "out_eo")
+    for i, b in enumerate(_splits(docs, 3)):
+        pack_batch(spark, b, state, out, L, batch_id=i, exactly_once=True)
+        if i == 1:  # redeliver mid-stream
+            pack_batch(
+                spark, b, state, out, L, batch_id=i, exactly_once=True
+            )
+    rows = [
+        tuple(r)
+        for r in spark.read.parquet(out).drop("batch").collect()
+    ]
+    assert len(rows) == len(set(rows))  # no duplicates despite the retry
+    assert sorted(rows) == _batch_geo(spark, docs)
+    # assembler
+    tdocs = _tok_docs(spark, counts)
+    want_complete, _ = _batch_assembled(spark, tdocs)
+    astate, aout = str(tmp_path / "ast_eo"), str(tmp_path / "aout_eo")
+    for i, b in enumerate(_splits(tdocs, 3)):
+        assemble_batch(
+            spark, b, astate, aout, L, batch_id=i, exactly_once=True
+        )
+        if i == 0:
+            assemble_batch(
+                spark, b, astate, aout, L, batch_id=i, exactly_once=True
+            )
+    arows = spark.read.parquet(aout).drop("batch").collect()
+    keyed = [(r.shard, r.chunk_id) for r in arows]
+    assert len(keyed) == len(set(keyed))
+    assert {
+        (r.shard, r.chunk_id): list(r.toks) for r in arows
+    } == want_complete
