@@ -49,6 +49,34 @@ from pyspark.sql import functions as F
 from bigdatastructure_a5_spark.session import persist_df
 
 
+class _checkpoint_dir_scope:
+    """Scope ``setCheckpointDir`` (a SparkContext-GLOBAL setting): set
+    the CC run's dir on entry, restore whatever was there before on
+    exit, so a concurrent job's own checkpoint dir is not silently
+    redirected.  Retention note: reliable checkpoint files are NOT
+    auto-deleted unless ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    is on — a maintenance window should clear old run subdirs, and the
+    returned labels frame's own blocks must outlive their consumers."""
+
+    def __init__(self, spark, checkpoint_dir: str | None):
+        self.spark = spark
+        self.dir = checkpoint_dir
+
+    def __enter__(self):
+        if self.dir is None:
+            return self
+        jsc = self.spark.sparkContext._jsc.sc()
+        prev = jsc.getCheckpointDir()
+        self.prev = prev.get() if prev.isDefined() else None
+        self.spark.sparkContext.setCheckpointDir(self.dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir is not None and self.prev is not None:
+            self.spark.sparkContext.setCheckpointDir(self.prev)
+        return False
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -96,9 +124,8 @@ def connected_components(
             return df.localCheckpoint(eager=True)
         return df.checkpoint(eager=True)
 
-    if checkpoint_dir is not None:
-        sc = pairs.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+    scope = _checkpoint_dir_scope(pairs.sparkSession, checkpoint_dir)
+    scope.__enter__()
     e = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -150,6 +177,7 @@ def connected_components(
                 return new_labels
     finally:
         sym.unpersist()
+        scope.__exit__()
     raise RuntimeError(
         f"connected_components: no fixpoint within {max_iterations} "
         "rounds — graph diameter exceeds the cap (not a dedup-shaped "
@@ -200,8 +228,7 @@ def connected_components_star(
             return df.localCheckpoint(eager=True)
         return df.checkpoint(eager=True)
 
-    if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    scope = _checkpoint_dir_scope(pairs.sparkSession, checkpoint_dir)
 
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.union(
@@ -237,31 +264,43 @@ def connected_components_star(
     )
     # vertices captured BEFORE the self-loop drop: a vertex appearing
     # only as (x, x) still labels itself, matching connected_components
-    verts = truncate(
-        e0.select(F.col("a").alias("id"))
-        .union(e0.select(F.col("b").alias("id")))
-        .distinct()
-    )
-    e = truncate(e0.filter(F.col("a") != F.col("b")).distinct())
-    for it in range(max_iterations):
-        new_e = truncate(small_star(large_star(e)))
-        # exact fixpoint test (both directions: exceptAll is asymmetric)
-        changed = (
-            new_e.exceptAll(e).limit(1).count()
-            + e.exceptAll(new_e).limit(1).count()
+    with scope:
+        verts = truncate(
+            e0.select(F.col("a").alias("id"))
+            .union(e0.select(F.col("b").alias("id")))
+            .distinct()
         )
-        e = new_e
-        if changed == 0:
-            if rounds is not None:
-                rounds.append(it + 1)
-            # stars: (vertex, component-min); roots appear only on the
-            # right — every vertex gets a row, roots label themselves
-            labels = verts.join(
-                e.select(F.col("a").alias("id"), F.col("b").alias("comp")),
-                "id",
-                "left",
-            ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))
-            return truncate(labels)
+        e = truncate(e0.filter(F.col("a") != F.col("b")).distinct())
+        e_count = e.count()
+        for it in range(max_iterations):
+            new_e = truncate(small_star(large_star(e)))
+            # exact fixpoint test on DISTINCT sets: equal counts + one
+            # empty set-difference imply equality — half the shuffle
+            # work of a two-directional exceptAll, and the count is
+            # cheap on a checkpointed frame
+            new_count = new_e.count()
+            changed = (
+                1
+                if new_count != e_count
+                else new_e.exceptAll(e).limit(1).count()
+            )
+            e, e_count = new_e, new_count
+            if changed == 0:
+                if rounds is not None:
+                    rounds.append(it + 1)
+                # stars: (vertex, component-min); roots appear only on
+                # the right — every vertex gets a row, roots label
+                # themselves
+                labels = verts.join(
+                    e.select(
+                        F.col("a").alias("id"), F.col("b").alias("comp")
+                    ),
+                    "id",
+                    "left",
+                ).select(
+                    "id", F.coalesce("comp", F.col("id")).alias("comp")
+                )
+                return truncate(labels)
     raise RuntimeError(
         f"connected_components_star: no fixpoint within {max_iterations} "
         "alternating rounds — not expected for any finite graph at this "

@@ -57,15 +57,24 @@ def scale_to_rank(
 
     A degenerate column (lo == hi) ranks 0 everywhere instead of
     dividing by zero."""
-    if float(hi) - float(lo) <= 0:
-        return F.lit(0).cast("bigint")
     max_rank = (1 << bits) - 1
     if isinstance(lo, int) and isinstance(hi, int):
-        span = float(hi - lo)  # exact int subtraction, then one rounding
-        shifted = (col.cast("bigint") - F.lit(lo).cast("bigint")).cast(
-            "double"
-        )
+        # exact integer degeneracy test AND span: near 2^62 two bounds
+        # can differ by < one double ULP (~1024), where a float compare
+        # would call them degenerate and rank everything 0 — the exact
+        # prefix-separation case this path exists for
+        if hi <= lo:
+            return F.lit(0).cast("bigint")
+        span = float(hi - lo)
+        # subtract the integer literal WITHOUT casting the column: an
+        # integer column subtracts exactly in bigint before the double
+        # cast; a double column promotes the literal and subtracts in
+        # double — no silent truncation of fractional values when a
+        # caller writes integer bounds over a double column
+        shifted = (col - F.lit(lo).cast("bigint")).cast("double")
     else:
+        if float(hi) - float(lo) <= 0:
+            return F.lit(0).cast("bigint")
         span = float(hi) - float(lo)
         shifted = col.cast("double") - F.lit(float(lo))
     scaled = F.floor(shifted / F.lit(span) * max_rank).cast("bigint")

@@ -63,16 +63,17 @@ retry rule on both stores; same chunks-before-state write order.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatastructure_a5_spark.operators.packing import concat_and_chunk
+from bigdatastructure_a5_spark.streaming.state import join_path
 
 
 def _carry_path(state_dir: str) -> str:
-    return str(Path(state_dir) / "carry")
+    # join_path, not pathlib: state dirs are Spark paths (hdfs://,
+    # s3a://...) whose double slash pathlib would mangle
+    return join_path(state_dir, "carry")
 
 
 def _write_output(
@@ -90,7 +91,7 @@ def _write_output(
     overwrites whole)."""
     if exactly_once:
         df.write.mode("overwrite").parquet(
-            str(Path(out_dir) / f"batch={int(batch_id)}")
+            join_path(out_dir, f"batch={int(batch_id)}")
         )
     else:
         df.write.mode("append").parquet(out_dir)
@@ -127,6 +128,7 @@ def read_carry(
 
     rows = read_state_or_none(spark, _carry_path(state_dir))
     if rows is None:
+        _guard_interrupted_compaction(spark, _carry_path(state_dir))
         return None
     if before_batch_id is not None:
         rows = rows.filter(F.col("batch_id") < F.lit(int(before_batch_id)))
@@ -256,7 +258,7 @@ _TAIL_SENTINEL = -(1 << 62)
 
 
 def _tails_path(state_dir: str) -> str:
-    return str(Path(state_dir) / "tails")
+    return join_path(state_dir, "tails")
 
 
 def read_tails(
@@ -274,6 +276,7 @@ def read_tails(
 
     rows = read_state_or_none(spark, _tails_path(state_dir))
     if rows is None:
+        _guard_interrupted_compaction(spark, _tails_path(state_dir))
         return None
     if before_batch_id is not None:
         rows = rows.filter(F.col("batch_id") < F.lit(int(before_batch_id)))
@@ -388,13 +391,18 @@ def assemble_batch(
         partial = asm.filter(F.col("n_tokens") < chunk_tokens).select(
             "shard", "toks"
         )
+        # empty placeholder in the BATCH'S OWN element type — a
+        # hardcoded array<string> would break integer token-id streams
+        # (coalesce type mismatch) the first time a shard ends exactly
+        # on a chunk boundary
+        toks_type = combined.schema["toks"].dataType.simpleString()
         new_tails = (
             touched.join(partial, "shard", "left")
             .select(
                 "shard",
                 F.lit(batch_id).cast("bigint").alias("batch_id"),
                 F.coalesce(
-                    "toks", F.array().cast("array<string>")
+                    "toks", F.array().cast(toks_type)
                 ).alias("toks"),
             )
         )
@@ -477,34 +485,56 @@ def compact_state(
     uncompacted run.
 
     MUST run while the stream is STOPPED (between runs, or from a
-    maintenance window): the swap is not atomic against a concurrent
-    ``pack_batch`` append — the same contract as Spark's own
-    checkpoint-maintenance tooling.  Crash-safety of the swap itself:
-    the new store is fully written to a staging dir first; only the
-    final directory swap is vulnerable, and re-running compaction
-    repairs it."""
-    import shutil
-    import tempfile
-
+    maintenance window) — the swap is not atomic against a concurrent
+    append.  All filesystem ops go through the Hadoop FileSystem API,
+    so the swap works on hdfs://, s3a://... state dirs, not just the
+    driver's local disk.  Crash-safety: the compacted store is fully
+    written to ``<path>.compacting`` (Spark write, ``_SUCCESS``-marked)
+    BEFORE the original is deleted; a crash between the delete and the
+    final rename leaves the staging dir in place, re-running
+    ``compact_state`` completes the rename first, and until it does the
+    state readers RAISE on the missing-main-with-staging state instead
+    of silently treating it as first-batch."""
     from pyspark.sql import Window
+
+    from bigdatastructure_a5_spark.streaming.state import (
+        fs_delete,
+        fs_exists,
+        fs_rename,
+        read_state_or_none,
+    )
 
     if before_batch_id <= _COMPACT_SENTINEL + 1:
         return
-    from bigdatastructure_a5_spark.streaming.state import read_state_or_none
 
     cut = F.lit(int(before_batch_id))
     sent = F.lit(_COMPACT_SENTINEL).cast("bigint")
 
+    def staging_of(path: str) -> str:
+        return path + ".compacting"
+
+    def recover(path: str) -> None:
+        # a previous compaction crashed between delete and rename:
+        # finish its rename before doing anything else
+        stg = staging_of(path)
+        if not fs_exists(spark, path) and fs_exists(
+            spark, join_path(stg, "_SUCCESS")
+        ):
+            fs_rename(spark, stg, path)
+
     def swap_in(frame: DataFrame, path: str) -> None:
-        staging = tempfile.mkdtemp(
-            prefix="compact_", dir=str(Path(path).parent)
-        )
-        frame.write.mode("overwrite").parquet(staging)
-        old = str(Path(path).parent / (Path(path).name + ".old"))
-        shutil.rmtree(old, ignore_errors=True)
-        Path(path).rename(old)
-        Path(staging).rename(path)
-        shutil.rmtree(old, ignore_errors=True)
+        stg = staging_of(path)
+        frame.write.mode("overwrite").parquet(stg)
+        fs_delete(spark, path)
+        if not fs_rename(spark, stg, path):
+            raise RuntimeError(
+                f"compact_state: rename {stg} -> {path} failed; the "
+                "compacted store is intact at the staging path — "
+                "re-run compact_state to complete the swap"
+            )
+
+    for path in (_carry_path(state_dir), _tails_path(state_dir)):
+        recover(path)
 
     carry = read_state_or_none(spark, _carry_path(state_dir))
     if carry is not None:
@@ -519,7 +549,14 @@ def compact_state(
         keep = carry.filter(F.col("batch_id") >= cut).select(
             "shard", "batch_id", "added"
         )
-        swap_in(old_part.unionByName(keep), _carry_path(state_dir))
+        # the swap DELETES the input's files before the rename, so the
+        # compacted frame must be fully materialized first — collect()
+        # is bounded: one row per (shard, surviving batch), O(shards)
+        rows = old_part.unionByName(keep).collect()
+        compacted = spark.createDataFrame(
+            rows, "shard bigint, batch_id bigint, added bigint"
+        )
+        swap_in(compacted, _carry_path(state_dir))
 
     tails = read_state_or_none(spark, _tails_path(state_dir))
     if tails is not None:
@@ -533,4 +570,26 @@ def compact_state(
         keep = tails.filter(F.col("batch_id") >= cut).select(
             "shard", "batch_id", "toks"
         )
-        swap_in(old_part.unionByName(keep), _tails_path(state_dir))
+        toks_type = tails.schema["toks"].dataType.simpleString()
+        rows = old_part.unionByName(keep).collect()
+        compacted = spark.createDataFrame(
+            rows, f"shard bigint, batch_id bigint, toks {toks_type}"
+        )
+        swap_in(compacted, _tails_path(state_dir))
+
+
+def _guard_interrupted_compaction(spark: SparkSession, path: str) -> None:
+    """A missing store WITH a completed staging dir next to it is an
+    interrupted compaction, not a first batch: packing from base 0 over
+    real prior state silently overlaps chunk ids — raise and name the
+    repair instead (the same corruption class read_state_or_none's
+    PATH_NOT_FOUND-only rule guards)."""
+    from bigdatastructure_a5_spark.streaming.state import fs_exists
+
+    if fs_exists(spark, path + ".compacting"):
+        raise RuntimeError(
+            f"state store {path} is missing but {path}.compacting "
+            "exists: a compaction was interrupted between delete and "
+            "rename — run compact_state on this state_dir to complete "
+            "the swap before resuming the stream"
+        )

@@ -47,3 +47,39 @@ def read_state_or_none(spark: SparkSession, path: str) -> DataFrame | None:
         if _is_path_not_found(e):
             return None
         raise
+
+
+def join_path(base: str, *parts: str) -> str:
+    """URI-safe path join: ``pathlib.Path`` collapses the ``//`` in
+    ``s3a://bucket/...`` to ``s3a:/bucket/...`` (an authority-less URI
+    Hadoop cannot resolve), so state paths join as plain strings."""
+    out = base.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out
+
+
+def _fs_for(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Hadoop Path) for ``path`` — driver-side
+    filesystem ops that work on file:/, hdfs://, s3a://... alike,
+    unlike pathlib/shutil which only see the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _fs_for(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    fs, hpath = _fs_for(spark, path)
+    fs.delete(hpath, True)  # recursive; False return = already gone
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, hsrc = _fs_for(spark, src)
+    _, hdst = _fs_for(spark, dst)
+    return bool(fs.rename(hsrc, hdst))

@@ -292,3 +292,47 @@ def test_zorder_prunes_string_dimension(spark, tmp_path):
             spark.read.parquet(d).orderBy("brand", "v").collect()
             == spark.read.parquet(sdir).orderBy("brand", "v").collect()
         )
+
+
+def test_surrogate_ranks_survive_sub_ulp_span(spark):
+    """Bounds near 2^62 that differ by LESS than one double ULP (~1024):
+    a float degeneracy test would call the column degenerate and rank
+    everything 0 — the exact-integer guard must separate them instead.
+    Strings sharing their first 8 chars and differing only in char 9."""
+    from bigdatastructure_a5_spark.operators.layout import (
+        scale_to_rank,
+        string_surrogate,
+    )
+
+    vals = [f"PART0000{d}" for d in "123456789"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    keyed = df.select("s", string_surrogate(F.col("s")).alias("k"))
+    agg = keyed.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).first()
+    assert 0 < agg.hi - agg.lo < 1024  # sub-ULP span at this magnitude
+    assert float(agg.hi) - float(agg.lo) == 0.0  # float compare is blind
+    ranks = {
+        r.rank
+        for r in keyed.select(
+            scale_to_rank(F.col("k"), agg.lo, agg.hi).alias("rank")
+        ).collect()
+    }
+    assert len(ranks) == 9
+
+
+def test_integer_bounds_over_double_column_do_not_truncate(spark):
+    """Integer literals are the natural way to write bounds over a
+    double column — the exact-int branch must not cast the column to
+    bigint (which would collapse every value in [0,1) to rank 0)."""
+    from bigdatastructure_a5_spark.operators.layout import scale_to_rank
+
+    df = spark.createDataFrame(
+        [(0.1,), (0.9,), (5.0,), (9.9,)], "v double"
+    )
+    ranks = [
+        r.rank
+        for r in df.select(
+            scale_to_rank(F.col("v"), 0, 10).alias("rank")
+        ).collect()
+    ]
+    assert len(set(ranks)) == 4  # 0.1 and 0.9 must not collapse together
+    assert ranks == sorted(ranks)

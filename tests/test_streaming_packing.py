@@ -621,3 +621,80 @@ def test_exactly_once_output_mode_retry_produces_no_duplicates(
     assert {
         (r.shard, r.chunk_id): list(r.toks) for r in arows
     } == want_complete
+
+
+def test_join_path_preserves_uri_authority():
+    """pathlib collapses s3a:// to s3a:/ — the state paths must not."""
+    from bigdatastructure_a5_spark.streaming.state import join_path
+
+    assert join_path("s3a://bucket/out", "batch=3") == (
+        "s3a://bucket/out/batch=3"
+    )
+    assert join_path("hdfs://nn:8020/state", "carry") == (
+        "hdfs://nn:8020/state/carry"
+    )
+    assert join_path("/tmp/x/", "tails") == "/tmp/x/tails"
+
+
+def test_interrupted_compaction_raises_instead_of_first_batch(
+    spark, tmp_path
+):
+    """A crash between compact_state's delete and rename leaves the
+    store missing with a completed .compacting dir beside it: the state
+    readers must RAISE (packing from base 0 over real history silently
+    overlaps chunk ids), and re-running compact_state must complete the
+    swap."""
+    import os
+
+    import pytest
+
+    from bigdatastructure_a5_spark.streaming.packing import compact_state
+
+    state, out = str(tmp_path / "st_ic"), str(tmp_path / "out_ic")
+    for i in range(3):
+        b = spark.createDataFrame([(i, 0, 7)], SCHEMA)
+        pack_batch(spark, b, state, out, L, batch_id=i)
+    carry_dir = os.path.join(state, "carry")
+    # simulate the crash window: store gone, staging (with _SUCCESS,
+    # since every Spark parquet write leaves one) in its place
+    os.rename(carry_dir, carry_dir + ".compacting")
+    with pytest.raises(RuntimeError, match="compact_state"):
+        read_carry(spark, state)
+    # repair path: compact_state recovers the staging dir first
+    compact_state(spark, state, before_batch_id=3)
+    carry = {r.shard: r.base for r in read_carry(spark, state).collect()}
+    assert carry == {0: 21}
+    rows = spark.read.parquet(carry_dir).collect()
+    assert {r.batch_id for r in rows} == {-1}
+
+
+def test_assembler_supports_integer_token_id_arrays(spark, tmp_path):
+    """toks as array<bigint> (the trainer-shaped token-id stream): the
+    empty-tail placeholder must use the batch's own element type — a
+    hardcoded array<string> fails the first time a shard ends exactly
+    on a chunk boundary."""
+    from bigdatastructure_a5_spark.streaming.packing import (
+        assemble_batch,
+        read_tails,
+    )
+
+    schema = "doc_id bigint, shard bigint, toks array<bigint>"
+    state, out = str(tmp_path / "st_int"), str(tmp_path / "out_int")
+    # batch 0 ends EXACTLY on the chunk boundary -> empty tail row
+    b0 = spark.createDataFrame([(0, 0, list(range(L)))], schema)
+    assemble_batch(spark, b0, state, out, L, batch_id=0)
+    tails = {r.shard: list(r.toks) for r in read_tails(spark, state).collect()}
+    assert tails == {0: []}
+    # batch 1 continues at the boundary; absolute chunk ids carry on
+    b1 = spark.createDataFrame([(1, 0, list(range(100, 100 + L + 3)))], schema)
+    assemble_batch(spark, b1, state, out, L, batch_id=1)
+    got = {
+        (r.shard, r.chunk_id): list(r.toks)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (0, 0): list(range(L)),
+        (0, 1): list(range(100, 100 + L)),
+    }
+    tails = {r.shard: list(r.toks) for r in read_tails(spark, state).collect()}
+    assert tails == {0: list(range(100 + L, 100 + L + 3))}
