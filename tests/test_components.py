@@ -285,3 +285,26 @@ def test_cluster_dedup_star_algorithm_matches_label(spark):
     assert kept_star == kept_label == {1, 9}
     with pytest.raises(ValueError, match="unknown algorithm"):
         cluster_dedup(docs, pairs, algorithm="bogus")
+
+
+def test_checkpoint_dir_is_scoped_not_global(spark, tmp_path):
+    """connected_components(checkpoint_dir=...) must restore the
+    SparkContext's previous checkpoint dir on exit — setCheckpointDir is
+    context-GLOBAL, and leaving it pointed at one job's dir silently
+    redirects every other job's reliable checkpoints."""
+    prev_dir = str(tmp_path / "prev_ckpt")
+    spark.sparkContext.setCheckpointDir(prev_dir)
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    cc_dir = str(tmp_path / "cc_ckpt")
+    got = {
+        r.id: r.comp
+        for r in connected_components(df, checkpoint_dir=cc_dir).collect()
+    }
+    assert got == _union_find(edges)
+    # setCheckpointDir appends a fresh UUID subdir per call, so assert
+    # the restored dir lives back under the PREVIOUS tree, not the CC's
+    current = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert current.isDefined()
+    assert "prev_ckpt" in current.get()
+    assert "cc_ckpt" not in current.get()
