@@ -212,9 +212,10 @@ def connected_components_star(
       neighbor (and u itself) attaches to m — stars flatten.
 
     Fixpoint: the edge set stabilizes as (vertex, component-min) stars
-    (exact ``exceptAll``-based change check, not a checksum).  Measured
-    (EXPERIMENTS §18): the chain of 16 cliques converges in 5
-    alternating rounds where min-label needs 32.
+    (exact change check — count equality + one empty ``exceptAll``
+    set-difference on distinct sets, not a checksum).  Measured
+    (EXPERIMENTS §18): chains of 1/4/8/16 bridged cliques converge in
+    2/4/5/6 alternating rounds where min-label needs 2/8/16/32.
 
     Prefer ``connected_components`` for dedup-shaped graphs (diameter
     2-4: one join per round beats two, and its fixpoint needs fewer
