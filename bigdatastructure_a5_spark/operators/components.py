@@ -72,8 +72,18 @@ class _checkpoint_dir_scope:
         return self
 
     def __exit__(self, *exc):
-        if self.dir is not None and self.prev is not None:
-            self.spark.sparkContext.setCheckpointDir(self.prev)
+        if self.dir is None:
+            return False
+        sc = self.spark.sparkContext
+        if self.prev is not None:
+            sc.setCheckpointDir(self.prev)
+        else:
+            # restore to UNSET (ADVICE r11 low): leaving this run's dir
+            # as the context-global checkpoint dir would silently route a
+            # later, unrelated job's checkpoints here.  The Java API has
+            # no "clear" call, so go through the Scala setter with None.
+            setter = getattr(sc._jsc.sc(), "checkpointDir_$eq")
+            setter(sc._jvm.scala.Option.apply(None))
         return False
 
 
@@ -124,60 +134,63 @@ def connected_components(
             return df.localCheckpoint(eager=True)
         return df.checkpoint(eager=True)
 
-    scope = _checkpoint_dir_scope(pairs.sparkSession, checkpoint_dir)
-    scope.__enter__()
+    # input projections are built BEFORE the scope is entered, and the
+    # scope is a real `with` block: an analysis error here (missing
+    # src/dst column) or anywhere in the loop can no longer leak this
+    # run's dir as the context-global checkpoint dir (ADVICE r11 low)
     e = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-    sym = e.union(
+    sym_plan = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    sym = persist_df(sym)
-    labels = truncate(
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-    )
-    try:
-        for it in range(max_iterations):
-            nbr_min = (
-                sym.join(
-                    labels.select(
-                        F.col("id").alias("b"), F.col("comp").alias("bcomp")
-                    ),
-                    "b",
+    with _checkpoint_dir_scope(pairs.sparkSession, checkpoint_dir):
+        sym = persist_df(sym_plan)
+        try:
+            labels = truncate(
+                sym.select(F.col("a").alias("id"))
+                .distinct()
+                .withColumn("comp", F.col("id"))
+            )
+            for it in range(max_iterations):
+                nbr_min = (
+                    sym.join(
+                        labels.select(
+                            F.col("id").alias("b"),
+                            F.col("comp").alias("bcomp"),
+                        ),
+                        "b",
+                    )
+                    .groupBy("a")
+                    .agg(F.min("bcomp").alias("nmin"))
+                    .select(F.col("a").alias("id"), "nmin")
                 )
-                .groupBy("a")
-                .agg(F.min("bcomp").alias("nmin"))
-                .select(F.col("a").alias("id"), "nmin")
-            )
-            # checkpoint (local or reliable — see checkpoint_dir), not
-            # persist: truncate the lineage so the next round's plan
-            # starts from materialized blocks (module docstring —
-            # persisted-only iteration OOMs the driver in plan
-            # stringification)
-            new_labels = truncate(
-                labels.join(nbr_min, "id", "left").select(
-                    "id",
-                    F.least(
-                        F.col("comp"), F.coalesce("nmin", F.col("comp"))
-                    ).alias("comp"),
+                # checkpoint (local or reliable — see checkpoint_dir), not
+                # persist: truncate the lineage so the next round's plan
+                # starts from materialized blocks (module docstring —
+                # persisted-only iteration OOMs the driver in plan
+                # stringification)
+                new_labels = truncate(
+                    labels.join(nbr_min, "id", "left").select(
+                        "id",
+                        F.least(
+                            F.col("comp"), F.coalesce("nmin", F.col("comp"))
+                        ).alias("comp"),
+                    )
                 )
-            )
-            changed = (
-                labels.select("id", F.col("comp").alias("old"))
-                .join(new_labels, "id")
-                .filter(F.col("old") != F.col("comp"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                if rounds is not None:
-                    rounds.append(it + 1)
-                return new_labels
-    finally:
-        sym.unpersist()
-        scope.__exit__()
+                changed = (
+                    labels.select("id", F.col("comp").alias("old"))
+                    .join(new_labels, "id")
+                    .filter(F.col("old") != F.col("comp"))
+                    .count()
+                )
+                labels = new_labels
+                if changed == 0:
+                    if rounds is not None:
+                        rounds.append(it + 1)
+                    return new_labels
+        finally:
+            sym.unpersist()
     raise RuntimeError(
         f"connected_components: no fixpoint within {max_iterations} "
         "rounds — graph diameter exceeds the cap (not a dedup-shaped "

@@ -290,7 +290,16 @@ def with_zorder_key(
             # the col - lo shift in exact bigint arithmetic (critical for
             # string surrogates near 2^62, where double ULP is 1024)
             lo_v, hi_v = agg[f"lo_{c}"], agg[f"hi_{c}"]
-            if isinstance(lo_v, int) and isinstance(hi_v, int):
+            # bool is an int subclass in Python, but a BooleanType column
+            # cannot subtract a bigint literal (analysis error in the
+            # exact-bigint path) — booleans take the double path, where
+            # the column is cast before arithmetic (ADVICE r11 low)
+            if (
+                isinstance(lo_v, int)
+                and isinstance(hi_v, int)
+                and not isinstance(lo_v, bool)
+                and not isinstance(hi_v, bool)
+            ):
                 preset[c] = (lo_v, hi_v)
             else:
                 preset[c] = (float(lo_v), float(hi_v))

@@ -54,8 +54,6 @@ forever (see the step-4 comment in ``process_batch``).
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -89,8 +87,12 @@ def streaming_exact_dedup(
 
 
 def _store_paths(state_dir: str) -> tuple[str, str]:
-    root = Path(state_dir)
-    return str(root / "bands"), str(root / "shingles")
+    # join_path, not pathlib: state dirs are Spark paths (hdfs://,
+    # s3a://...) whose double slash pathlib would mangle — the same
+    # rule as streaming/packing's stores
+    from bigdatastructure_a5_spark.streaming.state import join_path
+
+    return join_path(state_dir, "bands"), join_path(state_dir, "shingles")
 
 
 def process_batch(
@@ -113,6 +115,46 @@ def process_batch(
     documents (kept and dropped) append to ``state_dir`` — the invariant
     the equivalence guarantee rests on.  Documents too short to shingle
     (< shingle_n words) can match nothing and are kept verbatim."""
+    from bigdatastructure_a5_spark.streaming.state import (
+        acquire_writer_mark,
+        release_writer_mark,
+    )
+
+    # writer mark: excludes a concurrent compact_dedup_state (whose
+    # delete+rename swap would silently drop this batch's index appends
+    # — permanently missed duplicates); see streaming/state.py
+    acquire_writer_mark(spark, state_dir)
+    try:
+        _process_batch_body(
+            spark,
+            batch,
+            state_dir,
+            out_dir,
+            id_col,
+            text_col,
+            threshold,
+            num_hashes,
+            bands,
+            shingle_n,
+            state_buckets,
+        )
+    finally:
+        release_writer_mark(spark, state_dir)
+
+
+def _process_batch_body(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    state_buckets: int | None,
+) -> None:
     bands_dir, shingles_dir = _store_paths(state_dir)
     rows_per_band = num_hashes // bands
     tracked: list = []
@@ -145,6 +187,16 @@ def process_batch(
 
     cross = None
     stored_bands = read_state_or_none(spark, bands_dir)
+    if stored_bands is None:
+        # a missing store beside a completed .compacting staging dir is
+        # an interrupted compaction, NOT a first batch: proceeding would
+        # silently disable the cross-batch check over real prior state
+        from bigdatastructure_a5_spark.streaming.state import (
+            guard_interrupted_compaction,
+        )
+
+        for p in (bands_dir, shingles_dir):
+            guard_interrupted_compaction(spark, p)
     if stored_bands is not None:
         if state_buckets is not None:
             # prune the store read to buckets the batch actually touches
@@ -238,3 +290,81 @@ def streaming_neardup_writer(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def compact_dedup_state(
+    spark: SparkSession, state_dir: str, force: bool = False
+) -> None:
+    """Rewrite the band/shingle stores as one compact file set each —
+    the dedup twin of streaming/packing.compact_state (VERDICT r11
+    item 4).  The stores are append-only (one parquet file set per
+    batch), so after thousands of batches every microbatch's
+    candidate/verify joins pay a FILE-COUNT tax — listing + footer reads
+    + tiny-file scan tasks — that grows with history even though data
+    volume doesn't (the same §20 mechanism measured for the packer).
+    Compaction folds them back to a handful of right-sized files.
+
+    Unlike the packer's carry there is nothing to SUM: index rows are
+    pure content (their batch provenance is irrelevant to the band-key
+    join), so compaction is ``DISTINCT`` + rewrite — the DISTINCT also
+    collapses the duplicate rows a retried batch's re-append left
+    behind, shrinking the store below the sum of its appends.  Bucket
+    partitioning (``state_buckets``) is preserved: the bands store is
+    rewritten ``partitionBy("bucket")`` whenever the column is present.
+
+    Same protections as the packer's compaction: the
+    ``_COMPACTION_IN_PROGRESS`` / ``_WRITER_ACTIVE`` lock pair excludes
+    a racing ``process_batch`` (either side raises loudly; ``force=True``
+    overrides a mark left by a provably crashed batch), and the
+    staging-dir swap (write ``<store>.compacting`` fully, delete,
+    rename) makes a crash at any point recoverable — readers raise on
+    the missing-store-with-staging shape, re-running this completes the
+    swap.  Unlike the carry (O(shards), collected), these stores are
+    CORPUS-sized: the compacted frame is materialized by the staging
+    WRITE itself — the original's files are deleted only after that
+    write (and its ``_SUCCESS``) completes, and the frame is never
+    evaluated again afterwards.
+
+    MUST run while the stream is STOPPED, like compact_state; safe at
+    any point between batches (no batch_id cut — the stores carry none
+    and need none: unlike the carry, re-appended rows are IDENTICAL, so
+    folding a pending batch's rows cannot corrupt a retry — the retry's
+    re-append just re-duplicates them until the next compaction)."""
+    from bigdatastructure_a5_spark.streaming.state import (
+        begin_compaction,
+        end_compaction,
+        read_state_or_none,
+        recover_interrupted_swap,
+        staging_path,
+    )
+
+    begin_compaction(spark, state_dir, force=force)
+    try:
+        for path in _store_paths(state_dir):
+            recover_interrupted_swap(spark, path)
+            store = read_state_or_none(spark, path)
+            if store is None:
+                continue
+            compacted = store.distinct()
+            # swap_in_frame inlined because the bands store needs
+            # partitionBy: write staging fully, then delete + rename
+            from bigdatastructure_a5_spark.streaming.state import (
+                fs_delete,
+                fs_rename,
+            )
+
+            writer = compacted.write.mode("overwrite")
+            if "bucket" in store.columns:
+                writer = writer.partitionBy("bucket")
+            stg = staging_path(path)
+            writer.parquet(stg)
+            fs_delete(spark, path)
+            if not fs_rename(spark, stg, path):
+                raise RuntimeError(
+                    f"compact_dedup_state: rename {stg} -> {path} "
+                    "failed; the compacted store is intact at the "
+                    "staging path — re-run compact_dedup_state to "
+                    "complete the swap"
+                )
+    finally:
+        end_compaction(spark, state_dir)

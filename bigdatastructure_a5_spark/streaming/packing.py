@@ -168,6 +168,44 @@ def pack_batch(
     would pack at stale offsets, silently overlapping already-emitted
     chunks.  A backfill loop must number its batches.
     """
+    from bigdatastructure_a5_spark.streaming.state import (
+        acquire_writer_mark,
+        release_writer_mark,
+    )
+
+    # writer mark: excludes a concurrent compact_state (whose
+    # delete+rename swap would silently drop this batch's appends) —
+    # raises if a compaction is in flight (VERDICT r11 item 3)
+    acquire_writer_mark(spark, state_dir)
+    try:
+        _pack_batch_body(
+            spark,
+            batch,
+            state_dir,
+            out_dir,
+            chunk_tokens,
+            batch_id,
+            n_tokens_col,
+            id_col,
+            shard_col,
+            exactly_once,
+        )
+    finally:
+        release_writer_mark(spark, state_dir)
+
+
+def _pack_batch_body(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    chunk_tokens: int,
+    batch_id: int,
+    n_tokens_col: str,
+    id_col: str,
+    shard_col: str,
+    exactly_once: bool,
+) -> None:
     # strictly-earlier batches only: the base is then a pure function of
     # batch_id, identical on every retry attempt regardless of whether
     # the first attempt already appended this batch's carry row
@@ -318,12 +356,75 @@ def assemble_batch(
     never wrong ones, because the retry's base and tail come from
     strictly-earlier batch_ids on every attempt.
     """
+    from bigdatastructure_a5_spark.streaming.state import (
+        acquire_writer_mark,
+        release_writer_mark,
+    )
+
+    # writer mark: same concurrent-compaction exclusion as pack_batch
+    acquire_writer_mark(spark, state_dir)
+    try:
+        _assemble_batch_body(
+            spark,
+            batch,
+            state_dir,
+            out_dir,
+            chunk_tokens,
+            batch_id,
+            toks_col,
+            id_col,
+            shard_col,
+            exactly_once,
+        )
+    finally:
+        release_writer_mark(spark, state_dir)
+
+
+def _assemble_batch_body(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    chunk_tokens: int,
+    batch_id: int,
+    toks_col: str,
+    id_col: str,
+    shard_col: str,
+    exactly_once: bool,
+) -> None:
     from bigdatastructure_a5_spark.operators.packing import assemble_chunks
 
     n = F.size(F.col(toks_col))
+    # the order key must cast to bigint to union with the tail sentinel;
+    # a non-numeric string id would silently cast to NULL, tying every
+    # doc on one NULL order key — nondeterministic chunk CONTENT across
+    # retries, violating the byte-identical-retry contract.  Fail loudly
+    # at the first such id instead (ADVICE r11 medium); raise_error lives
+    # INSIDE the order-key expression so column pruning cannot drop it.
+    # try_cast, not cast: under ANSI (the Spark 4 default) a plain cast
+    # would throw CAST_INVALID_INPUT with no operator context before the
+    # guard runs; try_cast yields NULL in both ANSI modes, so the clear
+    # message below fires deterministically
+    casted = F.col(id_col).try_cast("bigint")
+    oid = F.when(
+        F.col(id_col).isNotNull() & casted.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"assemble_batch: {id_col}="
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    " is not castable to bigint — the assembler needs "
+                    "numeric unique ids for its order key (unlike "
+                    "pack_batch, which orders by the raw column)"
+                ),
+            )
+        ).cast("bigint"),
+    ).otherwise(casted)
     docs = batch.select(
         F.col(shard_col).alias("shard"),
-        F.col(id_col).cast("bigint").alias("__oid"),
+        oid.alias("__oid"),
         F.col(toks_col).alias("toks"),
     ).filter(n > 0)
 
@@ -465,7 +566,11 @@ _COMPACT_SENTINEL = -1
 
 
 def compact_state(
-    spark: SparkSession, state_dir: str, before_batch_id: int
+    spark: SparkSession,
+    state_dir: str,
+    before_batch_id: int,
+    checkpoint_dir: str | None = None,
+    force: bool = False,
 ) -> None:
     """Fold state rows with ``batch_id < before_batch_id`` into one
     sentinel row per shard — the maintenance pass §20 prices: the stores
@@ -486,7 +591,26 @@ def compact_state(
 
     MUST run while the stream is STOPPED (between runs, or from a
     maintenance window) — the swap is not atomic against a concurrent
-    append.  All filesystem ops go through the Hadoop FileSystem API,
+    append.  That precondition is now ENFORCED, not just documented
+    (VERDICT r11 item 3): compaction takes a ``_COMPACTION_IN_PROGRESS``
+    lock that makes a racing ``pack_batch``/``assemble_batch`` raise,
+    and itself raises if a ``_WRITER_ACTIVE`` mark is present (a live —
+    or crashed mid-batch — writer; pass ``force=True`` only after
+    confirming the stream is stopped).  See streaming/state.py's lock
+    protocol note for why at least one side always loses loudly.
+
+    ``before_batch_id`` must not exceed the stream's last COMMITTED
+    batch id + 1 (ADVICE r11 medium): a batch whose foreachBatch ran but
+    whose checkpoint commit didn't land is still pending REDELIVERY, and
+    folding its carry into the ``batch_id = -1`` sentinel would put it
+    below the strictly-earlier filter — the redelivered batch would pack
+    at ``base + its own tokens``, the exact silent-offset corruption the
+    strictly-earlier rule exists to prevent.  Pass ``checkpoint_dir``
+    (the stream's checkpointLocation) and the bound is read from its
+    ``commits/`` log and enforced here; without it the caller owns the
+    bound.
+
+    All filesystem ops go through the Hadoop FileSystem API,
     so the swap works on hdfs://, s3a://... state dirs, not just the
     driver's local disk.  Crash-safety: the compacted store is fully
     written to ``<path>.compacting`` (Spark write, ``_SUCCESS``-marked)
@@ -498,98 +622,87 @@ def compact_state(
     from pyspark.sql import Window
 
     from bigdatastructure_a5_spark.streaming.state import (
-        fs_delete,
-        fs_exists,
-        fs_rename,
+        begin_compaction,
+        end_compaction,
+        last_committed_batch_id,
         read_state_or_none,
+        recover_interrupted_swap,
+        swap_in_frame,
     )
 
     if before_batch_id <= _COMPACT_SENTINEL + 1:
         return
 
+    if checkpoint_dir is not None:
+        last = last_committed_batch_id(spark, checkpoint_dir)
+        bound = (last if last is not None else -1) + 1
+        if before_batch_id > bound:
+            raise ValueError(
+                f"compact_state: before_batch_id={before_batch_id} "
+                f"exceeds last committed batch id {last} + 1 — batches "
+                "without a commit marker are still pending redelivery "
+                "and must not fold into the sentinel row (their retry "
+                "would pack at base + its own tokens)"
+            )
+
     cut = F.lit(int(before_batch_id))
     sent = F.lit(_COMPACT_SENTINEL).cast("bigint")
 
-    def staging_of(path: str) -> str:
-        return path + ".compacting"
+    begin_compaction(spark, state_dir, force=force)
+    try:
+        for path in (_carry_path(state_dir), _tails_path(state_dir)):
+            recover_interrupted_swap(spark, path)
 
-    def recover(path: str) -> None:
-        # a previous compaction crashed between delete and rename:
-        # finish its rename before doing anything else
-        stg = staging_of(path)
-        if not fs_exists(spark, path) and fs_exists(
-            spark, join_path(stg, "_SUCCESS")
-        ):
-            fs_rename(spark, stg, path)
-
-    def swap_in(frame: DataFrame, path: str) -> None:
-        stg = staging_of(path)
-        frame.write.mode("overwrite").parquet(stg)
-        fs_delete(spark, path)
-        if not fs_rename(spark, stg, path):
-            raise RuntimeError(
-                f"compact_state: rename {stg} -> {path} failed; the "
-                "compacted store is intact at the staging path — "
-                "re-run compact_state to complete the swap"
+        carry = read_state_or_none(spark, _carry_path(state_dir))
+        if carry is not None:
+            old_part = (
+                carry.filter(F.col("batch_id") < cut)
+                .groupBy("shard", "batch_id")
+                .agg(F.max("added").alias("added"))
+                .groupBy("shard")
+                .agg(F.sum("added").alias("added"))
+                .select("shard", sent.alias("batch_id"), "added")
             )
+            keep = carry.filter(F.col("batch_id") >= cut).select(
+                "shard", "batch_id", "added"
+            )
+            # the swap DELETES the input's files before the rename, so
+            # the compacted frame must be fully materialized first —
+            # collect() is bounded: one row per (shard, surviving batch)
+            rows = old_part.unionByName(keep).collect()
+            compacted = spark.createDataFrame(
+                rows, "shard bigint, batch_id bigint, added bigint"
+            )
+            swap_in_frame(spark, compacted, _carry_path(state_dir))
 
-    for path in (_carry_path(state_dir), _tails_path(state_dir)):
-        recover(path)
-
-    carry = read_state_or_none(spark, _carry_path(state_dir))
-    if carry is not None:
-        old_part = (
-            carry.filter(F.col("batch_id") < cut)
-            .groupBy("shard", "batch_id")
-            .agg(F.max("added").alias("added"))
-            .groupBy("shard")
-            .agg(F.sum("added").alias("added"))
-            .select("shard", sent.alias("batch_id"), "added")
-        )
-        keep = carry.filter(F.col("batch_id") >= cut).select(
-            "shard", "batch_id", "added"
-        )
-        # the swap DELETES the input's files before the rename, so the
-        # compacted frame must be fully materialized first — collect()
-        # is bounded: one row per (shard, surviving batch), O(shards)
-        rows = old_part.unionByName(keep).collect()
-        compacted = spark.createDataFrame(
-            rows, "shard bigint, batch_id bigint, added bigint"
-        )
-        swap_in(compacted, _carry_path(state_dir))
-
-    tails = read_state_or_none(spark, _tails_path(state_dir))
-    if tails is not None:
-        w = Window.partitionBy("shard").orderBy(F.col("batch_id").desc())
-        old_part = (
-            tails.filter(F.col("batch_id") < cut)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("shard", sent.alias("batch_id"), "toks")
-        )
-        keep = tails.filter(F.col("batch_id") >= cut).select(
-            "shard", "batch_id", "toks"
-        )
-        toks_type = tails.schema["toks"].dataType.simpleString()
-        rows = old_part.unionByName(keep).collect()
-        compacted = spark.createDataFrame(
-            rows, f"shard bigint, batch_id bigint, toks {toks_type}"
-        )
-        swap_in(compacted, _tails_path(state_dir))
+        tails = read_state_or_none(spark, _tails_path(state_dir))
+        if tails is not None:
+            w = Window.partitionBy("shard").orderBy(F.col("batch_id").desc())
+            old_part = (
+                tails.filter(F.col("batch_id") < cut)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("shard", sent.alias("batch_id"), "toks")
+            )
+            keep = tails.filter(F.col("batch_id") >= cut).select(
+                "shard", "batch_id", "toks"
+            )
+            toks_type = tails.schema["toks"].dataType.simpleString()
+            rows = old_part.unionByName(keep).collect()
+            compacted = spark.createDataFrame(
+                rows, f"shard bigint, batch_id bigint, toks {toks_type}"
+            )
+            swap_in_frame(spark, compacted, _tails_path(state_dir))
+    finally:
+        end_compaction(spark, state_dir)
 
 
 def _guard_interrupted_compaction(spark: SparkSession, path: str) -> None:
-    """A missing store WITH a completed staging dir next to it is an
-    interrupted compaction, not a first batch: packing from base 0 over
-    real prior state silently overlaps chunk ids — raise and name the
-    repair instead (the same corruption class read_state_or_none's
-    PATH_NOT_FOUND-only rule guards)."""
-    from bigdatastructure_a5_spark.streaming.state import fs_exists
+    """See streaming/state.guard_interrupted_compaction — for the packer
+    the corruption would be packing from base 0 over real prior state
+    (overlapping chunk ids)."""
+    from bigdatastructure_a5_spark.streaming.state import (
+        guard_interrupted_compaction,
+    )
 
-    if fs_exists(spark, path + ".compacting"):
-        raise RuntimeError(
-            f"state store {path} is missing but {path}.compacting "
-            "exists: a compaction was interrupted between delete and "
-            "rename — run compact_state on this state_dir to complete "
-            "the swap before resuming the stream"
-        )
+    guard_interrupted_compaction(spark, path)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from bigdatastructure_a5_spark.operators.components import (
     cluster_dedup,
     connected_components,
+    connected_components_star,
 )
 
 SF_SMALL = "/root/testdata/sf0.001"
@@ -308,3 +309,92 @@ def test_checkpoint_dir_is_scoped_not_global(spark, tmp_path):
     assert current.isDefined()
     assert "prev_ckpt" in current.get()
     assert "cc_ckpt" not in current.get()
+
+
+def _current_ckpt_dir(spark):
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    return opt.get() if opt.isDefined() else None
+
+
+def _clear_ckpt_dir(spark):
+    setter = getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")
+    setter(spark.sparkContext._jvm.scala.Option.apply(None))
+
+
+def test_checkpoint_scope_restores_unset_and_survives_errors(spark, tmp_path):
+    """ADVICE r11 low, both halves: (1) when no checkpoint dir was set
+    before the run, the scope restores UNSET (not the CC run's dir);
+    (2) an analysis error on malformed input must not leak the run's
+    dir either — the scope is entered as a real `with` block after the
+    input projections are built."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    _clear_ckpt_dir(spark)
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+    cc_dir = str(tmp_path / "cc_unset")
+    got = {
+        r.id: r.comp
+        for r in connected_components(df, checkpoint_dir=cc_dir).collect()
+    }
+    assert got == _union_find(edges)
+    assert _current_ckpt_dir(spark) is None
+
+    # error path: missing src column raises at analysis, before any
+    # setCheckpointDir call can leak
+    with pytest.raises(AnalysisException):
+        connected_components(
+            df.select(F.col("id_a").alias("x"), "id_b"),
+            checkpoint_dir=str(tmp_path / "cc_err"),
+        )
+    assert _current_ckpt_dir(spark) is None
+
+    # star variant: same contract
+    got_star = {
+        r.id: r.comp
+        for r in connected_components_star(
+            df, checkpoint_dir=str(tmp_path / "cc_unset_star")
+        ).collect()
+    }
+    assert got_star == _union_find(edges)
+    assert _current_ckpt_dir(spark) is None
+
+
+def test_reliable_checkpoint_through_hadoop_fs_uri(spark, tmp_path):
+    """VERDICT r11 item 7: the reliable-checkpoint mode exercised through
+    a scheme-qualified file:// URI — the same Hadoop FileSystem
+    resolution path an hdfs:// or s3a:// production dir takes (local
+    bare paths short-circuit through the driver's POSIX view; a URI
+    must round-trip the FileSystem.get(uri, conf) machinery the state
+    stores already use).  Labels identical to local mode for BOTH
+    iterative algorithms, and checkpoint blocks land under the URI's
+    local target."""
+    import os
+
+    _clear_ckpt_dir(spark)
+    edges = [(1, 2), (2, 3), (4, 5), (5, 6), (6, 7), (100, 101)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    want = _union_find(edges)
+
+    target = tmp_path / "uri_ckpt"
+    uri = "file://" + str(target)
+    got = {
+        r.id: r.comp
+        for r in connected_components(df, checkpoint_dir=uri).collect()
+    }
+    assert got == want
+    wrote = any(files for _, _, files in os.walk(str(target)))
+    assert wrote, "URI-mode checkpoints must land under the file:// target"
+    assert _current_ckpt_dir(spark) is None
+
+    target2 = tmp_path / "uri_ckpt_star"
+    got_star = {
+        r.id: r.comp
+        for r in connected_components_star(
+            df, checkpoint_dir="file://" + str(target2)
+        ).collect()
+    }
+    assert got_star == want
+    assert any(files for _, _, files in os.walk(str(target2)))

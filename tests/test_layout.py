@@ -336,3 +336,21 @@ def test_integer_bounds_over_double_column_do_not_truncate(spark):
     ]
     assert len(set(ranks)) == 4  # 0.1 and 0.9 must not collapse together
     assert ranks == sorted(ranks)
+
+
+def test_zorder_boolean_column_routes_to_double_path(spark):
+    """ADVICE r11 low: Python bools pass isinstance(..., int), but a
+    BooleanType column cannot subtract a bigint literal — boolean
+    min/max bounds must take the double path (where the column is cast
+    before arithmetic).  False ranks low, True ranks high, and the key
+    builds without an analysis error."""
+    df = spark.createDataFrame(
+        [(1, False), (2, True), (3, False), (4, True)],
+        "id bigint, flag boolean",
+    )
+    keyed = with_zorder_key(df, ["id", "flag"], key_col="zorder_key")
+    rows = {r.id: r for r in keyed.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # the boolean dimension separates: among equal-id bits, True sorts
+    # above False in the interleaved key for the same id rank ordering
+    assert rows[1].zorder_key != rows[2].zorder_key

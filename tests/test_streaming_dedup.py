@@ -171,3 +171,127 @@ def test_streaming_exact_dedup_drops_replayed_text(spark, tmp_path):
         r.doc_id for r in spark.sql("SELECT * FROM exact_dedup_t").collect()
     )
     assert got == [1, 3]
+
+
+def test_dedup_across_compaction_output_identical(spark, tmp_path):
+    """compact_dedup_state between batches: the remaining stream produces
+    EXACTLY the uncompacted run's keep-set (the compacted index answers
+    every cross-batch candidate/verify query the appended one did), and
+    the stores end smaller-or-equal in file count."""
+    from bigdatastructure_a5_spark.streaming.dedup import (
+        compact_dedup_state,
+    )
+
+    docs = _docs(spark)
+    batches = _splits(docs, 4)
+
+    out_a, st_a = str(tmp_path / "out_a"), str(tmp_path / "st_a")
+    for b in batches:
+        process_batch(spark, b, st_a, out_a)
+
+    out_b, st_b = str(tmp_path / "out_b"), str(tmp_path / "st_b")
+    for i, b in enumerate(batches):
+        if i == 2:
+            compact_dedup_state(spark, st_b)
+        process_batch(spark, b, st_b, out_b)
+    compact_dedup_state(spark, st_b)  # idempotent at the tail too
+
+    keep_a = {r.doc_id for r in spark.read.parquet(out_a).collect()}
+    keep_b = {r.doc_id for r in spark.read.parquet(out_b).collect()}
+    assert keep_b == keep_a == _batch_keep_set(spark)
+
+    # compaction actually consolidated: the compacted bands store holds
+    # fewer data files than four appends' worth
+    def n_files(p):
+        return sum(
+            1
+            for dp, _, fns in os.walk(p)
+            for f in fns
+            if f.endswith(".parquet")
+        )
+
+    assert n_files(os.path.join(st_b, "bands")) <= n_files(
+        os.path.join(st_a, "bands")
+    )
+
+
+def test_dedup_compaction_preserves_bucket_partitioning(spark, tmp_path):
+    """A bucketed bands store stays bucket-partitioned across compaction
+    (the partition column is the store's read-pruning key)."""
+    from bigdatastructure_a5_spark.streaming.dedup import (
+        compact_dedup_state,
+    )
+
+    docs = _docs(spark)
+    batches = _splits(docs, 2)
+    out, st = str(tmp_path / "out_bk"), str(tmp_path / "st_bk")
+    process_batch(spark, batches[0], st, out, state_buckets=8)
+    compact_dedup_state(spark, st)
+    # physical layout: bucket=N partition dirs survived the rewrite
+    bands = os.path.join(st, "bands")
+    assert any(d.startswith("bucket=") for d in os.listdir(bands))
+    # and the stream continues correctly over the compacted store
+    process_batch(spark, batches[1], st, out, state_buckets=8)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == _batch_keep_set(spark)
+
+
+def test_dedup_interrupted_compaction_raises_then_repairs(spark, tmp_path):
+    """Crash window between compact_dedup_state's delete and rename:
+    process_batch must RAISE (a silent first-batch restart would disable
+    cross-batch dedup over real history), and re-running the compaction
+    completes the swap."""
+    from bigdatastructure_a5_spark.streaming.dedup import (
+        compact_dedup_state,
+    )
+
+    docs = _docs(spark)
+    batches = _splits(docs, 2)
+    out, st = str(tmp_path / "out_ic"), str(tmp_path / "st_ic")
+    process_batch(spark, batches[0], st, out)
+    bands = os.path.join(st, "bands")
+    os.rename(bands, bands + ".compacting")
+    with pytest.raises(RuntimeError, match="compact"):
+        process_batch(spark, batches[1], st, out)
+    compact_dedup_state(spark, st)  # repair: completes the rename
+    process_batch(spark, batches[1], st, out)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == _batch_keep_set(spark)
+
+
+def test_dedup_compaction_vs_writer_mutual_exclusion(spark, tmp_path):
+    """The lock pair (streaming/state.py): a compaction during an active
+    writer raises; a write during a compaction raises; force=True
+    overrides a mark left by a provably crashed batch."""
+    from bigdatastructure_a5_spark.streaming.dedup import (
+        compact_dedup_state,
+    )
+    from bigdatastructure_a5_spark.streaming.state import (
+        COMPACTION_LOCK,
+        WRITER_MARK,
+        fs_delete,
+        fs_mkdirs,
+        join_path,
+    )
+
+    docs = _docs(spark)
+    batches = _splits(docs, 2)
+    out, st = str(tmp_path / "out_mx"), str(tmp_path / "st_mx")
+    process_batch(spark, batches[0], st, out)
+
+    # writer active (e.g. crashed mid-batch) -> compaction refuses
+    fs_mkdirs(spark, join_path(st, WRITER_MARK))
+    with pytest.raises(RuntimeError, match="active writer"):
+        compact_dedup_state(spark, st)
+    # ...unless the operator confirms the stream is stopped
+    compact_dedup_state(spark, st, force=True)
+    fs_delete(spark, join_path(st, WRITER_MARK))
+
+    # compaction in flight -> writer refuses
+    fs_mkdirs(spark, join_path(st, COMPACTION_LOCK))
+    with pytest.raises(RuntimeError, match="compacted"):
+        process_batch(spark, batches[1], st, out)
+    fs_delete(spark, join_path(st, COMPACTION_LOCK))
+    process_batch(spark, batches[1], st, out)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == _batch_keep_set(spark)

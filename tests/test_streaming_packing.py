@@ -698,3 +698,151 @@ def test_assembler_supports_integer_token_id_arrays(spark, tmp_path):
     }
     tails = {r.shard: list(r.toks) for r in read_tails(spark, state).collect()}
     assert tails == {0: list(range(100 + L, 100 + L + 3))}
+
+
+def test_pack_compaction_vs_writer_mutual_exclusion(spark, tmp_path):
+    """VERDICT r11 item 3: the no-concurrent-stream precondition is
+    enforced, not documented — a compaction attempted during an active
+    writer raises, a write during a compaction raises, and force=True
+    overrides a mark left by a provably crashed batch."""
+    import pytest
+
+    from bigdatastructure_a5_spark.streaming.packing import compact_state
+    from bigdatastructure_a5_spark.streaming.state import (
+        COMPACTION_LOCK,
+        WRITER_MARK,
+        fs_delete,
+        fs_mkdirs,
+        join_path,
+    )
+
+    state, out = str(tmp_path / "st_mx"), str(tmp_path / "out_mx")
+    pack_batch(
+        spark,
+        spark.createDataFrame([(0, 0, 5), (1, 1, 7)], SCHEMA),
+        state,
+        out,
+        L,
+        batch_id=0,
+    )
+
+    # writer active (e.g. crashed mid-batch) -> compaction refuses
+    fs_mkdirs(spark, join_path(state, WRITER_MARK))
+    with pytest.raises(RuntimeError, match="active writer"):
+        compact_state(spark, state, before_batch_id=1)
+    compact_state(spark, state, before_batch_id=1, force=True)
+    fs_delete(spark, join_path(state, WRITER_MARK))
+
+    # compaction in flight -> writer refuses, and marks don't linger
+    fs_mkdirs(spark, join_path(state, COMPACTION_LOCK))
+    with pytest.raises(RuntimeError, match="compacted"):
+        pack_batch(
+            spark,
+            spark.createDataFrame([(2, 0, 3)], SCHEMA),
+            state,
+            out,
+            L,
+            batch_id=1,
+        )
+    assert not os.path.exists(os.path.join(state, WRITER_MARK))
+    fs_delete(spark, join_path(state, COMPACTION_LOCK))
+
+    # after both sides release, the stream continues at correct offsets
+    pack_batch(
+        spark,
+        spark.createDataFrame([(2, 0, 3)], SCHEMA),
+        state,
+        out,
+        L,
+        batch_id=1,
+    )
+    carry = {r.shard: r.base for r in read_carry(spark, state).collect()}
+    assert carry == {0: 8, 1: 7}
+
+
+def test_compact_state_refuses_uncommitted_batches(spark, tmp_path):
+    """ADVICE r11 medium: with the stream's checkpoint_dir given,
+    compact_state enforces before_batch_id <= last COMMITTED batch + 1 —
+    folding a pending batch's carry into the sentinel would let its
+    redelivery pack at base + its own tokens."""
+    import pytest
+
+    from bigdatastructure_a5_spark.streaming.packing import compact_state
+
+    state, out = str(tmp_path / "st_cb"), str(tmp_path / "out_cb")
+    for i in range(3):
+        pack_batch(
+            spark,
+            spark.createDataFrame([(i, 0, 7)], SCHEMA),
+            state,
+            out,
+            L,
+            batch_id=i,
+        )
+    # checkpoint with commit markers for batches 0 and 1 only: batch 2
+    # ran (its state rows exist) but never committed -> redeliverable
+    ckpt = tmp_path / "ckpt_cb"
+    (ckpt / "commits").mkdir(parents=True)
+    for b in ("0", "1"):
+        (ckpt / "commits" / b).write_text("v1")
+    (ckpt / "commits" / "2.tmp.crc").write_text("")  # non-commit junk
+
+    with pytest.raises(ValueError, match="pending redelivery"):
+        compact_state(
+            spark, state, before_batch_id=3, checkpoint_dir=str(ckpt)
+        )
+    # the bound itself is allowed: folds exactly the committed prefix
+    compact_state(
+        spark, state, before_batch_id=2, checkpoint_dir=str(ckpt)
+    )
+    rows = spark.read.parquet(os.path.join(state, "carry")).collect()
+    assert {r.batch_id for r in rows} == {-1, 2}
+    carry = {r.shard: r.base for r in read_carry(spark, state).collect()}
+    assert carry == {0: 21}
+    # an empty/missing commits log means NOTHING may fold
+    ckpt2 = tmp_path / "ckpt_cb2"
+    ckpt2.mkdir()
+    with pytest.raises(ValueError, match="pending redelivery"):
+        compact_state(
+            spark, state, before_batch_id=1, checkpoint_dir=str(ckpt2)
+        )
+
+
+def test_assemble_batch_rejects_non_numeric_ids(spark, tmp_path):
+    """ADVICE r11 medium: a non-numeric string id would cast to NULL and
+    tie every doc on one NULL order key — nondeterministic chunk content
+    across retries.  The assembler must fail loudly instead."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from bigdatastructure_a5_spark.streaming.packing import assemble_batch
+
+    b = spark.createDataFrame(
+        [("doc-a", 0, ["t1", "t2"]), ("doc-b", 0, ["t3"])],
+        "doc_id string, shard bigint, toks array<string>",
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="not castable"
+    ):
+        assemble_batch(
+            spark,
+            b,
+            str(tmp_path / "st_nn"),
+            str(tmp_path / "out_nn"),
+            L,
+            batch_id=0,
+        )
+    # NUMERIC string ids are fine (they cast losslessly)
+    b2 = spark.createDataFrame(
+        [("10", 0, ["t1", "t2"]), ("11", 0, ["t3"])],
+        "doc_id string, shard bigint, toks array<string>",
+    )
+    assemble_batch(
+        spark,
+        b2,
+        str(tmp_path / "st_ns"),
+        str(tmp_path / "out_ns"),
+        L,
+        batch_id=0,
+    )

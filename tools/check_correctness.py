@@ -160,7 +160,13 @@ def _run_oracle(con, sf_dir: str, oracle_sql: str, use_cache: bool):
 #: registry is pool-safe: Spark job submission is thread-safe, DuckDB gets
 #: a cursor per check, and the one shared mutable (the materialize_release
 #: result-cache window) is lock-guarded in session.py.
-SERIAL_QUERIES = {"events_streaming_rollup", "events_streaming_interval_join"}
+SERIAL_QUERIES = {
+    "events_streaming_rollup",
+    "events_streaming_interval_join",
+    # real streaming run too, and it scopes spark.sql.shuffle.partitions
+    # around its foreachBatch drive exactly like the events pair
+    "pack_assembly_incremental",
+}
 
 
 def main() -> int:
