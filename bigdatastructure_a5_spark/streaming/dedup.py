@@ -340,12 +340,24 @@ def compact_dedup_state(
 
     begin_compaction(spark, state_dir, force=force)
     try:
+        bands_dir, _ = _store_paths(state_dir)
         for path in _store_paths(state_dir):
             recover_interrupted_swap(spark, path)
             store = read_state_or_none(spark, path)
             if store is None:
                 continue
-            compacted = store.distinct()
+            # repartition on the store's JOIN key with a parallelism
+            # floor: a tiny/naturally-skewed DISTINCT would otherwise
+            # AQE-coalesce to ONE output file, and every later batch's
+            # candidate/verify scan then serializes through one task
+            # (observed materially slower per batch than the
+            # uncompacted store while iterating on EXPERIMENTS §21;
+            # with the floor, the compacted tail runs 1.67x FASTER).
+            # Keying the files by the join column also keeps same-key
+            # rows co-located for the per-batch equi-joins.
+            floor = max(spark.sparkContext.defaultParallelism, 1)
+            key = ["band", "bhash"] if path == bands_dir else ["id"]
+            compacted = store.distinct().repartition(floor, *key)
             # swap_in_frame inlined because the bands store needs
             # partitionBy: write staging fully, then delete + rename
             from bigdatastructure_a5_spark.streaming.state import (

@@ -200,8 +200,12 @@ def test_dedup_across_compaction_output_identical(spark, tmp_path):
     keep_b = {r.doc_id for r in spark.read.parquet(out_b).collect()}
     assert keep_b == keep_a == _batch_keep_set(spark)
 
-    # compaction actually consolidated: the compacted bands store holds
-    # fewer data files than four appends' worth
+    # compaction bounds the store at the parallelism floor (one keyed
+    # file set), independent of how many batches appended — at test
+    # scale four appends may themselves AQE-coalesce to fewer files, so
+    # the meaningful invariant is the floor bound, not A-vs-B counts
+    # (the consolidation payoff at depth is measured in EXPERIMENTS §21:
+    # 2560 -> 64 files, 1.67x faster tail batches)
     def n_files(p):
         return sum(
             1
@@ -210,9 +214,9 @@ def test_dedup_across_compaction_output_identical(spark, tmp_path):
             if f.endswith(".parquet")
         )
 
-    assert n_files(os.path.join(st_b, "bands")) <= n_files(
-        os.path.join(st_a, "bands")
-    )
+    floor = spark.sparkContext.defaultParallelism
+    assert 0 < n_files(os.path.join(st_b, "bands")) <= floor
+    assert 0 < n_files(os.path.join(st_b, "shingles")) <= floor
 
 
 def test_dedup_compaction_preserves_bucket_partitioning(spark, tmp_path):

@@ -113,6 +113,7 @@ def test_lifted_oracles_match_full_at_x10():
         "pipeline_curation",
         "decontam_benchmark",
         "dedup_clusters",
+        "dedup_clusters_star",
     }
 
     def canon(rel):
@@ -787,3 +788,121 @@ def test_neardup_embedding_cosine_matches_duckdb(spark, sf_dir):
         tuple(r) for r in con.sql(NEARDUP_EMBEDDING_ORACLE).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_pack_assembly_matches_duckdb(spark, sf_dir):
+    """The batch assembler stays engine-vs-oracle checked after the r12
+    rotation (its slot went to pack_assembly_incremental, which gates
+    the same assembly as a real streaming run but — by the streaming
+    contract — emits only COMPLETE chunks; each shard's unfilled last
+    chunk is exclusive to this batch variant and is re-checked here)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.mixture_queries import (
+        _ASSEMBLY_ORACLE,
+        pack_assembly,
+    )
+
+    got = sorted(tuple(r) for r in pack_assembly(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(_ASSEMBLY_ORACLE).fetchall())
+    assert got == want and len(got) > 0
+    # the rows the incremental gate cannot see: at least one per-shard
+    # final chunk is under-full here (the streaming tail)
+    assert any(r[3] < 512 for r in got)
+
+
+_SEMANTIC_4PROBE_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT 8),
+    celled AS (
+      SELECT e.vec_id, e.emb, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY LIST_COSINE_SIMILARITY(e.emb, c.cemb) DESC, c.cid
+             ) AS rn
+      FROM e CROSS JOIN cent c
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           LIST_COSINE_SIMILARITY(a.emb, b.emb) AS cosine
+    FROM (SELECT vec_id, emb, cid FROM celled WHERE rn <= 4) a
+    JOIN (SELECT vec_id, emb, cid FROM celled WHERE rn <= 4) b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE LIST_COSINE_SIMILARITY(a.emb, b.emb) >= 0.45
+    """
+
+
+@pytest.mark.parametrize("scale", ["x1", "x10"])
+def test_semantic_multiprobe_hash_gate(spark, scale):
+    """VERDICT r11 item 5: the semantic-dedup PRODUCTION dial (4-probe
+    assignment) hash-gated, not just measured.  The driver row gates the
+    1-probe/8-cell shape; this extends the same oracle naturally — rn <= 4
+    in the assignment window, pair found in ANY shared cell, DISTINCT —
+    and the engine's with_ivf_cells_probed + cosine_pairs_in_cells must
+    reproduce the pair set bit-for-bit (BLAS argsort and the window
+    share the ties-to-smaller-cid rule; the refine cosine is the
+    engines' shared sequential fold).  Recall is pinned too: 14/14 at
+    x1 (cross-checking §19's 100% 4-probe x1 row) and 1012/1016 at x10
+    — HIGHER than §19's 75% because the gate's 8-cell codebook makes
+    coarser cells than §19's 71 auto-cells (coarser cells, fewer
+    boundary straddles: the cells-vs-recall dial §19 prices)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.catalog import load_table
+    from bigdatastructure_a5_spark.operators.similarity import (
+        cosine_pairs_in_cells,
+        with_ivf_cells_probed,
+    )
+    from bigdatastructure_a5_spark.queries.pipeline import _head_vectors
+
+    if scale == "x1":
+        sf, want_pairs, want_exact = "/root/testdata/sf0.01", 14, 14
+    else:
+        from scale_fixtures import ensure_x10
+
+        sf, want_pairs, want_exact = ensure_x10(
+            "/root/testdata/sf0.01", copies=10
+        ), 1012, 1016
+
+    emb = load_table(spark, sf, "embeddings")
+    head = _head_vectors(spark, sf, 8)
+    cents = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in head]
+    probed = with_ivf_cells_probed(emb, cents, n_probe=4, cell_col="__cell")
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_pairs_in_cells(
+            probed, 0.45, cell_col="__cell"
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(_SEMANTIC_4PROBE_ORACLE).fetchall())
+    assert got == want
+    assert len(got) == want_pairs
+
+    exact = {
+        (a, b)
+        for a, b in con.sql(
+            """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        )
+        SELECT a.vec_id, b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE LIST_COSINE_SIMILARITY(a.emb, b.emb) >= 0.45
+        """
+        ).fetchall()
+    }
+    found = {(a, b) for a, b, _ in got}
+    assert found <= exact, "multi-probe emitted a non-exact pair"
+    assert len(exact) == want_exact
+    assert len(found & exact) == want_pairs

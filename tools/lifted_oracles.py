@@ -198,6 +198,9 @@ def lifted_oracles(copies: int) -> dict[str, str]:
         _TRIGRAM_DOMAIN,
         copies,
     )
+    # the star-contraction row (r12) answers the SAME closure question —
+    # the oracle is algorithm-agnostic, so the lift applies verbatim
+    out["dedup_clusters_star"] = out["dedup_clusters"]
     out["pipeline_curation"] = _lift_curation(
         _base_restricted(REGISTRY["pipeline_curation"].oracle), copies
     )
