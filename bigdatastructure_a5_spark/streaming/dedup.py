@@ -49,7 +49,14 @@ suffixed files or use a transactional table format on top.  The two
 state appends are ordered shingles-then-bands so a crash between them
 can only UNDER-index (repaired by the batch retry), never leave band
 rows whose candidates the shingle verify join would silently drop
-forever (see the step-4 comment in ``process_batch``).
+forever (see the step-4 comment in ``process_batch``).  Both stores are
+append-only (one file set per batch x shuffle partition), so long
+streams pay a FILE-COUNT tax per batch — ``compact_dedup_state``
+(r12) rewrites each store as one DISTINCT, join-key-partitioned file
+set between stream runs (EXPERIMENTS §21 measures the tax and the
+reset: 2560 -> 64 files, 1.67x faster tail batches), guarded by the
+same writer/compaction lock pair and staging-swap crash protocol as
+the packer's state (streaming/state.py).
 """
 
 from __future__ import annotations

@@ -145,7 +145,21 @@ def measure_assembly(spark, copy_points) -> list[str]:
         )
         plan = asm._jdf.queryExecution().executedPlan().toString()
         n_exchanges = plan.count("Exchange hashpartitioning")
+        # which join strategy carried geometry x tokens at this rung —
+        # the broadcast threshold (10 MB default) eventually flips the
+        # geometry side from broadcast to a shuffled join (VERDICT r11
+        # item 8: document where).  AQE may rewrite at runtime, so
+        # re-read the FINAL plan after the first materialization below.
         n_chunks = asm.count()
+        final_plan = asm._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastHashJoin" in final_plan:
+            join_kind = "broadcast"
+        elif "SortMergeJoin" in final_plan:
+            join_kind = "sort-merge"
+        elif "ShuffledHashJoin" in final_plan:
+            join_kind = "shuffled-hash"
+        else:
+            join_kind = "?"
         # invariant, checked distributed: every chunk but each shard's
         # last holds exactly 512 tokens, and size(toks) == n_tokens
         last = asm.groupBy("shard").agg(F.max("chunk_id").alias("__last"))
@@ -166,9 +180,50 @@ def measure_assembly(spark, copy_points) -> list[str]:
         )
         rows.append(
             f"| x{copies} | {n_chunks:,} | {total_toks:,} | {bad} | "
-            f"{n_exchanges} | {sec:.2f} |"
+            f"{n_exchanges} | {join_kind} | {sec:.2f} |"
         )
         print(rows[-1])
+        if copies == max(copy_points):
+            # price the POST-FLIP plan at the same rung: disable the
+            # broadcast threshold so the geometry side takes the
+            # shuffle-join path it will take once it outgrows 10 MB —
+            # the measured answer to "what happens at the flip", not an
+            # extrapolation
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                asm2 = assemble_chunks(
+                    geo, docs.select("doc_id", "toks"), shard_col="shard"
+                )
+                asm2.count()
+                plan2 = (
+                    asm2._jdf.queryExecution().executedPlan().toString()
+                )
+                kind2 = (
+                    "sort-merge"
+                    if "SortMergeJoin" in plan2
+                    else (
+                        "shuffled-hash"
+                        if "ShuffledHashJoin" in plan2
+                        else "?"
+                    )
+                )
+                nex2 = plan2.count("Exchange hashpartitioning")
+                sec2 = timed_reps(
+                    lambda: asm2.write.mode("overwrite")
+                    .format("noop")
+                    .save()
+                )
+                rows.append(
+                    f"| x{copies} (forced post-flip) | {n_chunks:,} | "
+                    f"{total_toks:,} | {bad} | {nex2} | {kind2} | "
+                    f"{sec2:.2f} |"
+                )
+                print(rows[-1])
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", old
+                )
     return rows
 
 
@@ -238,16 +293,20 @@ def main() -> None:
             "token arrays, slices, and flattens in chunk_offset order —",
             "zero Python; cost is at most the geometry join plus one",
             "aggregation exchange on (shard, chunk_id), and the",
-            "'exchanges' column counts what the planner actually needed",
-            "(the geometry side broadcasts at these sizes, so the join",
-            "adds none).  'bad' counts invariant violations CHECKED",
-            "DISTRIBUTED at each rung: a non-final chunk not holding",
-            "exactly 512 tokens, or an assembled array whose size",
-            "disagrees with its summed slice lengths.",
+            "'exchanges' column counts what the planner actually needed,",
+            "and 'geo join' records HOW the geometry side reached the",
+            "token arrays — AQE's final choice, read after",
+            "materialization (VERDICT r11 item 8: the rung where the",
+            "geometry frame outgrows the 10 MB broadcast threshold and",
+            "the join flips to a shuffle is the first real scale",
+            "inflection of the assembly plan).  'bad' counts invariant",
+            "violations CHECKED DISTRIBUTED at each rung: a non-final",
+            "chunk not holding exactly 512 tokens, or an assembled",
+            "array whose size disagrees with its summed slice lengths.",
             "",
             "| corpus | chunks | total tokens | bad | exchanges | "
-            "assembly secs |",
-            "| --- | --- | --- | --- | --- | --- |",
+            "geo join | assembly secs |",
+            "| --- | --- | --- | --- | --- | --- | --- |",
             *asm_rows,
             "",
             "Window stress (synthetic metadata, 2048-token chunks, 64",
@@ -279,6 +338,21 @@ def main() -> None:
             "(it moves the corpus bytes, the geometry pass moves only",
             "counts), which is why it stays a separate operator: re-pack",
             "experiments iterate on geometry without re-shuffling text.",
+            "Broadcast headroom, measured: the geometry side is still",
+            "broadcast at the top rung (slice rows are ~5 bigints, so",
+            "the 10 MB default threshold holds to roughly 2M slices —",
+            "another ~12x past the top rung here), and the forced",
+            "post-flip row prices the plan past it: sort-merge join,",
+            "exchanges 1 -> 4 (both join sides shuffle on the doc key,",
+            "then the agg shuffles on the chunk key), wall COMPARABLE —",
+            "even slightly faster here, since broadcasting 165k rows to",
+            "every task isn't free either.  The flip is a constant-",
+            "factor step, not a cliff; the real cost it adds at corpus",
+            "scale is the token arrays crossing one extra shuffle, and",
+            "the deployment answer is co-partitioning — generate",
+            "geometry from the token frame itself (or bucket both sides",
+            "by the doc key) and the join is collocated at any size, as",
+            "the assemble_chunks docstring prescribes.",
         ]
     )
     path = REPO / "EXPERIMENTS.md"
