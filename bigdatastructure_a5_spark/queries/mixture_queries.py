@@ -360,35 +360,45 @@ def pack_assembly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(token_count("text") > 0)
         .select(
-            "doc_id",
-            (F.col("doc_id") % 8).alias("shard"),
-            tokens("text").alias("toks"),
-        )
-        .withColumn(
-            "__b", F.ntile(3).over(Window.orderBy("doc_id"))
+            "doc_id", (F.col("doc_id") % 8).alias("shard"), "text"
         )
     )
+    # id-range cut points from a SLIM ntile (ids only): running the
+    # window over the document frame itself would drag every text
+    # through a single-partition sort — 3x, once per split write
+    cuts = (
+        docs.select("doc_id")
+        .withColumn("__b", F.ntile(3).over(Window.orderBy("doc_id")))
+        .groupBy("__b")
+        .agg(F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    hi = {int(r["__b"]): int(r.hi) for r in cuts}
     root = tempfile.mkdtemp(prefix="pack_asm_inc_")
     src = os.path.join(root, "src")
     os.makedirs(src)
     base_t = _time.time() - 100
+    lo = None
     for i in (1, 2, 3):
         p = os.path.join(src, f"split_{i}.parquet")
-        docs.filter(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(p)
+        part = docs.filter(F.col("doc_id") <= hi[i])
+        if lo is not None:
+            part = part.filter(F.col("doc_id") > lo)
+        lo = hi[i]
+        part.coalesce(1).write.mode("overwrite").parquet(p)
         for f in sorted(
             os.path.join(dp, fn)
             for dp, _, fns in os.walk(p)
             for fn in fns
         ):
             os.utime(f, (base_t + i, base_t + i))
+    # splits carry TEXT (small at rest); tokenization happens inside the
+    # stream projection, once per document, exactly like a real ingest
     stream = (
-        spark.readStream.schema(
-            "doc_id bigint, shard bigint, toks array<string>"
-        )
+        spark.readStream.schema("doc_id bigint, shard bigint, text string")
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/*")
+        .select("doc_id", "shard", tokens("text").alias("toks"))
     )
     out = os.path.join(root, "out")
     # scope shuffle partitions to the run (same rationale as

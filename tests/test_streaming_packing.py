@@ -846,3 +846,57 @@ def test_assemble_batch_rejects_non_numeric_ids(spark, tmp_path):
         L,
         batch_id=0,
     )
+
+
+def test_compact_bound_reads_real_streaming_checkpoint(spark, tmp_path):
+    """The committed-batch bound against a REAL AvailableNow checkpoint
+    (not a simulated commits dir): after a 3-file stream commits batches
+    0-2, compact_state accepts before_batch_id <= 3 and refuses 4 — and
+    continuing with a batch-mode backfill over the compacted state packs
+    at the exact uncompacted offsets."""
+    import pytest
+
+    from bigdatastructure_a5_spark.streaming.packing import compact_state
+
+    counts = [5, 3, 40, 1, 16, 7, 2, 31]
+    docs = _docs(spark, counts)
+    src = tmp_path / "src_cb"
+    src.mkdir()
+    base_t = time.time() - 100
+    for i, b in enumerate(_splits(docs, 3)):
+        p = str(src / f"split_{i}.parquet")
+        b.coalesce(1).write.mode("overwrite").parquet(p)
+        for f in sorted(
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(p)
+            for fn in fns
+        ):
+            os.utime(f, (base_t + i, base_t + i))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out, state = str(tmp_path / "out_cb"), str(tmp_path / "state_cb")
+    ckpt = str(tmp_path / "ckpt_cb")
+    q = (
+        streaming_pack_writer(stream, state, out, ckpt, L)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    with pytest.raises(ValueError, match="pending redelivery"):
+        compact_state(spark, state, before_batch_id=4, checkpoint_dir=ckpt)
+    compact_state(spark, state, before_batch_id=3, checkpoint_dir=ckpt)
+    rows = spark.read.parquet(os.path.join(state, "carry")).collect()
+    assert {r.batch_id for r in rows} == {-1}
+
+    # backfill continues at the exact offsets the full corpus implies
+    extra = spark.createDataFrame([(100, 0, 9), (101, 1, 4)], SCHEMA)
+    pack_batch(spark, extra, state, out, L, batch_id=3)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = _batch_geo(
+        spark, docs.unionByName(extra)
+    )
+    assert got == want
