@@ -299,6 +299,83 @@ def streaming_neardup_writer(
     )
 
 
+def retract_documents(
+    spark: SparkSession,
+    state_dir: str,
+    ids: DataFrame | list,
+    id_col: str = "doc_id",
+    force: bool = False,
+) -> None:
+    """FORGET documents from the dedup index: delete the given ids' band
+    and shingle rows via the same staging-swap protocol as compaction —
+    the right-to-erasure maintenance op a production crawl index needs
+    (a deleted page must stop suppressing future near-copies of itself;
+    conversely nothing else changes: pairs among the REMAINING corpus
+    are untouched because index rows are per-document).
+
+    ``ids`` is a one-column DataFrame (``id_col``) or a plain list.  The
+    op is corpus-safe: the anti-join + rewrite materializes fully to the
+    staging dir before the original store is deleted (no collect), and
+    the rewrite keeps the compaction guarantees — DISTINCT collapse of
+    retry re-appends, join-key partitioning floor, bucket columns
+    preserved, crash-recoverable swap, writer/compaction lock pair.
+
+    MUST run while the stream is STOPPED, like compaction.  Note kept
+    OUTPUTS are not touched: documents already in ``out_dir`` (or
+    already dropped because they matched a now-retracted doc) keep
+    their history — retraction changes FUTURE dedup decisions only,
+    which is the semantically safe direction (no silent resurrection
+    of past drops)."""
+    from bigdatastructure_a5_spark.streaming.state import (
+        begin_compaction,
+        end_compaction,
+        fs_delete,
+        fs_rename,
+        read_state_or_none,
+        recover_interrupted_swap,
+        staging_path,
+    )
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} bigint"
+        )
+    drop = F.broadcast(
+        ids.select(F.col(id_col).alias("id")).distinct()
+    )
+
+    begin_compaction(spark, state_dir, force=force)
+    try:
+        bands_dir, _ = _store_paths(state_dir)
+        for path in _store_paths(state_dir):
+            recover_interrupted_swap(spark, path)
+            store = read_state_or_none(spark, path)
+            if store is None:
+                continue
+            floor = max(spark.sparkContext.defaultParallelism, 1)
+            key = ["band", "bhash"] if path == bands_dir else ["id"]
+            kept = (
+                store.join(drop, "id", "left_anti")
+                .distinct()
+                .repartition(floor, *key)
+            )
+            writer = kept.write.mode("overwrite")
+            if "bucket" in store.columns:
+                writer = writer.partitionBy("bucket")
+            stg = staging_path(path)
+            writer.parquet(stg)
+            fs_delete(spark, path)
+            if not fs_rename(spark, stg, path):
+                raise RuntimeError(
+                    f"retract_documents: rename {stg} -> {path} "
+                    "failed; the rewritten store is intact at the "
+                    "staging path — re-run compact_dedup_state to "
+                    "complete the swap"
+                )
+    finally:
+        end_compaction(spark, state_dir)
+
+
 def compact_dedup_state(
     spark: SparkSession, state_dir: str, force: bool = False
 ) -> None:

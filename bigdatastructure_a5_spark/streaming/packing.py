@@ -568,7 +568,7 @@ _COMPACT_SENTINEL = -1
 def compact_state(
     spark: SparkSession,
     state_dir: str,
-    before_batch_id: int,
+    before_batch_id: int | None = None,
     checkpoint_dir: str | None = None,
     force: bool = False,
 ) -> None:
@@ -608,7 +608,10 @@ def compact_state(
     strictly-earlier rule exists to prevent.  Pass ``checkpoint_dir``
     (the stream's checkpointLocation) and the bound is read from its
     ``commits/`` log and enforced here; without it the caller owns the
-    bound.
+    bound.  ``before_batch_id=None`` requires ``checkpoint_dir`` and
+    compacts exactly the committed prefix (last committed + 1) — the
+    maintenance-window call is then just
+    ``compact_state(spark, state_dir, checkpoint_dir=ckpt)``.
 
     All filesystem ops go through the Hadoop FileSystem API,
     so the swap works on hdfs://, s3a://... state dirs, not just the
@@ -630,10 +633,15 @@ def compact_state(
         swap_in_frame,
     )
 
-    if before_batch_id <= _COMPACT_SENTINEL + 1:
-        return
-
-    if checkpoint_dir is not None:
+    if before_batch_id is None:
+        if checkpoint_dir is None:
+            raise ValueError(
+                "compact_state: before_batch_id=None needs "
+                "checkpoint_dir to derive the committed prefix"
+            )
+        last = last_committed_batch_id(spark, checkpoint_dir)
+        before_batch_id = (last if last is not None else -1) + 1
+    elif checkpoint_dir is not None:
         last = last_committed_batch_id(spark, checkpoint_dir)
         bound = (last if last is not None else -1) + 1
         if before_batch_id > bound:
@@ -644,6 +652,9 @@ def compact_state(
                 "and must not fold into the sentinel row (their retry "
                 "would pack at base + its own tokens)"
             )
+
+    if before_batch_id <= _COMPACT_SENTINEL + 1:
+        return
 
     cut = F.lit(int(before_batch_id))
     sent = F.lit(_COMPACT_SENTINEL).cast("bigint")

@@ -299,3 +299,72 @@ def test_dedup_compaction_vs_writer_mutual_exclusion(spark, tmp_path):
     process_batch(spark, batches[1], st, out)
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == _batch_keep_set(spark)
+
+
+def test_retract_documents_forgets_only_the_given_ids(spark, tmp_path):
+    """Right-to-erasure on the dedup index: after retracting a doc, a
+    NEW near-copy of it is no longer suppressed, while every other
+    cross-batch decision is unchanged — and past outputs are untouched
+    (retraction changes future decisions only)."""
+    from bigdatastructure_a5_spark.streaming.dedup import (
+        retract_documents,
+    )
+
+    docs = _docs(spark)
+    batches = _splits(docs, 2)
+    out, st = str(tmp_path / "out_rt"), str(tmp_path / "st_rt")
+    process_batch(spark, batches[0], st, out)
+
+    # pick a batch-0 doc with NO near-dups of its own (the fixture
+    # plants duplicate clusters; a clustered doc's siblings would keep
+    # suppressing the probe after the retraction) and prove a replay of
+    # it IS dropped
+    pairs = near_duplicates_minhash(docs, "doc_id", "text", threshold=0.8)
+    paired = {r.id_a for r in pairs.collect()} | {
+        r.id_b for r in pairs.collect()
+    }
+    some_id = (
+        batches[0]
+        .filter(~F.col("doc_id").isin(list(paired)))
+        .orderBy("doc_id")
+        .first()
+        .doc_id
+    )
+    replay_text = (
+        docs.filter(F.col("doc_id") == some_id).first().text
+    )
+    probe1 = spark.createDataFrame(
+        [(10_000_001, replay_text)], "doc_id bigint, text string"
+    )
+    process_batch(spark, probe1, st, out)
+    kept_now = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 10_000_001 not in kept_now  # suppressed by the index
+
+    # forget the source doc AND its replay (dropped docs are indexed
+    # too — the invariant the equivalence guarantee rests on — so an
+    # erasure request must cover the doc's known copies); a fresh copy
+    # must then be KEPT
+    retract_documents(spark, st, [int(some_id), 10_000_001])
+    probe2 = spark.createDataFrame(
+        [(10_000_002, replay_text)], "doc_id bigint, text string"
+    )
+    process_batch(spark, probe2, st, out)
+    kept_after = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 10_000_002 in kept_after
+    # past outputs untouched: the original doc's kept row remains
+    assert some_id in kept_after
+    # and the rest of the stream behaves as if nothing else changed:
+    # batch 1 produces the same keep decisions as an untouched index
+    # (the retracted doc has no near-dups in batch 1 besides planted
+    # duplicates of itself, if any — compare against a control run)
+    out_c, st_c = str(tmp_path / "out_c"), str(tmp_path / "st_c")
+    process_batch(spark, batches[0], st_c, out_c)
+    process_batch(spark, batches[1], st_c, out_c)
+    control = {r.doc_id for r in spark.read.parquet(out_c).collect()}
+    process_batch(spark, batches[1], st, out)
+    treated = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # some_id had no near-dups, so forgetting it cannot change any
+    # batch-1 decision: the treated run keeps exactly the control set
+    # plus the post-retraction probe (10000001 stays dropped, some_id
+    # was kept in both runs)
+    assert treated == control | {10_000_002}

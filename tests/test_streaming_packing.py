@@ -888,7 +888,9 @@ def test_compact_bound_reads_real_streaming_checkpoint(spark, tmp_path):
 
     with pytest.raises(ValueError, match="pending redelivery"):
         compact_state(spark, state, before_batch_id=4, checkpoint_dir=ckpt)
-    compact_state(spark, state, before_batch_id=3, checkpoint_dir=ckpt)
+    # before_batch_id=None derives the committed prefix (3) itself —
+    # the one-liner maintenance-window form
+    compact_state(spark, state, checkpoint_dir=ckpt)
     rows = spark.read.parquet(os.path.join(state, "carry")).collect()
     assert {r.batch_id for r in rows} == {-1}
 
