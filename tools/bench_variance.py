@@ -93,7 +93,14 @@ def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
         "read_bench.py BENCH_r{N}.json` mechanizes the discounting: it "
         "estimates the uniform shift, rescales each observation by it, "
         "and verdicts against PI95 (the **share** column is the "
-        "shift-invariant statistic it uses).",
+        "shift-invariant statistic it uses).  Cross-ROUND totals are "
+        "only comparable on shared slots: r12 grew the registry 50 -> "
+        "51, and the new `pack_assembly_incremental` row alone costs "
+        "~8-10s of wall (it runs a full Structured Streaming ingest — "
+        "3 microbatches with parquet state stores and exactly-once "
+        "per-batch output — inside the bench), so the r12+ total sits "
+        "~10s above the r1-anchor-era surface by construction, not "
+        "regression; per-query PI verdicts are the honest comparison.",
         "",
         "| query | min s | median s | max s | stddev s | PI95 s | share |",
         "| --- | --- | --- | --- | --- | --- | --- |",
