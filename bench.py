@@ -29,6 +29,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Box-contention self-identification (VERDICT r12 item 2: a bench
+    # captured while sweeps shared the box over-reported ~20% and its
+    # envelope verdicts were false) — record the 1/5/15-min load averages
+    # at start and end so a contaminated artifact carries its own
+    # diagnosis.  On this 32-thread box a quiet bench starts below ~2-3;
+    # tools/read_bench.py warns when the recorded load says otherwise.
+    load_start = list(os.getloadavg())
+
     _load_all()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,6 +66,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg": {
+            "start": [round(v, 2) for v in load_start],
+            "end": [round(v, 2) for v in os.getloadavg()],
+        },
     }
     print(json.dumps(out))
 

@@ -486,9 +486,9 @@ def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_salted_skew",
-    oracle="""
+#: Engine-vs-oracle twin for the rotated-out agg_salted_skew (r13) —
+#: consumed by tests/test_tools.py::test_agg_salted_skew_matches_duckdb.
+AGG_SALTED_SKEW_ORACLE = """
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
@@ -497,16 +497,25 @@ def composite_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS sum_l_extendedprice
     FROM lineitem
     GROUP BY l_returnflag
-    """,
-    tags=("ext:skew",),
-)
+    """
+
+
 def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (operators/skew.salted_agg) on a
     3-group key — the worst reduce-side skew shape: 600k rows land on 3
     reducers unsalted.  Salting spreads each group over 16 sub-keys before
     the final combine; the result is EXACTLY the plain GROUP BY (decimal
     sums are associative), which the oracle hash-checks.  AQE splits skewed
-    joins but not aggregations — this is the aggregation-side tool."""
+    joins but not aggregations — this is the aggregation-side tool.
+
+    Rotated OUT of the driver registry in r13 (slot balance for
+    ``dedup_retraction``; the registry is pinned at the driver's 50-row
+    snapshot size — VERDICT r12 item 1): skew salting stays driver-gated
+    via ``join_salted_skew`` (the same operators/skew.py module and the
+    same result-invariance contract), the aggregation side keeps its
+    engine-vs-DuckDB twin in
+    tests/test_tools.py::test_agg_salted_skew_matches_duckdb, and the
+    AQE-vs-manual-salting trade stays measured in EXPERIMENTS §10."""
     from bigdatastructure_a5_spark.operators.skew import salted_agg
 
     li = load_table(spark, sf_dir, "lineitem")

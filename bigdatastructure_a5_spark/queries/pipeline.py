@@ -35,6 +35,12 @@ from bigdatastructure_a5_spark.operators.similarity import (
 )
 from bigdatastructure_a5_spark.registry import query
 
+#: Serializes _minhash_pairs_shared's check-then-build (the gate harness
+#: runs registry queries in a thread pool — see the helper's docstring).
+import threading  # noqa: E402
+
+_CC_PAIRS_LOCK = threading.Lock()
+
 #: DuckDB equivalent of functions.hashing.normalized_text (note the 'g' flag —
 #: DuckDB replaces only the first match without it; Spark replaces all).
 _NORM_SQL = "TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))"
@@ -252,6 +258,73 @@ _CLUSTERS_ORACLE = f"""
     """
 
 
+def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minhash pair set MATERIALIZED once per (fixture dir, file
+    fingerprint) and shared by the two connected-components gate rows
+    (VERDICT r12 item 3: each row independently rebuilt the identical
+    pair set — ~3-5s apiece, the two most expensive non-streaming gate
+    rows — before running its clustering algorithm, which is the surface
+    those rows actually gate; pair CONSTRUCTION keeps its own live
+    hash-gated row, ``dedup_minhash_lsh``).
+
+    Cache shape mirrors pack_assembly_incremental's corpus staging: a
+    fixed temp root keyed by the fixture path, a marker file carrying
+    the documents fingerprint + pair parameters so a regenerated fixture
+    (or changed parameters) rebuilds rather than replaying stale pairs.
+    In production this IS the recommended topology anyway: materialize
+    the pair set once, then run clustering (and any pair-consuming
+    policy) over the stored pairs — re-deriving an O(corpus) shuffle
+    pipeline per consumer is the anti-pattern."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdatastructure_a5_spark.catalog import table_fingerprint
+
+    scope_h = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bds_a5_cc_pairs", scope_h)
+    marker = os.path.join(root, "_STAGED")
+    data = os.path.join(root, "pairs")
+    fprint = (
+        table_fingerprint(sf_dir, "documents") + "|t=0.8|h=64|b=16|n=3"
+    )
+    # the gate harness runs queries in a THREAD POOL: both CC rows can
+    # land here concurrently, and an unlocked check-then-build races one
+    # thread's rmtree against the other's build (observed as a flaky
+    # first-run failure).  The lock serializes staging; readers outside
+    # it only ever see a fully-built store because the marker is written
+    # last and the data dir is swapped in whole via os.rename.
+    with _CC_PAIRS_LOCK:
+        staged = False
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                staged = fh.read().strip() == fprint
+        if not staged:
+            if os.path.isfile(marker):
+                os.remove(marker)
+            os.makedirs(root, exist_ok=True)
+            docs = load_table(spark, sf_dir, "documents")
+            tracked: list = []
+            pairs = near_duplicates_minhash(
+                docs, "doc_id", "text", threshold=0.8, num_hashes=64,
+                bands=16, tracker=tracked,
+            )
+            # the parquet write is the materialization barrier; the pair
+            # set is small (one row per near-dup pair) — build beside,
+            # then swap whole so a concurrent PROCESS never reads a
+            # half-written store
+            build = data + f".build-{os.getpid()}"
+            pairs.write.mode("overwrite").parquet(build)
+            for df in tracked:
+                df.unpersist()
+            shutil.rmtree(data, ignore_errors=True)
+            os.rename(build, data)
+            with open(marker, "w") as fh:
+                fh.write(fprint)
+    return spark.read.parquet(data)
+
+
 @query("dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("ext:dedup",))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS (operators/components.py): the minhash
@@ -263,20 +336,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the closure with a recursive CTE, so the driver
     hash-checks an ITERATIVE distributed algorithm end-to-end.
     Propagation rounds = the dup-graph diameter (quasi-cliques, 2-3);
-    per-round plans are localCheckpoint-bounded."""
+    per-round plans are localCheckpoint-bounded.  The pair set comes
+    from the shared per-fixture materialization
+    (``_minhash_pairs_shared``) — built once, consumed by both CC rows;
+    pair construction itself stays live-gated via dedup_minhash_lsh."""
     from bigdatastructure_a5_spark.operators.components import (
         connected_components,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    tracked: list = []
-    pairs = near_duplicates_minhash(
-        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16,
-        tracker=tracked,
-    )
-    comp = connected_components(pairs)
-    for df in tracked:
-        df.unpersist()
+    comp = connected_components(_minhash_pairs_shared(spark, sf_dir))
     return comp.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
@@ -295,22 +363,152 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     the escape hatch when a dup graph is deeper than the quasi-clique
     shape dedup usually produces.  Both rows green proves the two
     algorithms agree not just in pytest fixtures but on the driver's
-    fixture corpus at gate scale."""
+    fixture corpus at gate scale.  Consumes the SAME materialized pair
+    set as dedup_clusters (``_minhash_pairs_shared``, VERDICT r12
+    item 3) — the two rows now differ ONLY in the clustering algorithm,
+    which is exactly the surface they gate."""
     from bigdatastructure_a5_spark.operators.components import (
         connected_components_star,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    tracked: list = []
-    pairs = near_duplicates_minhash(
-        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16,
-        tracker=tracked,
-    )
-    comp = connected_components_star(pairs)
-    for df in tracked:
-        df.unpersist()
+    comp = connected_components_star(_minhash_pairs_shared(spark, sf_dir))
     return comp.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+#: DuckDB twin of the RETRACTION scenario below: exact Jaccard pairs at
+#: >= 0.8 over the full corpus, then the incremental flow's own decision
+#: rules replayed per batch.  Batch 1 (even doc_ids) dedups within-batch
+#: by the pair rule (drop id_b of every id_a < id_b pair).  Between the
+#: batches, every even doc with an odd near-copy is RETRACTED from the
+#: index (the deterministic rule with a guaranteed-observable effect on
+#: the fixtures: 12 odd docs at sf0.01 survive that would otherwise
+#: drop) — so batch 2 (odd doc_ids) is checked against (all batch-1
+#: docs, kept AND dropped, minus the retracted ids) in EITHER pair
+#: direction (the index join has no id-order condition across batches)
+#: plus the usual within-batch id-ordered rule.  Retraction changes
+#: FUTURE decisions only: batch-1 keeps are untouched (the operator's
+#: documented contract).
+_RETRACTION_ORACLE = f"""
+    WITH pairs AS (
+      SELECT id_a, id_b FROM ({_SHINGLES_SQL + _JACCARD_PAIRS_SQL})
+    ),
+    d AS (SELECT doc_id, doc_id % 2 AS b FROM documents),
+    sym AS (
+      SELECT id_a AS x, id_b AS y FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    retracted AS (
+      SELECT DISTINCT s.x AS doc_id
+      FROM sym s
+      WHERE s.x % 2 = 0 AND s.y % 2 = 1
+    ),
+    drop1 AS (
+      SELECT DISTINCT p.id_b AS doc_id
+      FROM pairs p
+      WHERE p.id_a % 2 = 0 AND p.id_b % 2 = 0
+    ),
+    drop2 AS (
+      SELECT DISTINCT s.y AS doc_id
+      FROM sym s
+      WHERE s.y % 2 = 1 AND (
+        (s.x % 2 = 0
+         AND s.x NOT IN (SELECT doc_id FROM retracted))
+        OR (s.x % 2 = 1 AND s.x < s.y)
+      )
+    )
+    SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS ingest_batch
+    FROM d
+    WHERE (b = 0 AND doc_id NOT IN (SELECT doc_id FROM drop1))
+       OR (b = 1 AND doc_id NOT IN (SELECT doc_id FROM drop2))
+    """
+
+
+@query(
+    "dedup_retraction",
+    oracle=_RETRACTION_ORACLE,
+    tags=("ext:dedup", "ext:streaming"),
+)
+def dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup INDEX MAINTENANCE end-to-end (VERDICT r12 item 5:
+    retraction and compaction were pytest-only while every other
+    streaming surface had a driver row).  The gated path runs the real
+    parquet-state incremental dedup flow (streaming/dedup.py) with both
+    r12 maintenance ops in the middle:
+
+      1. ingest batch 1 (even doc_ids) via ``process_batch`` — the
+         foreachBatch body, callable directly for batch-mode backfills;
+      2. ``retract_documents``: erase every even doc that has an odd
+         near-copy (derived from the shared materialized pair set —
+         deterministic, and observable by construction) from the band
+         and shingle stores (right-to-erasure — a deleted page must
+         stop suppressing future near-copies of itself);
+      3. ``compact_dedup_state``: DISTINCT + join-key-partitioned
+         rewrite of both stores (semantically a no-op — the oracle
+         proving that IS part of the gate);
+      4. ingest batch 2 (odd doc_ids) — its cross-batch check now runs
+         against the retracted-and-compacted index.
+
+    Output = the kept documents from both batches.  The oracle replays
+    the decision rules exactly (see _RETRACTION_ORACLE); the LSH
+    candidate capture at the fixtures' planted-duplicate similarities
+    makes banded == exact (same argument, measurement and parameters —
+    64 hashes x 16 bands — as dedup_minhash_lsh's oracle note).
+    Retraction is OBSERVABLE in the output: odd near-copies of a
+    retracted even doc survive where they would otherwise drop — 12
+    such docs at sf0.01 (asserted non-vacuous in
+    tests/test_streaming_dedup.py)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from bigdatastructure_a5_spark.streaming.dedup import (
+        compact_dedup_state,
+        process_batch,
+        retract_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # per-scope scratch, cleared at entry (the pack_assembly_incremental
+    # pattern): reruns overwrite rather than accumulate temp roots
+    scope_h = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), "bds_a5_dedup_retract", scope_h
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    state = os.path.join(root, "state")
+    out = os.path.join(root, "out")
+
+    kw = dict(threshold=0.8, num_hashes=64, bands=16)
+    process_batch(spark, b1, state, out, **kw)
+    # retract every even doc with an odd near-copy: derived from the
+    # same shared pair materialization the CC rows consume (the pair set
+    # IS the near-dup ground truth, so the rule is deterministic and the
+    # oracle replays it); symmetric scan because pairs store id_a < id_b
+    pairs = _minhash_pairs_shared(spark, sf_dir)
+    sym = pairs.select(
+        F.col("id_a").alias("x"), F.col("id_b").alias("y")
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("x"), F.col("id_a").alias("y")
+        )
+    )
+    retract_ids = (
+        sym.filter((F.col("x") % 2 == 0) & (F.col("y") % 2 == 1))
+        .select(F.col("x").alias("doc_id"))
+        .distinct()
+    )
+    retract_documents(spark, state, retract_ids)
+    compact_dedup_state(spark, state)
+    process_batch(spark, b2, state, out, **kw)
+    return spark.read.parquet(out).select(
+        "doc_id", (F.col("doc_id") % 2).cast("bigint").alias("ingest_batch")
     )
 
 

@@ -228,7 +228,26 @@ def _process_batch_body(
             .select("id_a", F.col("id").alias("id_b"))
             .distinct()
         )
-        stored_sh = spark.read.parquet(shingles_dir).select(
+        # the shingles store gets the same missing-store diagnosis as the
+        # bands store (ADVICE r12 low): bands present + shingles missing
+        # is a compaction interrupted mid-shingles-swap (guard names the
+        # repair) or store corruption — either way a raw PATH_NOT_FOUND
+        # would lose the designed diagnostic
+        stored_sh = read_state_or_none(spark, shingles_dir)
+        if stored_sh is None:
+            from bigdatastructure_a5_spark.streaming.state import (
+                guard_interrupted_compaction,
+            )
+
+            guard_interrupted_compaction(spark, shingles_dir)
+            raise RuntimeError(
+                f"dedup state at {state_dir} has a bands store but no "
+                f"shingles store ({shingles_dir} missing, no staging "
+                "dir): the candidate-verify join cannot run — the store "
+                "pair is corrupt; restore the shingles store or rebuild "
+                "the index"
+            )
+        stored_sh = stored_sh.select(
             F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
         )
         batch_sh = shingled.select(
@@ -329,11 +348,9 @@ def retract_documents(
     from bigdatastructure_a5_spark.streaming.state import (
         begin_compaction,
         end_compaction,
-        fs_delete,
-        fs_rename,
         read_state_or_none,
         recover_interrupted_swap,
-        staging_path,
+        swap_in_frame,
     )
 
     if not isinstance(ids, DataFrame):
@@ -359,19 +376,15 @@ def retract_documents(
                 .distinct()
                 .repartition(floor, *key)
             )
-            writer = kept.write.mode("overwrite")
-            if "bucket" in store.columns:
-                writer = writer.partitionBy("bucket")
-            stg = staging_path(path)
-            writer.parquet(stg)
-            fs_delete(spark, path)
-            if not fs_rename(spark, stg, path):
-                raise RuntimeError(
-                    f"retract_documents: rename {stg} -> {path} "
-                    "failed; the rewritten store is intact at the "
-                    "staging path — re-run compact_dedup_state to "
-                    "complete the swap"
-                )
+            swap_in_frame(
+                spark,
+                kept,
+                path,
+                partition_by=(
+                    ["bucket"] if "bucket" in store.columns else None
+                ),
+                op="retract_documents",
+            )
     finally:
         end_compaction(spark, state_dir)
 
@@ -419,7 +432,7 @@ def compact_dedup_state(
         end_compaction,
         read_state_or_none,
         recover_interrupted_swap,
-        staging_path,
+        swap_in_frame,
     )
 
     begin_compaction(spark, state_dir, force=force)
@@ -442,25 +455,14 @@ def compact_dedup_state(
             floor = max(spark.sparkContext.defaultParallelism, 1)
             key = ["band", "bhash"] if path == bands_dir else ["id"]
             compacted = store.distinct().repartition(floor, *key)
-            # swap_in_frame inlined because the bands store needs
-            # partitionBy: write staging fully, then delete + rename
-            from bigdatastructure_a5_spark.streaming.state import (
-                fs_delete,
-                fs_rename,
+            swap_in_frame(
+                spark,
+                compacted,
+                path,
+                partition_by=(
+                    ["bucket"] if "bucket" in store.columns else None
+                ),
+                op="compact_dedup_state",
             )
-
-            writer = compacted.write.mode("overwrite")
-            if "bucket" in store.columns:
-                writer = writer.partitionBy("bucket")
-            stg = staging_path(path)
-            writer.parquet(stg)
-            fs_delete(spark, path)
-            if not fs_rename(spark, stg, path):
-                raise RuntimeError(
-                    f"compact_dedup_state: rename {stg} -> {path} "
-                    "failed; the compacted store is intact at the "
-                    "staging path — re-run compact_dedup_state to "
-                    "complete the swap"
-                )
     finally:
         end_compaction(spark, state_dir)

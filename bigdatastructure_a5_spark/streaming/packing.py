@@ -406,22 +406,40 @@ def _assemble_batch_body(
     # guard runs; try_cast yields NULL in both ANSI modes, so the clear
     # message below fires deterministically
     casted = F.col(id_col).try_cast("bigint")
-    oid = F.when(
-        F.col(id_col).isNotNull() & casted.isNull(),
-        F.raise_error(
-            F.concat(
+    # NULL ids are the same hazard as uncastable ones (every NULL row
+    # would collapse onto one NULL order key) — the guard fires for both,
+    # with distinct messages (ADVICE r12 low: the original condition
+    # isNotNull() & casted.isNull() let NULLs slip past)
+    oid = (
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
                 F.lit(
-                    f"assemble_batch: {id_col}="
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(
-                    " is not castable to bigint — the assembler needs "
-                    "numeric unique ids for its order key (unlike "
-                    "pack_batch, which orders by the raw column)"
-                ),
-            )
-        ).cast("bigint"),
-    ).otherwise(casted)
+                    f"assemble_batch: {id_col} is NULL — the assembler "
+                    "needs non-null numeric unique ids for its order "
+                    "key; NULL ids would all tie on one NULL order key "
+                    "(nondeterministic chunk content across retries)"
+                )
+            ).cast("bigint"),
+        )
+        .when(
+            casted.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"assemble_batch: {id_col}="
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        " is not castable to bigint — the assembler needs "
+                        "numeric unique ids for its order key (unlike "
+                        "pack_batch, which orders by the raw column)"
+                    ),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(casted)
+    )
     docs = batch.select(
         F.col(shard_col).alias("shard"),
         oid.alias("__oid"),

@@ -190,20 +190,35 @@ def recover_interrupted_swap(spark: SparkSession, path: str) -> None:
         fs_rename(spark, stg, path)
 
 
-def swap_in_frame(spark: SparkSession, frame, path: str) -> None:
+def swap_in_frame(
+    spark: SparkSession,
+    frame,
+    path: str,
+    partition_by: list[str] | None = None,
+    op: str = "compaction",
+) -> None:
     """Replace the store at ``path`` with ``frame``'s rows via the
     staging protocol.  The staging write fully materializes ``frame``
     BEFORE the original is deleted — callers whose frame READS ``path``
     (the compact-in-place shape) are safe as long as the frame is not
-    re-evaluated after this call (do not return it)."""
+    re-evaluated after this call (do not return it).
+
+    ``partition_by`` threads a ``partitionBy`` through the staging write
+    (the bands store's bucket layout) so every state rewriter shares this
+    ONE copy of the crash protocol (ADVICE r12 low: the dedup maintenance
+    ops had inlined near-copies); ``op`` names the caller in the repair
+    message."""
     stg = staging_path(path)
-    frame.write.mode("overwrite").parquet(stg)
+    writer = frame.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stg)
     fs_delete(spark, path)
     if not fs_rename(spark, stg, path):
         raise RuntimeError(
-            f"compaction: rename {stg} -> {path} failed; the compacted "
-            "store is intact at the staging path — re-run the "
-            "compaction to complete the swap"
+            f"{op}: rename {stg} -> {path} failed; the rewritten "
+            "store is intact at the staging path — re-run "
+            "compact_dedup_state / compact_state to complete the swap"
         )
 
 

@@ -368,3 +368,46 @@ def test_retract_documents_forgets_only_the_given_ids(spark, tmp_path):
     # plus the post-retraction probe (10000001 stays dropped, some_id
     # was kept in both runs)
     assert treated == control | {10_000_002}
+
+
+def test_dedup_retraction_gate_row_is_non_vacuous(spark):
+    """The r13 gate row's retraction must OBSERVABLY change the keep-set
+    (a retraction that retracts nothing would gate only the happy path):
+    running the identical two-batch flow WITHOUT the retraction step must
+    keep strictly fewer documents — the saved docs are exactly the odd
+    near-copies whose only earlier matches were the retracted evens."""
+    from bigdatastructure_a5_spark.queries.pipeline import (
+        _minhash_pairs_shared,
+        dedup_retraction,
+    )
+    from bigdatastructure_a5_spark.streaming.dedup import (
+        process_batch as pb,
+    )
+
+    kept = {
+        r.doc_id for r in dedup_retraction(spark, SF).collect()
+    }
+
+    # control: same batches, no retraction/compaction
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="retr_ctl_")
+    st, out = os.path.join(root, "st"), os.path.join(root, "out")
+    docs = _docs(spark)
+    kw = dict(threshold=0.8, num_hashes=64, bands=16)
+    pb(spark, docs.filter(F.col("doc_id") % 2 == 0), st, out, **kw)
+    pb(spark, docs.filter(F.col("doc_id") % 2 == 1), st, out, **kw)
+    control = {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    saved = kept - control
+    assert control <= kept  # retraction only ever ADDS keeps
+    assert saved, "retraction had no observable effect on this fixture"
+    # every saved doc is odd (batch-1 decisions are untouched) and has a
+    # retracted even near-copy (the only mechanism that can save it)
+    assert all(d % 2 == 1 for d in saved)
+    pairs = _minhash_pairs_shared(spark, SF)
+    sym = {(r.id_a, r.id_b) for r in pairs.collect()}
+    sym |= {(b, a) for a, b in sym}
+    retracted = {a for a, b in sym if a % 2 == 0 and b % 2 == 1}
+    for d in saved:
+        assert any((x, d) in sym for x in retracted)

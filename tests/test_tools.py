@@ -114,6 +114,7 @@ def test_lifted_oracles_match_full_at_x10():
         "decontam_benchmark",
         "dedup_clusters",
         "dedup_clusters_star",
+        "dedup_retraction",
     }
 
     def canon(rel):
@@ -906,3 +907,51 @@ def test_semantic_multiprobe_hash_gate(spark, scale):
     assert found <= exact, "multi-probe emitted a non-exact pair"
     assert len(exact) == want_exact
     assert len(found & exact) == want_pairs
+
+
+def test_agg_salted_skew_matches_duckdb(spark, sf_dir):
+    """Salted aggregation stays engine-vs-oracle checked after the r13
+    rotation (its slot went to dedup_retraction; skew salting stays
+    driver-gated via join_salted_skew — same operators/skew.py module)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.parity import (
+        AGG_SALTED_SKEW_ORACLE,
+        agg_salted_skew,
+    )
+
+    got = sorted(
+        (r.l_returnflag, r.n_rows, r.sum_l_quantity, r.sum_l_extendedprice)
+        for r in agg_salted_skew(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(AGG_SALTED_SKEW_ORACLE).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_pipeline_split_matches_duckdb(spark, sf_dir):
+    """The train/val/test splitter stays engine-vs-oracle checked after
+    the r13 rotation (its slot went to dedup_retraction; the md5-prefix
+    uniform stays driver-gated via pipeline_mixture)."""
+    import duckdb
+
+    from bigdatastructure_a5_spark.queries.mixture_queries import (
+        PIPELINE_SPLIT_ORACLE,
+        pipeline_split,
+    )
+
+    got = sorted(
+        (r.doc_id, r.source, r.split)
+        for r in pipeline_split(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(PIPELINE_SPLIT_ORACLE).fetchall())
+    assert got == want and len(got) > 0

@@ -143,6 +143,44 @@ def _lift_curation(base_sql: str, copies: int) -> str:
     """
 
 
+def _lift_retraction(base_pairs_sql: str, domain_sql: str, copies: int) -> str:
+    """Lift the r13 retraction gate row's keep-set.  OFFSET is even, so
+    copy shifts preserve doc_id parity and the xN pair structure factors
+    cleanly per parity class:
+
+    - the CROSS-BATCH drop clause is provably dead under the row's
+      retraction rule at ANY scale (x1 included): an odd doc's even pair
+      partners are, by the rule's own definition, exactly the evens with
+      an odd near-copy — i.e. every one of them is retracted before
+      batch 2 runs, so no odd doc is ever dropped by the index.  (The
+      clause still gates the real mechanism: without the retraction the
+      Spark side DOES drop those docs — pinned non-vacuous at sf0.001 by
+      test_dedup_retraction_gate_row_is_non_vacuous.)
+    - WITHIN-batch drops lift like the pair family: copy-0 doc y drops
+      iff some same-parity base partner x < y exists (cross-copy pairs
+      of smaller copies never undercut copy 0 because OFFSET dominates
+      any base id), and every copy c >= 1 of an IN-DOMAIN doc drops via
+      its jaccard-1.0 self pair with copy 0.  Out-of-domain docs (empty
+      shingle sets) pair with nothing and keep every copy.
+    """
+    return f"""
+    WITH bp AS ({base_pairs_sql}),
+    dom AS ({domain_sql}),
+    dropped0 AS (
+      SELECT DISTINCT id_b AS doc_id FROM bp WHERE id_a % 2 = id_b % 2
+    ),
+    base AS (
+      SELECT doc_id FROM documents WHERE doc_id < {OFFSET}
+    ),
+    copies AS (SELECT UNNEST(RANGE({copies})) AS c)
+    SELECT b.doc_id + c.c * {OFFSET} AS doc_id,
+           CAST(b.doc_id % 2 AS BIGINT) AS ingest_batch
+    FROM base b, copies c
+    WHERE (c.c = 0 AND b.doc_id NOT IN (SELECT doc_id FROM dropped0))
+       OR (c.c > 0 AND b.doc_id NOT IN (SELECT doc_id FROM dom))
+    """
+
+
 #: Trigram-family pair domain: base docs with a non-empty shingle set
 #: (the sz CTE of the registered oracle).
 _TRIGRAM_DOMAIN = (
@@ -203,6 +241,11 @@ def lifted_oracles(copies: int) -> dict[str, str]:
     out["dedup_clusters_star"] = out["dedup_clusters"]
     out["pipeline_curation"] = _lift_curation(
         _base_restricted(REGISTRY["pipeline_curation"].oracle), copies
+    )
+    out["dedup_retraction"] = _lift_retraction(
+        _base_restricted(REGISTRY["dedup_minhash_lsh"].oracle),
+        _TRIGRAM_DOMAIN,
+        copies,
     )
     out["decontam_benchmark"] = _lift_decontam(
         _base_restricted(REGISTRY["decontam_benchmark"].oracle), copies

@@ -93,10 +93,26 @@ def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
-    bench_queries = unwrap_bench_doc(json.loads(Path(sys.argv[1]).read_text()))
+    doc = json.loads(Path(sys.argv[1]).read_text())
+    bench_queries = unwrap_bench_doc(doc)
     env_path = Path(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_ENVELOPE
     env = json.loads(env_path.read_text())
     shift, rows = read_bench(bench_queries, env["samples"])
+
+    # r13: bench.py records os.getloadavg() at start and end so a
+    # contaminated artifact (the r11/r12 failure mode: sweeps sharing the
+    # box inflated totals ~20% and forged envelope "regressions") is
+    # self-identifying.  A quiet 32-thread box starts well under 4.
+    la = (doc.get("parsed", doc) or {}).get("loadavg")
+    if la:
+        worst = max(la.get("start", [0])[0], la.get("end", [0])[0])
+        if worst > 4.0:
+            print(
+                f"WARNING: bench ran on a BUSY box (loadavg start="
+                f"{la.get('start')}, end={la.get('end')}) — timings and "
+                "the verdicts below likely over-report; re-run on a "
+                "quiet box before trusting any regression"
+            )
 
     print(
         f"uniform session shift: {shift:.3f}x "
