@@ -351,20 +351,27 @@ def pack_assembly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Harness scaffolding vs operator: the ntile(3) split + per-split
     temp-file write + forced mtimes exist only to make a finite fixture
-    arrive as three ordered microbatches (the same trick the pytest
-    streaming runs use); the gated operator is the foreachBatch body.
-    Empty documents are dropped up front (token_count = 0 — the same
-    rule the batch packer applies inside concat_and_chunk).
+    arrive as ordered microbatches (the same trick the pytest streaming
+    runs use); the gated operator is the foreachBatch body.  Empty
+    documents are dropped up front (token_count = 0 — the same rule the
+    batch packer applies inside concat_and_chunk).  TWO ingest batches
+    since r13 (VERDICT r12 item 4's second lever): the oracle is
+    batch-count independent (it checks the union of COMPLETE chunks)
+    and two batches already put every cross-batch mechanism on the
+    gated path — carry read-back, tail re-pack, strictly-earlier retry
+    state, per-batch exactly-once dirs; the 3-batch and bucketed splits
+    stay pytest-pinned (test_streaming_packing.py).
 
     The ingest SPLITS are staged ONCE per (fixture dir, file
-    fingerprint) under a fixed temp root and reused across invocations
-    (VERDICT r12 item 4: per-rep corpus staging dominated the row's
-    wall); each invocation clears and reuses the SAME per-scope run dir
-    for state/checkpoint/output, so repeated gate and multi-rep bench
-    runs overwrite rather than accumulate orphaned temp roots (ADVICE
-    r12 low).  The streaming run itself — three real AvailableNow
-    microbatches through the state stores — happens fresh every
-    invocation; only the batch-invariant ingest files are cached."""
+    fingerprint, harness version) under a fixed temp root and reused
+    across invocations (VERDICT r12 item 4: per-rep corpus staging
+    dominated the row's wall); each invocation clears and reuses the
+    SAME per-scope run dir for state/checkpoint/output, so repeated
+    gate and multi-rep bench runs overwrite rather than accumulate
+    orphaned temp roots (ADVICE r12 low).  The streaming run itself —
+    real AvailableNow microbatches through the state stores — happens
+    fresh every invocation; only the batch-invariant ingest files are
+    cached."""
     import hashlib
     import os
     import shutil
@@ -383,7 +390,9 @@ def pack_assembly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), "bds_a5_pack_asm", scope_h)
     src = os.path.join(root, "src")
     marker = os.path.join(root, "_STAGED")
-    fprint = table_fingerprint(sf_dir, "documents")
+    # the harness version rides in the marker so a staging from an older
+    # split geometry (r12 used 3 splits) invalidates instead of replaying
+    fprint = table_fingerprint(sf_dir, "documents") + "|splits=2"
     staged = False
     if os.path.isfile(marker):
         with open(marker) as fh:
@@ -405,10 +414,10 @@ def pack_assembly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # id-range cut points from a SLIM ntile (ids only): running the
         # window over the document frame itself would drag every text
-        # through a single-partition sort — 3x, once per split write
+        # through a single-partition sort — once per split write
         cuts = (
             docs.select("doc_id")
-            .withColumn("__b", F.ntile(3).over(Window.orderBy("doc_id")))
+            .withColumn("__b", F.ntile(2).over(Window.orderBy("doc_id")))
             .groupBy("__b")
             .agg(F.max("doc_id").alias("hi"))
             .collect()
@@ -416,7 +425,7 @@ def pack_assembly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = {int(r["__b"]): int(r.hi) for r in cuts}
         base_t = _time.time() - 100
         lo = None
-        for i in (1, 2, 3):
+        for i in (1, 2):
             p = os.path.join(src, f"split_{i}.parquet")
             part = docs.filter(F.col("doc_id") <= hi[i])
             if lo is not None:

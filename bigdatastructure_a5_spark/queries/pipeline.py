@@ -486,11 +486,16 @@ def dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(root, "out")
 
     kw = dict(threshold=0.8, num_hashes=64, bands=16)
+    # NOTE: deliberately NOT scoping shuffle partitions down here (the
+    # pack_assembly_incremental trick): the per-batch minhash signature
+    # aggregation is CPU-bound and wants every core — measured 10.2s at
+    # 32 partitions vs 29s+ at 8 on the 32-thread box
     process_batch(spark, b1, state, out, **kw)
     # retract every even doc with an odd near-copy: derived from the
-    # same shared pair materialization the CC rows consume (the pair set
-    # IS the near-dup ground truth, so the rule is deterministic and the
-    # oracle replays it); symmetric scan because pairs store id_a < id_b
+    # same shared pair materialization the CC rows consume (the pair
+    # set IS the near-dup ground truth, so the rule is deterministic
+    # and the oracle replays it); symmetric scan because pairs store
+    # id_a < id_b
     pairs = _minhash_pairs_shared(spark, sf_dir)
     sym = pairs.select(
         F.col("id_a").alias("x"), F.col("id_b").alias("y")
