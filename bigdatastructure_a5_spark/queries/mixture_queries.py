@@ -115,7 +115,7 @@ def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same hash, same cross-engine-exact cut-point comparison), and the
     splitter keeps its engine-vs-DuckDB twin in
     tests/test_tools.py::test_pipeline_split_matches_duckdb plus the
-    NULL-routing/property tests in tests/test_mixture_packing.py."""
+    NULL-routing/property tests in tests/test_mixture.py."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return assign_split(docs, SPLIT_FRACTIONS)
 

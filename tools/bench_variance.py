@@ -94,13 +94,18 @@ def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
         "estimates the uniform shift, rescales each observation by it, "
         "and verdicts against PI95 (the **share** column is the "
         "shift-invariant statistic it uses).  Cross-ROUND totals are "
-        "only comparable on shared slots: r12 grew the registry 50 -> "
-        "51, and the new `pack_assembly_incremental` row alone costs "
-        "~8-10s of wall (it runs a full Structured Streaming ingest — "
-        "3 microbatches with parquet state stores and exactly-once "
-        "per-batch output — inside the bench), so the r12+ total sits "
-        "~10s above the r1-anchor-era surface by construction, not "
-        "regression; per-query PI verdicts are the honest comparison.",
+        "only comparable on shared slots (the registry rotates; r13 "
+        "re-pinned it at 50 rows), and two rows are STRUCTURALLY heavy "
+        "by design: `pack_assembly_incremental` runs a real Structured "
+        "Streaming ingest (two AvailableNow microbatches with parquet "
+        "state stores and exactly-once per-batch output; ~4s median "
+        "after the r13 staging cache — down from ~8-10s when it staged "
+        "its ingest corpus per rep), and `dedup_retraction` (r13) runs "
+        "TWO incremental-dedup batches plus four state-store rewrites "
+        "(retraction + compaction on both stores) — ~9-10s median, "
+        "almost entirely operator/state-machinery work with a fat "
+        "scheduling tail, priced here so its PI is honest.  Per-query "
+        "PI verdicts are the honest comparison.",
         "",
         "| query | min s | median s | max s | stddev s | PI95 s | share |",
         "| --- | --- | --- | --- | --- | --- | --- |",
