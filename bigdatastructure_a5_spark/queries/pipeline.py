@@ -284,25 +284,22 @@ def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scope_h = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), "bds_a5_cc_pairs", scope_h)
-    marker = os.path.join(root, "_STAGED")
-    data = os.path.join(root, "pairs")
-    fprint = (
-        table_fingerprint(sf_dir, "documents") + "|t=0.8|h=64|b=16|n=3"
-    )
-    # the gate harness runs queries in a THREAD POOL: both CC rows can
-    # land here concurrently, and an unlocked check-then-build races one
-    # thread's rmtree against the other's build (observed as a flaky
-    # first-run failure).  The lock serializes staging; readers outside
-    # it only ever see a fully-built store because the marker is written
-    # last and the data dir is swapped in whole via os.rename.
+    fprint = hashlib.md5(
+        (table_fingerprint(sf_dir, "documents") + "|t=0.8|h=64|b=16|n=3")
+        .encode()
+    ).hexdigest()[:12]
+    # the store dir carries the FINGERPRINT in its name: builders of the
+    # same fingerprint produce bit-identical content, so a loser of the
+    # build race can simply adopt the winner's store, and NOTHING ever
+    # deletes a store a concurrent same-fingerprint reader (this gate
+    # runs queries in a thread pool; the driver may use processes) could
+    # be lazily reading.  Stale-fingerprint stores are pruned only AFTER
+    # a new fingerprint's store lands — the fixture-regenerated case,
+    # where the old fixture's readers are gone by construction.  The
+    # in-process lock just keeps the two CC rows from building twice.
+    data = os.path.join(root, f"pairs-{fprint}")
     with _CC_PAIRS_LOCK:
-        staged = False
-        if os.path.isfile(marker):
-            with open(marker) as fh:
-                staged = fh.read().strip() == fprint
-        if not staged:
-            if os.path.isfile(marker):
-                os.remove(marker)
+        if not os.path.isfile(os.path.join(data, "_SUCCESS")):
             os.makedirs(root, exist_ok=True)
             docs = load_table(spark, sf_dir, "documents")
             tracked: list = []
@@ -310,18 +307,20 @@ def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
                 docs, "doc_id", "text", threshold=0.8, num_hashes=64,
                 bands=16, tracker=tracked,
             )
-            # the parquet write is the materialization barrier; the pair
-            # set is small (one row per near-dup pair) — build beside,
-            # then swap whole so a concurrent PROCESS never reads a
-            # half-written store
+            # build beside, rename whole: a concurrent process never
+            # sees a half-written store
             build = data + f".build-{os.getpid()}"
             pairs.write.mode("overwrite").parquet(build)
             for df in tracked:
                 df.unpersist()
-            shutil.rmtree(data, ignore_errors=True)
-            os.rename(build, data)
-            with open(marker, "w") as fh:
-                fh.write(fprint)
+            try:
+                os.rename(build, data)
+            except OSError:
+                # another process won the race with identical content
+                shutil.rmtree(build, ignore_errors=True)
+            for d in os.listdir(root):
+                if d.startswith("pairs-") and d != f"pairs-{fprint}":
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return spark.read.parquet(data)
 
 
@@ -474,14 +473,23 @@ def dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     b2 = docs.filter(F.col("doc_id") % 2 == 1)
 
-    # per-scope scratch, cleared at entry (the pack_assembly_incremental
-    # pattern): reruns overwrite rather than accumulate temp roots
+    # per-scope, PID-scoped scratch, cleared at entry (the
+    # pack_assembly_incremental pattern): reruns overwrite rather than
+    # accumulate temp roots, and concurrent processes can't clear each
+    # other's live state; dead processes' dirs are liveness-pruned
     scope_h = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
-    root = os.path.join(
-        tempfile.gettempdir(), "bds_a5_dedup_retract", scope_h
-    )
+    base = os.path.join(tempfile.gettempdir(), "bds_a5_dedup_retract", scope_h)
+    root = os.path.join(base, f"run-{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
+    for d in os.listdir(base):
+        if d.startswith("run-") and d != f"run-{os.getpid()}":
+            try:
+                os.kill(int(d[4:]), 0)
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            except PermissionError:
+                pass
     state = os.path.join(root, "state")
     out = os.path.join(root, "out")
 
