@@ -349,7 +349,7 @@ def pack_assembly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion, and the per-batch-directory exactly-once output mode
     all sit on the gated path.
 
-    Harness scaffolding vs operator: the ntile(3) split + per-split
+    Harness scaffolding vs operator: the ntile split + per-split
     temp-file write + forced mtimes exist only to make a finite fixture
     arrive as ordered microbatches (the same trick the pytest streaming
     runs use); the gated operator is the foreachBatch body.  Empty

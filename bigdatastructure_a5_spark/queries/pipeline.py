@@ -268,10 +268,13 @@ def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gated row, ``dedup_minhash_lsh``).
 
     Cache shape mirrors pack_assembly_incremental's corpus staging: a
-    fixed temp root keyed by the fixture path, a marker file carrying
-    the documents fingerprint + pair parameters so a regenerated fixture
-    (or changed parameters) rebuilds rather than replaying stale pairs.
-    In production this IS the recommended topology anyway: materialize
+    fixed temp root keyed by the fixture path, with the store dir named
+    by the documents fingerprint + pair parameters so a regenerated
+    fixture (or changed parameters) builds a NEW dir rather than
+    replaying stale pairs — and concurrent processes can never delete a
+    store a same-fingerprint reader is using (see the inline race
+    notes).  In production this IS the recommended topology anyway:
+    materialize
     the pair set once, then run clustering (and any pair-consuming
     policy) over the stored pairs — re-deriving an O(corpus) shuffle
     pipeline per consumer is the anti-pattern."""

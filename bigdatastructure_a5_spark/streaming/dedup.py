@@ -344,7 +344,14 @@ def retract_documents(
     already dropped because they matched a now-retracted doc) keep
     their history — retraction changes FUTURE dedup decisions only,
     which is the semantically safe direction (no silent resurrection
-    of past drops)."""
+    of past drops).
+
+    Production note: the rewrite doubles as a compaction — it applies
+    the same DISTINCT + join-key-partitioned repartition as
+    ``compact_dedup_state`` on top of the anti-join — so a maintenance
+    window that retracts does NOT need a separate compaction pass
+    afterwards (the gate row runs both anyway, to keep both code paths
+    driver-gated)."""
     from bigdatastructure_a5_spark.streaming.state import (
         begin_compaction,
         end_compaction,

@@ -902,3 +902,30 @@ def test_compact_bound_reads_real_streaming_checkpoint(spark, tmp_path):
         spark, docs.unionByName(extra)
     )
     assert got == want
+
+
+def test_assemble_batch_rejects_null_ids(spark, tmp_path):
+    """ADVICE r12 low: NULL ids are the same hazard as uncastable ones
+    (every NULL row would collapse onto one NULL order key) — the guard
+    must fire on them too, with a NULL-specific message."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from bigdatastructure_a5_spark.streaming.packing import assemble_batch
+
+    b = spark.createDataFrame(
+        [(None, 0, ["t1", "t2"]), (7, 0, ["t3"])],
+        "doc_id bigint, shard bigint, toks array<string>",
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="is NULL"
+    ):
+        assemble_batch(
+            spark,
+            b,
+            str(tmp_path / "st_null"),
+            str(tmp_path / "out_null"),
+            L,
+            batch_id=0,
+        )
