@@ -383,15 +383,18 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: >= 0.8 over the full corpus, then the incremental flow's own decision
 #: rules replayed per batch.  Batch 1 (even doc_ids) dedups within-batch
 #: by the pair rule (drop id_b of every id_a < id_b pair).  Between the
-#: batches, every even doc with an odd near-copy is RETRACTED from the
-#: index (the deterministic rule with a guaranteed-observable effect on
-#: the fixtures: 12 odd docs at sf0.01 survive that would otherwise
-#: drop) — so batch 2 (odd doc_ids) is checked against (all batch-1
-#: docs, kept AND dropped, minus the retracted ids) in EITHER pair
-#: direction (the index join has no id-order condition across batches)
-#: plus the usual within-batch id-ordered rule.  Retraction changes
-#: FUTURE decisions only: batch-1 keeps are untouched (the operator's
-#: documented contract).
+#: batches, every cross-parity even doc CONGRUENT 0 MOD 4 is RETRACTED
+#: from the index — deliberately only HALF the cross-parity evens, so
+#: BOTH cross-batch outcomes are live on the gated path: odd near-copies
+#: of retracted evens SURVIVE (retraction observable) while odd
+#: near-copies of the surviving mod-4==2 evens are DROPPED through the
+#: retracted-and-compacted index (cross-batch suppression observable) —
+#: batch 2 (odd doc_ids) is checked against (all batch-1 docs, kept AND
+#: dropped, minus the retracted ids) in EITHER pair direction (the
+#: index join has no id-order condition across batches) plus the usual
+#: within-batch id-ordered rule.  Retraction changes FUTURE decisions
+#: only: batch-1 keeps are untouched (the operator's documented
+#: contract).
 _RETRACTION_ORACLE = f"""
     WITH pairs AS (
       SELECT id_a, id_b FROM ({_SHINGLES_SQL + _JACCARD_PAIRS_SQL})
@@ -404,7 +407,7 @@ _RETRACTION_ORACLE = f"""
     retracted AS (
       SELECT DISTINCT s.x AS doc_id
       FROM sym s
-      WHERE s.x % 2 = 0 AND s.y % 2 = 1
+      WHERE s.x % 4 = 0 AND s.y % 2 = 1
     ),
     drop1 AS (
       SELECT DISTINCT p.id_b AS doc_id
@@ -441,11 +444,12 @@ def dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       1. ingest batch 1 (even doc_ids) via ``process_batch`` — the
          foreachBatch body, callable directly for batch-mode backfills;
-      2. ``retract_documents``: erase every even doc that has an odd
-         near-copy (derived from the shared materialized pair set —
-         deterministic, and observable by construction) from the band
-         and shingle stores (right-to-erasure — a deleted page must
-         stop suppressing future near-copies of itself);
+      2. ``retract_documents``: erase every cross-parity even doc
+         congruent 0 mod 4 (derived from the shared materialized pair
+         set — deterministic, and HALF the cross-parity evens, so both
+         cross-batch outcomes stay live) from the band and shingle
+         stores (right-to-erasure — a deleted page must stop
+         suppressing future near-copies of itself);
       3. ``compact_dedup_state``: DISTINCT + join-key-partitioned
          rewrite of both stores (semantically a no-op — the oracle
          proving that IS part of the gate);
@@ -457,10 +461,11 @@ def dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate capture at the fixtures' planted-duplicate similarities
     makes banded == exact (same argument, measurement and parameters —
     64 hashes x 16 bands — as dedup_minhash_lsh's oracle note).
-    Retraction is OBSERVABLE in the output: odd near-copies of a
-    retracted even doc survive where they would otherwise drop — 12
-    such docs at sf0.01 (asserted non-vacuous in
-    tests/test_streaming_dedup.py)."""
+    BOTH cross-batch outcomes are observable in the output: odd
+    near-copies of a retracted even survive where they would otherwise
+    drop, AND odd near-copies of the surviving (mod-4 == 2) evens are
+    dropped through the retracted-and-compacted index (asserted
+    non-vacuous in both directions in tests/test_streaming_dedup.py)."""
     import hashlib
     import os
     import shutil
@@ -502,11 +507,12 @@ def dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation is CPU-bound and wants every core — measured 10.2s at
     # 32 partitions vs 29s+ at 8 on the 32-thread box
     process_batch(spark, b1, state, out, **kw)
-    # retract every even doc with an odd near-copy: derived from the
-    # same shared pair materialization the CC rows consume (the pair
-    # set IS the near-dup ground truth, so the rule is deterministic
-    # and the oracle replays it); symmetric scan because pairs store
-    # id_a < id_b
+    # retract every cross-parity even doc congruent 0 mod 4 — HALF the
+    # cross-parity evens, so the batch-2 index join exercises both a
+    # real save and a real cross-batch drop; derived from the same
+    # shared pair materialization the CC rows consume (the pair set IS
+    # the near-dup ground truth, so the rule is deterministic and the
+    # oracle replays it); symmetric scan because pairs store id_a < id_b
     pairs = _minhash_pairs_shared(spark, sf_dir)
     sym = pairs.select(
         F.col("id_a").alias("x"), F.col("id_b").alias("y")
@@ -516,7 +522,7 @@ def dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     retract_ids = (
-        sym.filter((F.col("x") % 2 == 0) & (F.col("y") % 2 == 1))
+        sym.filter((F.col("x") % 4 == 0) & (F.col("y") % 2 == 1))
         .select(F.col("x").alias("doc_id"))
         .distinct()
     )

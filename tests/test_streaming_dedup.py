@@ -371,11 +371,12 @@ def test_retract_documents_forgets_only_the_given_ids(spark, tmp_path):
 
 
 def test_dedup_retraction_gate_row_is_non_vacuous(spark):
-    """The r13 gate row's retraction must OBSERVABLY change the keep-set
-    (a retraction that retracts nothing would gate only the happy path):
-    running the identical two-batch flow WITHOUT the retraction step must
-    keep strictly fewer documents — the saved docs are exactly the odd
-    near-copies whose only earlier matches were the retracted evens."""
+    """The r13 gate row must observably exercise BOTH cross-batch
+    outcomes (a rule that retracts every cross-parity even would leave
+    the index-drop clause dead; one that retracts nothing would gate
+    only the happy path): vs a no-retraction control the flow must SAVE
+    some odd docs (their only even near-copies were retracted) AND still
+    DROP some odd docs through the surviving index entries."""
     from bigdatastructure_a5_spark.queries.pipeline import (
         _minhash_pairs_shared,
         dedup_retraction,
@@ -403,11 +404,21 @@ def test_dedup_retraction_gate_row_is_non_vacuous(spark):
     assert control <= kept  # retraction only ever ADDS keeps
     assert saved, "retraction had no observable effect on this fixture"
     # every saved doc is odd (batch-1 decisions are untouched) and has a
-    # retracted even near-copy (the only mechanism that can save it)
+    # RETRACTED even near-copy (the only mechanism that can save it)
     assert all(d % 2 == 1 for d in saved)
     pairs = _minhash_pairs_shared(spark, SF)
     sym = {(r.id_a, r.id_b) for r in pairs.collect()}
     sym |= {(b, a) for a, b in sym}
-    retracted = {a for a, b in sym if a % 2 == 0 and b % 2 == 1}
+    retracted = {a for a, b in sym if a % 4 == 0 and b % 2 == 1}
     for d in saved:
         assert any((x, d) in sym for x in retracted)
+    # ... and the SURVIVING cross-parity evens (mod-4 == 2) must still
+    # suppress their odd near-copies through the index — the cross-batch
+    # drop clause is live, not dead
+    surviving = {
+        a for a, b in sym
+        if a % 2 == 0 and b % 2 == 1 and a not in retracted
+    }
+    assert surviving, "fixture has no surviving cross-parity evens"
+    forced_drops = {b for a, b in sym if a in surviving and b % 2 == 1}
+    assert forced_drops and not (forced_drops & kept)

@@ -144,18 +144,19 @@ def _lift_curation(base_sql: str, copies: int) -> str:
 
 
 def _lift_retraction(base_pairs_sql: str, domain_sql: str, copies: int) -> str:
-    """Lift the r13 retraction gate row's keep-set.  OFFSET is even, so
-    copy shifts preserve doc_id parity and the xN pair structure factors
-    cleanly per parity class:
+    """Lift the r13 retraction gate row's keep-set.  OFFSET is even (and
+    divisible by 4), so copy shifts preserve doc_id residues mod 4 and
+    the xN pair structure factors cleanly per parity class:
 
-    - the CROSS-BATCH drop clause is provably dead under the row's
-      retraction rule at ANY scale (x1 included): an odd doc's even pair
-      partners are, by the rule's own definition, exactly the evens with
-      an odd near-copy — i.e. every one of them is retracted before
-      batch 2 runs, so no odd doc is ever dropped by the index.  (The
-      clause still gates the real mechanism: without the retraction the
-      Spark side DOES drop those docs — pinned non-vacuous at sf0.001 by
-      test_dedup_retraction_gate_row_is_non_vacuous.)
+    - RETRACTION at xN hits exactly the copies of base evens that are
+      cross-parity AND congruent 0 mod 4 (the row's rule) — a base
+      even's copies all share its residue, and its cross-parity
+      partners at xN are the copies of its base cross-parity partners.
+    - CROSS-BATCH drops: an odd copy-0 doc drops through the index iff
+      its base doc has a SURVIVING even partner — one with residue 2
+      mod 4 (the 0-mod-4 partners are retracted).  Higher odd copies of
+      in-domain docs drop via their self pair anyway, so the clause
+      only matters at copy 0.
     - WITHIN-batch drops lift like the pair family: copy-0 doc y drops
       iff some same-parity base partner x < y exists (cross-copy pairs
       of smaller copies never undercut copy 0 because OFFSET dominates
@@ -166,8 +167,20 @@ def _lift_retraction(base_pairs_sql: str, domain_sql: str, copies: int) -> str:
     return f"""
     WITH bp AS ({base_pairs_sql}),
     dom AS ({domain_sql}),
+    sym AS (
+      SELECT id_a AS x, id_b AS y FROM bp
+      UNION ALL SELECT id_b, id_a FROM bp
+    ),
+    retr AS (
+      SELECT DISTINCT x AS doc_id FROM sym
+      WHERE x % 4 = 0 AND y % 2 = 1
+    ),
     dropped0 AS (
       SELECT DISTINCT id_b AS doc_id FROM bp WHERE id_a % 2 = id_b % 2
+      UNION
+      SELECT DISTINCT s.y AS doc_id FROM sym s
+      WHERE s.y % 2 = 1 AND s.x % 2 = 0
+        AND s.x NOT IN (SELECT doc_id FROM retr)
     ),
     base AS (
       SELECT doc_id FROM documents WHERE doc_id < {OFFSET}
