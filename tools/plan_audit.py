@@ -478,7 +478,14 @@ def main() -> None:
         "an already-executed Structured Streaming job — the streaming "
         "DAG itself is not a batch plan; its stateful operators are "
         "audited from the run's own StreamingQueryProgress in the "
-        "'Streaming state operators' section below.",
+        "'Streaming state operators' section below.  Likewise "
+        "pack_assembly_incremental and dedup_retraction do their real "
+        "work EAGERLY inside the builder (a streaming ingest / two "
+        "process_batch runs plus four staging-swap store rewrites) and "
+        "their rows describe only the terminal parquet read of the "
+        "emitted output; their executed shape is audited elsewhere — "
+        "streaming state here, per-phase wall decomposition and "
+        "store-size scaling in EXPERIMENTS §20-§22.",
         "",
         "| query | scans | cols read | pushed filters | exchanges | broadcast | SMJ | codegen spans | python stages | top-k | scan MiB | shuffle MiB | rows |",
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",

@@ -29,7 +29,6 @@ Usage: python tools/retraction_scale.py [base_docs] [steps]
 
 from __future__ import annotations
 
-import statistics
 import sys
 import time
 from pathlib import Path
