@@ -382,27 +382,24 @@ def pack_assembly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bigdatastructure_a5_spark.catalog import table_fingerprint
     from bigdatastructure_a5_spark.functions.hashing import token_count, tokens
+    from bigdatastructure_a5_spark.queries.scratch import (
+        pid_run_dir,
+        staged_dir,
+    )
     from bigdatastructure_a5_spark.streaming.packing import (
         streaming_assembly_writer,
     )
 
     scope_h = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), "bds_a5_pack_asm", scope_h)
-    # the staging dir carries the FINGERPRINT in its name (fixture file
-    # stats + harness version — r12's 3-split geometry invalidates):
-    # same-fingerprint stagings are bit-identical, so a build-race loser
-    # adopts the winner's dir and nothing ever deletes a staging a
-    # concurrent same-fingerprint reader could be streaming from.  Stale
-    # fingerprints are pruned only after a new one lands (the
-    # fixture-regenerated case, whose old readers are gone).
+    # fingerprint-named staging via queries/scratch.staged_dir (shared
+    # cross-process-safe machinery): fixture file stats + harness
+    # version — r12's 3-split geometry invalidates via the token
     fprint = hashlib.md5(
         (table_fingerprint(sf_dir, "documents") + "|splits=2").encode()
     ).hexdigest()[:12]
-    src = os.path.join(root, f"src-{fprint}")
-    if not os.path.isfile(os.path.join(src, "_STAGED_OK")):
-        build = src + f".build-{os.getpid()}"
-        shutil.rmtree(build, ignore_errors=True)
-        os.makedirs(build)
+
+    def stage(build_dir: str) -> None:
         docs = (
             load_table(spark, sf_dir, "documents")
             .filter(token_count("text") > 0)
@@ -424,7 +421,7 @@ def pack_assembly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_t = _time.time() - 100
         lo = None
         for i in (1, 2):
-            p = os.path.join(build, f"split_{i}.parquet")
+            p = os.path.join(build_dir, f"split_{i}.parquet")
             part = docs.filter(F.col("doc_id") <= hi[i])
             if lo is not None:
                 part = part.filter(F.col("doc_id") > lo)
@@ -436,35 +433,17 @@ def pack_assembly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for fn in fns
             ):
                 os.utime(f, (base_t + i, base_t + i))
-        with open(os.path.join(build, "_STAGED_OK"), "w") as fh:
+        # marker LAST: staged_dir treats its presence as completeness
+        with open(os.path.join(build_dir, "_STAGED_OK"), "w") as fh:
             fh.write(fprint)
-        try:
-            os.rename(build, src)
-        except OSError:
-            # another process staged the identical splits first
-            shutil.rmtree(build, ignore_errors=True)
-        for d in os.listdir(root):
-            if d.startswith("src-") and d != f"src-{fprint}":
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    # per-invocation scratch, scoped by PID (two processes running this
-    # row concurrently must not clear each other's live stream state):
+
+    src = staged_dir(root, "src", fprint, "_STAGED_OK", stage)
+    # per-invocation scratch, PID-scoped (queries/scratch.pid_run_dir):
     # cleared up front each invocation — the previous invocation's
     # output has been consumed by then (the driver collects before
     # calling the next query) and a crashed run's state/checkpoint must
-    # not leak into a fresh stream.  Dead processes' run dirs are pruned
-    # by a liveness probe so long sessions don't accumulate them.
-    run = os.path.join(root, f"run-{os.getpid()}")
-    shutil.rmtree(run, ignore_errors=True)
-    os.makedirs(run)
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            if d.startswith("run-") and d != f"run-{os.getpid()}":
-                try:
-                    os.kill(int(d[4:]), 0)
-                except (ValueError, ProcessLookupError):
-                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-                except PermissionError:
-                    pass  # alive under another uid — leave it
+    # not leak into a fresh stream
+    run = pid_run_dir(root)
     # splits carry TEXT (small at rest); tokenization happens inside the
     # stream projection, once per document, exactly like a real ingest
     stream = (

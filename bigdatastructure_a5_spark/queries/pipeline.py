@@ -280,50 +280,41 @@ def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline per consumer is the anti-pattern."""
     import hashlib
     import os
-    import shutil
     import tempfile
 
     from bigdatastructure_a5_spark.catalog import table_fingerprint
+    from bigdatastructure_a5_spark.queries.scratch import staged_dir
 
     scope_h = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), "bds_a5_cc_pairs", scope_h)
+    # the fingerprint folds in the fixture's file stats, the pair
+    # parameters, AND an impl-version token — bump ``impl=`` whenever
+    # near_duplicates_minhash's emitted pair set changes semantically,
+    # or a /tmp store built by the previous code version would be
+    # silently adopted (r13 review finding)
     fprint = hashlib.md5(
-        (table_fingerprint(sf_dir, "documents") + "|t=0.8|h=64|b=16|n=3")
-        .encode()
+        (
+            table_fingerprint(sf_dir, "documents")
+            + "|t=0.8|h=64|b=16|n=3|impl=r13"
+        ).encode()
     ).hexdigest()[:12]
-    # the store dir carries the FINGERPRINT in its name: builders of the
-    # same fingerprint produce bit-identical content, so a loser of the
-    # build race can simply adopt the winner's store, and NOTHING ever
-    # deletes a store a concurrent same-fingerprint reader (this gate
-    # runs queries in a thread pool; the driver may use processes) could
-    # be lazily reading.  Stale-fingerprint stores are pruned only AFTER
-    # a new fingerprint's store lands — the fixture-regenerated case,
-    # where the old fixture's readers are gone by construction.  The
-    # in-process lock just keeps the two CC rows from building twice.
-    data = os.path.join(root, f"pairs-{fprint}")
+
+    def build(build_dir: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        tracked: list = []
+        pairs = near_duplicates_minhash(
+            docs, "doc_id", "text", threshold=0.8, num_hashes=64,
+            bands=16, tracker=tracked,
+        )
+        pairs.write.mode("overwrite").parquet(build_dir)
+        for df in tracked:
+            df.unpersist()
+
+    # staged_dir handles the cross-process build race and stale pruning
+    # (queries/scratch.py); the in-process lock just keeps the two CC
+    # rows in the gate's thread pool from building twice
     with _CC_PAIRS_LOCK:
-        if not os.path.isfile(os.path.join(data, "_SUCCESS")):
-            os.makedirs(root, exist_ok=True)
-            docs = load_table(spark, sf_dir, "documents")
-            tracked: list = []
-            pairs = near_duplicates_minhash(
-                docs, "doc_id", "text", threshold=0.8, num_hashes=64,
-                bands=16, tracker=tracked,
-            )
-            # build beside, rename whole: a concurrent process never
-            # sees a half-written store
-            build = data + f".build-{os.getpid()}"
-            pairs.write.mode("overwrite").parquet(build)
-            for df in tracked:
-                df.unpersist()
-            try:
-                os.rename(build, data)
-            except OSError:
-                # another process won the race with identical content
-                shutil.rmtree(build, ignore_errors=True)
-            for d in os.listdir(root):
-                if d.startswith("pairs-") and d != f"pairs-{fprint}":
-                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        data = staged_dir(root, "pairs", fprint, "_SUCCESS", build)
     return spark.read.parquet(data)
 
 
@@ -468,9 +459,9 @@ def dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-vacuous in both directions in tests/test_streaming_dedup.py)."""
     import hashlib
     import os
-    import shutil
     import tempfile
 
+    from bigdatastructure_a5_spark.queries.scratch import pid_run_dir
     from bigdatastructure_a5_spark.streaming.dedup import (
         compact_dedup_state,
         process_batch,
@@ -481,23 +472,14 @@ def dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     b2 = docs.filter(F.col("doc_id") % 2 == 1)
 
-    # per-scope, PID-scoped scratch, cleared at entry (the
-    # pack_assembly_incremental pattern): reruns overwrite rather than
-    # accumulate temp roots, and concurrent processes can't clear each
-    # other's live state; dead processes' dirs are liveness-pruned
+    # per-scope, PID-scoped scratch, cleared at entry (queries/scratch:
+    # reruns overwrite rather than accumulate temp roots, concurrent
+    # processes can't clear each other's live state, dead processes'
+    # dirs are liveness-pruned)
     scope_h = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), "bds_a5_dedup_retract", scope_h)
-    root = os.path.join(base, f"run-{os.getpid()}")
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
-    for d in os.listdir(base):
-        if d.startswith("run-") and d != f"run-{os.getpid()}":
-            try:
-                os.kill(int(d[4:]), 0)
-            except (ValueError, ProcessLookupError):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-            except PermissionError:
-                pass
+    root = pid_run_dir(
+        os.path.join(tempfile.gettempdir(), "bds_a5_dedup_retract", scope_h)
+    )
     state = os.path.join(root, "state")
     out = os.path.join(root, "out")
 

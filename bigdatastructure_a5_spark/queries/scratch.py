@@ -1,0 +1,87 @@
+"""Shared /tmp scratch-dir machinery for the gate-query harness caches
+(r13; single copy after the first cut triplicated it across
+queries/pipeline.py and queries/mixture_queries.py).
+
+Two shapes, both safe under concurrent PROCESSES (the driver gate may
+run queries in a thread pool or separate processes, and a bench can
+overlap a gate on the same box):
+
+- :func:`staged_dir` — a fingerprint-NAMED store built once and adopted
+  by everyone: same-fingerprint builders produce bit-identical content,
+  so a build-race loser adopts the winner's dir (failed ``os.rename``),
+  and nothing ever deletes a dir a same-fingerprint reader could be
+  lazily reading.  The prune of STALE fingerprints (the
+  fixture-regenerated case) skips ``.build-`` work dirs — deleting a
+  concurrent builder's in-progress dir was the race the r13 code review
+  caught.
+- :func:`pid_run_dir` — per-invocation scratch keyed by PID: cleared at
+  entry (reruns overwrite rather than accumulate), never clears another
+  LIVE process's dir, and prunes dead processes' leftovers via an
+  ``os.kill(pid, 0)`` liveness probe.
+
+These are HARNESS caches for local gate/bench fixtures — plain local
+filesystem semantics (os.rename atomicity) are assumed, which is what
+tempfile.gettempdir() gives; the production state stores use the
+Hadoop-FS staging-swap protocol in streaming/state.py instead.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+
+def staged_dir(
+    root: str,
+    prefix: str,
+    fprint: str,
+    ready_file: str,
+    build: Callable[[str], None],
+) -> str:
+    """Return the ``{root}/{prefix}-{fprint}`` store, building it via
+    ``build(build_dir)`` if its ``ready_file`` marker is missing.
+
+    ``build`` must write the complete store INTO the given directory,
+    ending with ``ready_file`` present (a Spark parquet write's
+    ``_SUCCESS``, or an explicitly written marker LAST)."""
+    data = os.path.join(root, f"{prefix}-{fprint}")
+    if os.path.isfile(os.path.join(data, ready_file)):
+        return data
+    os.makedirs(root, exist_ok=True)
+    build_dir = f"{data}.build-{os.getpid()}"
+    shutil.rmtree(build_dir, ignore_errors=True)
+    build(build_dir)
+    try:
+        os.rename(build_dir, data)
+    except OSError:
+        # another process won the race with identical content — adopt
+        shutil.rmtree(build_dir, ignore_errors=True)
+    for d in os.listdir(root):
+        # prune only COMPLETED stale-fingerprint stores: never a
+        # ``.build-`` dir (a concurrent builder's live work area), never
+        # the current store, never unrelated names
+        if (
+            d.startswith(prefix + "-")
+            and ".build-" not in d
+            and d != f"{prefix}-{fprint}"
+        ):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return data
+
+
+def pid_run_dir(base: str) -> str:
+    """A fresh ``{base}/run-{pid}`` scratch dir: cleared at entry, with
+    dead processes' ``run-*`` siblings liveness-pruned."""
+    run = os.path.join(base, f"run-{os.getpid()}")
+    shutil.rmtree(run, ignore_errors=True)
+    os.makedirs(run)
+    for d in os.listdir(base):
+        if d.startswith("run-") and d != f"run-{os.getpid()}":
+            try:
+                os.kill(int(d[4:]), 0)
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid — leave it
+    return run

@@ -105,10 +105,14 @@ def main() -> int:
     # self-identifying.  A quiet 32-thread box starts well under 4.
     la = (doc.get("parsed", doc) or {}).get("loadavg")
     if la:
-        worst = max(la.get("start", [0])[0], la.get("end", [0])[0])
-        if worst > 4.0:
+        # key on the START load only: the bench's own 32-thread run
+        # legitimately inflates the END (and mid-run) load averages, so
+        # gating on them would fire on every quiet box too (r13 review
+        # finding).  A quiet box STARTS below ~2-3; >4 means something
+        # else was already running when the bench began.
+        if la.get("start", [0])[0] > 4.0:
             print(
-                f"WARNING: bench ran on a BUSY box (loadavg start="
+                f"WARNING: bench STARTED on a BUSY box (loadavg start="
                 f"{la.get('start')}, end={la.get('end')}) — timings and "
                 "the verdicts below likely over-report; re-run on a "
                 "quiet box before trusting any regression"

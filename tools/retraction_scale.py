@@ -180,25 +180,33 @@ def render(rows: list[dict], base_docs: int) -> str:
             f"| {rr} | {r['compact_s']} | {rc} |"
         )
         prev = r
-    worst = max(
-        (
+    # scalar max over EVERY step ratio of BOTH ops (a tuple-max would
+    # compare lexicographically and could hide a superlinear compact
+    # ratio behind a bigger retract ratio — r13 review finding)
+    ratios = [
+        r
+        for a, b in zip(rows, rows[1:])
+        for r in (
             b["retract_s"] / a["retract_s"],
             b["compact_s"] / a["compact_s"],
         )
-        for a, b in zip(rows, rows[1:])
-    )
-    lines += [
-        "",
-        f"Worst per-4x-step ratio {max(worst):.1f}x — "
-        + (
-            "linear-or-better: the maintenance ops scale with the store, "
-            "not with history or retraction count."
-            if max(worst) <= 5
-            else "ABOVE the linear band — investigate before trusting the "
-            "100 TB maintenance story."
-        ),
-        "",
     ]
+    if ratios:
+        worst = max(ratios)
+        lines += [
+            "",
+            f"Worst per-4x-step ratio {worst:.1f}x — "
+            + (
+                "linear-or-better: the maintenance ops scale with the "
+                "store, not with history or retraction count."
+                if worst <= 5
+                else "ABOVE the linear band — investigate before trusting "
+                "the 100 TB maintenance story."
+            ),
+            "",
+        ]
+    else:
+        lines += ["", "(single size — no step ratios to verdict)", ""]
     return "\n".join(lines)
 
 
