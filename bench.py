@@ -29,12 +29,22 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    # Box-contention self-identification (VERDICT r12 item 2: a bench
-    # captured while sweeps shared the box over-reported ~20% and its
-    # envelope verdicts were false) — record the 1/5/15-min load averages
-    # at start and end so a contaminated artifact carries its own
-    # diagnosis.  On this 32-thread box a quiet bench starts below ~2-3;
-    # tools/read_bench.py warns when the recorded load says otherwise.
+    # Box-contention self-identification + cool-down (VERDICT r13 item 1:
+    # the published bench has been contamination-false two driver rounds
+    # running — r13's own loadavg field recorded 2.4 at start and every
+    # one of its 12 flagged "regressions" evaporated on an idle re-run).
+    # Recording the load is not enough; WAIT for the box to go quiet
+    # before timing.  On this 32-thread box a quiet bench starts below
+    # ~2; poll the 1-min average until it drops under the threshold,
+    # capped so a genuinely busy box still produces an artifact (which
+    # then carries its own diagnosis via the recorded fields, and
+    # tools/read_bench.py warns on it).
+    cooldown_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
+    cooldown_cap = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "600"))
+    waited = 0.0
+    while os.getloadavg()[0] > cooldown_threshold and waited < cooldown_cap:
+        time.sleep(15.0)
+        waited += 15.0
     load_start = list(os.getloadavg())
 
     _load_all()
@@ -61,7 +71,10 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     out = {
-        "metric": "wallclock_all_queries_min_of_2",
+        "metric": (
+            "wallclock_all_queries_min_of_2"
+            " (read via README.md 'Reading a BENCH_r{N}.json')"
+        ),
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
@@ -69,6 +82,7 @@ def main() -> None:
         "loadavg": {
             "start": [round(v, 2) for v in load_start],
             "end": [round(v, 2) for v in os.getloadavg()],
+            "cooldown_waited_sec": round(waited, 1),
         },
     }
     print(json.dumps(out))

@@ -394,9 +394,12 @@ def pack_assembly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), "bds_a5_pack_asm", scope_h)
     # fingerprint-named staging via queries/scratch.staged_dir (shared
     # cross-process-safe machinery): fixture file stats + harness
-    # version — r12's 3-split geometry invalidates via the token
+    # version — r12's 3-split geometry invalidates via the splits token,
+    # and ANY change to stage()'s content (shard derivation, mtime
+    # scheme, projection) must bump the impl token, same convention as
+    # _minhash_pairs_shared's cache (ADVICE r13 low)
     fprint = hashlib.md5(
-        (table_fingerprint(sf_dir, "documents") + "|splits=2").encode()
+        (table_fingerprint(sf_dir, "documents") + "|splits=2|impl=r14").encode()
     ).hexdigest()[:12]
 
     def stage(build_dir: str) -> None:
@@ -444,46 +447,47 @@ def pack_assembly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # calling the next query) and a crashed run's state/checkpoint must
     # not leak into a fresh stream
     run = pid_run_dir(root)
+    # The per-batch windows/joins key on 8 shards — a 32/200-partition
+    # shuffle default is pure task overhead — but setting the override on
+    # the SHARED session would leak into any registry row the gate runs
+    # concurrently (dedup_retraction deliberately depends on the
+    # 32-partition default; ADVICE r13 low).  spark.newSession() gives an
+    # isolated SQLConf over the same SparkContext: the override lives and
+    # dies with the stream's session, no restore bookkeeping, no leak.
+    stream_sess = spark.newSession()
+    stream_sess.conf.set("spark.sql.shuffle.partitions", "8")
     # splits carry TEXT (small at rest); tokenization happens inside the
     # stream projection, once per document, exactly like a real ingest
     stream = (
-        spark.readStream.schema("doc_id bigint, shard bigint, text string")
+        stream_sess.readStream.schema("doc_id bigint, shard bigint, text string")
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/*")
         .select("doc_id", "shard", tokens("text").alias("toks"))
     )
     out = os.path.join(run, "out")
-    # scope shuffle partitions to the run (same rationale as
-    # streaming/events.run_stream_to_memory): the per-batch windows/joins
-    # key on 8 shards — a 200-partition default is pure task overhead
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            streaming_assembly_writer(
-                stream,
-                os.path.join(run, "state"),
-                out,
-                os.path.join(run, "ckpt"),
-                512,
-                exactly_once=True,
-            )
-            .trigger(availableNow=True)
-            .start()
+    q = (
+        streaming_assembly_writer(
+            stream,
+            os.path.join(run, "state"),
+            out,
+            os.path.join(run, "ckpt"),
+            512,
+            exactly_once=True,
         )
-        # a False return is a HUNG stream, not success: stop it and
-        # raise BEFORE any cleanup runs — deleting its state/checkpoint
-        # out from under a live query turns a timeout into a confusing
-        # partial-output gate failure (ADVICE r12 low)
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError(
-                "pack_assembly_incremental: AvailableNow stream did not "
-                "terminate within 600s — stopped it; state/checkpoint "
-                f"left under {run} for diagnosis (cleared on next run)"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # a False return is a HUNG stream, not success: stop it and
+    # raise BEFORE any cleanup runs — deleting its state/checkpoint
+    # out from under a live query turns a timeout into a confusing
+    # partial-output gate failure (ADVICE r12 low)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "pack_assembly_incremental: AvailableNow stream did not "
+            "terminate within 600s — stopped it; state/checkpoint "
+            f"left under {run} for diagnosis (cleared on next run)"
+        )
     # only the output outlives the run (the returned frame reads it
     # lazily); the state stores and checkpoint are scaffolding — drop
     # them now, and the next invocation clears out/ itself

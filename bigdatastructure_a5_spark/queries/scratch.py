@@ -55,17 +55,31 @@ def staged_dir(
     try:
         os.rename(build_dir, data)
     except OSError:
-        # another process won the race with identical content — adopt
+        # The rename usually fails because another same-fingerprint
+        # process won the race (its content is bit-identical — adopt it),
+        # but it can also fail for a non-race reason (permissions, the
+        # root pruned concurrently).  Only adopt if the winner's ready
+        # marker is actually there; otherwise surface the original error
+        # here rather than as a PATH_NOT_FOUND at first parquet read.
+        if not os.path.isfile(os.path.join(data, ready_file)):
+            raise
         shutil.rmtree(build_dir, ignore_errors=True)
     for d in os.listdir(root):
-        # prune only COMPLETED stale-fingerprint stores: never a
-        # ``.build-`` dir (a concurrent builder's live work area), never
-        # the current store, never unrelated names
-        if (
-            d.startswith(prefix + "-")
-            and ".build-" not in d
-            and d != f"{prefix}-{fprint}"
-        ):
+        if not d.startswith(prefix + "-"):
+            continue
+        if ".build-" in d:
+            # a ``.build-<pid>`` work dir: live builders are sacred, but a
+            # crashed builder's leftovers (dead pid) would otherwise
+            # accumulate full staging trees under /tmp forever — apply the
+            # same liveness probe pid_run_dir uses
+            try:
+                os.kill(int(d.rsplit(".build-", 1)[1]), 0)
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid — leave it
+        elif d != f"{prefix}-{fprint}":
+            # a COMPLETED stale-fingerprint store (fixture regenerated)
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return data
 

@@ -378,10 +378,16 @@ def retract_documents(
                 continue
             floor = max(spark.sparkContext.defaultParallelism, 1)
             key = ["band", "bhash"] if path == bands_dir else ["id"]
+            # repartition-THEN-distinct: hash partitioning on the join
+            # key is a subset of the distinct's grouping columns, so the
+            # aggregate reuses the repartition exchange — ONE shuffle of
+            # the corpus-sized store instead of two (distinct-then-
+            # repartition shuffled it twice; verified plan + result
+            # parity, r14)
             kept = (
                 store.join(drop, "id", "left_anti")
-                .distinct()
                 .repartition(floor, *key)
+                .distinct()
             )
             swap_in_frame(
                 spark,
@@ -461,7 +467,9 @@ def compact_dedup_state(
             # rows co-located for the per-batch equi-joins.
             floor = max(spark.sparkContext.defaultParallelism, 1)
             key = ["band", "bhash"] if path == bands_dir else ["id"]
-            compacted = store.distinct().repartition(floor, *key)
+            # repartition-then-distinct shares ONE exchange (see the
+            # identical note in retract_documents)
+            compacted = store.repartition(floor, *key).distinct()
             swap_in_frame(
                 spark,
                 compacted,

@@ -163,9 +163,9 @@ def _run_oracle(con, sf_dir: str, oracle_sql: str, use_cache: bool):
 SERIAL_QUERIES = {
     "events_streaming_rollup",
     "events_streaming_interval_join",
-    # real streaming run too, and it scopes spark.sql.shuffle.partitions
-    # around its foreachBatch drive exactly like the events pair
-    "pack_assembly_incremental",
+    # pack_assembly_incremental left this set in r14: its stream now runs
+    # on an isolated spark.newSession() with the 8-partition override
+    # scoped to that session, so it no longer races the shared conf
 }
 
 

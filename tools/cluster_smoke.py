@@ -4,7 +4,7 @@ VERDICT r12 item 6: the 1000-executor deploy table
 (`session.cluster_overrides`, drift-tested against COVERAGE.md) had only
 ever executed on local[32] — a single JVM where "no exchange" and
 "survives executor isolation" are weaker claims than on real separate
-executor processes.  This tool runs THREE representative paths on
+executor processes.  This tool runs FOUR representative paths on
 ``local-cluster[2,2,1024]`` — two real Worker JVMs, two cores and 1 GiB
 each, Python workers spawned per executor (the smallest topology where
 serialization, task dispatch, python-worker module shipping, and
@@ -22,6 +22,10 @@ cross-process shuffle are all real):
    run over a file source with parquet carry/tail state and
    ``exactly_once`` per-batch output — emitted complete chunks must
    match the batch assembler restricted to complete chunks.
+4. DEDUP MAINTENANCE SWAPS (r14): ``retract_documents`` +
+   ``compact_dedup_state`` staging swaps between two real ingest
+   batches — exact post-retract store contents, compaction a content
+   no-op, batch 2 green over the swapped stores.
 
 Prints one JSON line {"master": ..., "checks": {...}, "ok": bool}; exit
 code 0 iff every check passed.  Results are recorded in COVERAGE.md's
@@ -227,6 +231,79 @@ def check_streaming_packing(spark: SparkSession, sf_dir: str) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def check_dedup_maintenance(spark: SparkSession, sf_dir: str) -> dict:
+    """Retraction + compaction staging swaps (streaming/state.py's
+    fs_delete + fs_rename protocol) executed across two real executor
+    JVMs (VERDICT r13 item 4: the one state-rewrite path still proven
+    single-JVM only — the swap's filesystem calls are exactly the code
+    most likely to behave differently on a real shared filesystem).
+
+    Sequence: ingest batch 1 (even ids) -> retract a deterministic id
+    set -> assert both stores exclude exactly those ids -> compact ->
+    assert store CONTENT is unchanged by compaction (set equality) ->
+    ingest batch 2 (odd ids) -> assert the second ingest ran green over
+    the swapped stores and cross-batch dedup is non-vacuous."""
+    from bigdatastructure_a5_spark.functions.hashing import token_count
+    from bigdatastructure_a5_spark.session import ensure_workers_can_import
+    from bigdatastructure_a5_spark.streaming.dedup import (
+        compact_dedup_state,
+        process_batch,
+        retract_documents,
+    )
+
+    ensure_workers_can_import(spark)
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(token_count("text") > 0)
+        .select("doc_id", "text")
+    )
+    root = tempfile.mkdtemp(prefix="smoke_retract_")
+    state = os.path.join(root, "state")
+    out = os.path.join(root, "out")
+    kw = dict(threshold=0.8, num_hashes=32, bands=8)
+    try:
+        b1 = docs.filter(F.col("doc_id") % 2 == 0)
+        process_batch(spark, b1, state, out, **kw)
+        bands_p = os.path.join(state, "bands")
+        sh_p = os.path.join(state, "shingles")
+        pre_bands = {
+            tuple(r) for r in spark.read.parquet(bands_p).collect()
+        }
+        pre_sh_ids = {
+            r.id for r in spark.read.parquet(sh_p).select("id").collect()
+        }
+        retract = sorted(pre_sh_ids)[::4][:8]  # deterministic subset
+        retract_documents(spark, state, retract)
+        post_bands = {
+            tuple(r) for r in spark.read.parquet(bands_p).collect()
+        }
+        post_sh_ids = {
+            r.id for r in spark.read.parquet(sh_p).select("id").collect()
+        }
+        retract_exact = (
+            post_bands == {t for t in pre_bands if t[0] not in set(retract)}
+            and post_sh_ids == pre_sh_ids - set(retract)
+        )
+        compact_dedup_state(spark, state)
+        compact_preserves = (
+            {tuple(r) for r in spark.read.parquet(bands_p).collect()}
+            == post_bands
+        )
+        n1 = spark.read.parquet(out).count()
+        process_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), state, out, **kw)
+        n2 = spark.read.parquet(out).count()
+        odd_total = docs.filter(F.col("doc_id") % 2 == 1).count()
+        return {
+            "retracted": len(retract),
+            "retract_swap_exact": retract_exact,
+            "compact_swap_preserves_content": compact_preserves,
+            "batch2_ran_over_swapped_stores": n2 > n1,
+            "cross_batch_dedup_nonvacuous": (n2 - n1) < odd_total,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_cluster_spark()
@@ -245,6 +322,9 @@ def main() -> int:
         checks["cc_reliable_checkpoint"] = check_cc_reliable_checkpoint(spark)
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         checks["streaming_packing"] = check_streaming_packing(spark, sf_dir)
+        checks["dedup_maintenance_swap"] = check_dedup_maintenance(
+            spark, sf_dir
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
