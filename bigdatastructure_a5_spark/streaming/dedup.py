@@ -318,6 +318,36 @@ def streaming_neardup_writer(
     )
 
 
+#: Parquet bytes per partition of a store REWRITE.  The stores are
+#: narrow rows of RANDOM 64-bit hashes — parquet can't encode them away,
+#: yet they still decode to several times their on-disk size once in
+#: UnsafeRow + aggregate-hash-map form, so the on-disk target must be
+#: SMALL for the DISTINCT state to fit a task's execution-memory share.
+#: Measured on the §22 rung-4 store (164M band rows, 1.84 GB on disk,
+#: 32-thread/8g driver): the identical rewrite takes 253s at 32
+#: partitions (deep spill), 56s at 128, 142s at 512 (tiny-task +
+#: per-task dynamic-partition-writer overhead) — 16 MiB lands the
+#: partition count at the measured sweet spot and scales linearly past
+#: it.
+_REWRITE_PARTITION_BYTES = 16 << 20
+
+
+def _rewrite_partitions(spark: SparkSession, path: str) -> int:
+    """Partition count for a compaction rewrite of the store at
+    ``path``: the parallelism floor (below it a tiny DISTINCT would
+    AQE-coalesce to one file — the §21 finding), scaled UP with on-disk
+    bytes.  Pinning rewrites at defaultParallelism looked linear until
+    EXPERIMENTS §22's 164M-band-row rung jumped ~10x per 4x docs: each
+    task's DISTINCT state outgrew its heap share and the aggregate fell
+    into spill (the knee the 100 TB brief calls out — size partitions so
+    state fits executor memory).  Scaling with bytes restores the
+    ~linear curve (§22, re-measured r14)."""
+    from bigdatastructure_a5_spark.streaming.state import fs_size_bytes
+
+    floor = max(spark.sparkContext.defaultParallelism, 1)
+    return max(floor, fs_size_bytes(spark, path) // _REWRITE_PARTITION_BYTES + 1)
+
+
 def retract_documents(
     spark: SparkSession,
     state_dir: str,
@@ -333,11 +363,17 @@ def retract_documents(
     are untouched because index rows are per-document).
 
     ``ids`` is a one-column DataFrame (``id_col``) or a plain list.  The
-    op is corpus-safe: the anti-join + rewrite materializes fully to the
-    staging dir before the original store is deleted (no collect), and
-    the rewrite keeps the compaction guarantees — DISTINCT collapse of
-    retry re-appends, join-key partitioning floor, bucket columns
-    preserved, crash-recoverable swap, writer/compaction lock pair.
+    op is corpus-safe AND shuffle-free: a broadcast anti-join applied in
+    the scan tasks themselves, written straight back out — no
+    repartition, no aggregation state, so the pass is a streaming
+    filter over the store no matter how large it grows (EXPERIMENTS
+    §22: the earlier anti-join + DISTINCT shape hit a spill knee at
+    164M band rows — removing rows cannot CREATE duplicate rows, so the
+    DISTINCT bought nothing and cost a corpus-sized shuffle).  The
+    rewrite still materializes fully to the staging dir before the
+    original store is deleted (no collect), preserves bucket columns,
+    and holds the writer/compaction lock pair around a
+    crash-recoverable swap.
 
     MUST run while the stream is STOPPED, like compaction.  Note kept
     OUTPUTS are not touched: documents already in ``out_dir`` (or
@@ -346,12 +382,10 @@ def retract_documents(
     which is the semantically safe direction (no silent resurrection
     of past drops).
 
-    Production note: the rewrite doubles as a compaction — it applies
-    the same DISTINCT + join-key-partitioned repartition as
-    ``compact_dedup_state`` on top of the anti-join — so a maintenance
-    window that retracts does NOT need a separate compaction pass
-    afterwards (the gate row runs both anyway, to keep both code paths
-    driver-gated)."""
+    Production note: retraction REMOVES rows only.  Collapsing retry
+    re-appended duplicates and restoring the join-key file clustering
+    remain ``compact_dedup_state``'s job — run it in the same
+    maintenance window when either matters (the gate row runs both)."""
     from bigdatastructure_a5_spark.streaming.state import (
         begin_compaction,
         end_compaction,
@@ -370,25 +404,12 @@ def retract_documents(
 
     begin_compaction(spark, state_dir, force=force)
     try:
-        bands_dir, _ = _store_paths(state_dir)
         for path in _store_paths(state_dir):
             recover_interrupted_swap(spark, path)
             store = read_state_or_none(spark, path)
             if store is None:
                 continue
-            floor = max(spark.sparkContext.defaultParallelism, 1)
-            key = ["band", "bhash"] if path == bands_dir else ["id"]
-            # repartition-THEN-distinct: hash partitioning on the join
-            # key is a subset of the distinct's grouping columns, so the
-            # aggregate reuses the repartition exchange — ONE shuffle of
-            # the corpus-sized store instead of two (distinct-then-
-            # repartition shuffled it twice; verified plan + result
-            # parity, r14)
-            kept = (
-                store.join(drop, "id", "left_anti")
-                .repartition(floor, *key)
-                .distinct()
-            )
+            kept = store.join(drop, "id", "left_anti")
             swap_in_frame(
                 spark,
                 kept,
@@ -465,11 +486,14 @@ def compact_dedup_state(
             # with the floor, the compacted tail runs 1.67x FASTER).
             # Keying the files by the join column also keeps same-key
             # rows co-located for the per-batch equi-joins.
-            floor = max(spark.sparkContext.defaultParallelism, 1)
+            parts = _rewrite_partitions(spark, path)
             key = ["band", "bhash"] if path == bands_dir else ["id"]
-            # repartition-then-distinct shares ONE exchange (see the
-            # identical note in retract_documents)
-            compacted = store.repartition(floor, *key).distinct()
+            # repartition-THEN-distinct: hash partitioning on the join
+            # key is a subset of the distinct's grouping columns, so
+            # the aggregate reuses the repartition exchange — ONE
+            # shuffle of the corpus-sized store instead of two
+            # (verified plan + result parity, r14)
+            compacted = store.repartition(parts, *key).distinct()
             swap_in_frame(
                 spark,
                 compacted,

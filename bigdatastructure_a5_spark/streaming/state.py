@@ -90,6 +90,19 @@ def fs_mkdirs(spark: SparkSession, path: str) -> None:
     fs.mkdirs(hpath)
 
 
+def fs_size_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes under ``path`` (0 if missing) — a driver-side
+    metadata listing, used to SIZE store rewrites: the partition count of
+    a corpus-sized maintenance rewrite must scale with the store, not sit
+    pinned at defaultParallelism (see streaming/dedup's rewrite_partitions
+    note and EXPERIMENTS §22's superlinear knee)."""
+    fs, hpath = _fs_for(spark, path)
+    try:
+        return int(fs.getContentSummary(hpath).getLength())
+    except Exception:
+        return 0
+
+
 # ---------------------------------------------------------------------------
 # Compaction machinery shared by the parquet state stores
 # (streaming/packing.compact_state, streaming/dedup.compact_dedup_state).

@@ -5,10 +5,11 @@ STORE SIZE (the complement of §21's file-count story).
 this tool measures the ops THEMSELVES as data grows: the band/shingle
 stores are CORPUS-sized, and both ``retract_documents`` and
 ``compact_dedup_state`` rewrite them whole through the staging-swap
-protocol — the 100 TB design claim is that the rewrite is a single
-linear distributed pass (anti-join/DISTINCT + repartition + write, no
-driver collect), so its wall must grow ~linearly with store rows and
-never with the RETRACTED-set size beyond the broadcast of the id list.
+protocol — the 100 TB design claim is that each rewrite is a single
+linear distributed pass (retraction: shuffle-free broadcast anti-join
++ write; compaction: one size-scaled repartition + DISTINCT + write;
+no driver collect), so its wall must grow ~linearly with store rows
+and never with the RETRACTED-set size beyond the broadcast id list.
 
 Method: write synthetic stores DIRECTLY at geometric sizes (the ops'
 input is just the two parquet stores — building them via real ingest
@@ -160,9 +161,11 @@ def render(rows: list[dict], base_docs: int) -> str:
         "warm-up pass (a fresh session's first staging-swap pays one-time "
         "codegen/fs-client costs an order above steady state).  Both ops "
         "rewrite the stores whole through the staging-swap protocol in one "
-        "distributed pass (anti-join/DISTINCT + join-key repartition + "
-        "write; the only driver-side data is the broadcast retract-id "
-        "list), so wall must track store size ~linearly: a per-4x-step "
+        "distributed pass (retraction: shuffle-free broadcast anti-join + "
+        "write; compaction: size-scaled repartition + DISTINCT + write — "
+        "see streaming/dedup's `_rewrite_partitions`; the only driver-side "
+        "data is the broadcast retract-id list), so wall must track store "
+        "size ~linearly: a per-4x-step "
         "ratio <= ~5 reads linear-or-better.  Correctness asserted inline "
         "per size: exactly the retracted ids' rows disappear from BOTH "
         "stores, survivor counts are exact, bucket partitioning survives "
@@ -203,6 +206,16 @@ def render(rows: list[dict], base_docs: int) -> str:
                 else "ABOVE the linear band — investigate before trusting "
                 "the 100 TB maintenance story."
             ),
+            "",
+            "History: the first 164M-row rung (r14) ran 9.8x/5.2x — the "
+            "then-shared anti-join + DISTINCT rewrite pinned its shuffle "
+            "at defaultParallelism, and each task's ~5M-row aggregate "
+            "state fell into spill (probe on the identical store: 253s "
+            "at 32 partitions, 56s at 128, 142s at 512).  Fixed by "
+            "making retraction DISTINCT-free (removing rows can't create "
+            "duplicates) and scaling compaction's partition count with "
+            "store bytes at 16 MiB/partition: 113s->10.7s retract, "
+            "62.5s->32.2s compact at that rung.",
             "",
         ]
     else:
