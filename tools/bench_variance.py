@@ -98,13 +98,14 @@ def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
         "re-pinned it at 50 rows), and two rows are STRUCTURALLY heavy "
         "by design: `pack_assembly_incremental` runs a real Structured "
         "Streaming ingest (two AvailableNow microbatches with parquet "
-        "state stores and exactly-once per-batch output; ~4s median "
-        "after the r13 staging cache — down from ~8-10s when it staged "
-        "its ingest corpus per rep), and `dedup_retraction` (r13) runs "
-        "TWO incremental-dedup batches plus four state-store rewrites "
-        "(retraction + compaction on both stores) — ~9-10s median, "
-        "almost entirely operator/state-machinery work with a fat "
-        "scheduling tail, priced here so its PI is honest.  Per-query "
+        "state stores and exactly-once per-batch output; ~5s steady "
+        "state, but its early reps run 2-3x that — stream-machinery "
+        "warm-up that amortizes across a session — so its sd and PI "
+        "read wide), and `dedup_retraction` runs TWO incremental-dedup "
+        "batches plus four state-store rewrites — ~6s median after r14 "
+        "made retraction shuffle-free and staged batch-1's ingested "
+        "state (down from ~9-10s / sd 4.8 in r13, which made the row "
+        "unfalsifiable), priced here so its PI is honest.  Per-query "
         "PI verdicts are the honest comparison.",
         "",
         "| query | min s | median s | max s | stddev s | PI95 s | share |",

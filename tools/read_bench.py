@@ -117,6 +117,18 @@ def main() -> int:
                 "the verdicts below likely over-report; re-run on a "
                 "quiet box before trusting any regression"
             )
+    # r14: bench.py also records hypervisor CPU steal during the timed
+    # section — contamination loadavg CANNOT see (it is external to the
+    # VM; measured 2-18% of busy cycles minute-to-minute on this box,
+    # enough to move parallel-stage walls 10-50% between runs that both
+    # look idle from inside).
+    steal = (doc.get("parsed", doc) or {}).get("steal_pct_of_busy")
+    if steal is not None and steal > 5.0:
+        print(
+            f"WARNING: {steal}% of busy CPU cycles were STOLEN by the "
+            "hypervisor during this bench — per-query deltas below are "
+            "dominated by neighbor noise, not code; re-run and compare"
+        )
 
     print(
         f"uniform session shift: {shift:.3f}x "
