@@ -422,3 +422,95 @@ def test_dedup_retraction_gate_row_is_non_vacuous(spark):
     assert surviving, "fixture has no surviving cross-parity evens"
     forced_drops = {b for a, b in sym if a in surviving and b % 2 == 1}
     assert forced_drops and not (forced_drops & kept)
+
+
+def test_retract_leaves_duplicate_rows_for_compaction(spark, tmp_path):
+    """r14 contract split: retraction REMOVES rows only (a broadcast
+    anti-join cannot create duplicates, so it carries no DISTINCT and no
+    shuffle — the EXPERIMENTS §22 spill knee was the old shared shape's
+    corpus-sized aggregate); collapsing retry re-appended duplicates is
+    compact_dedup_state's job.  Pin both halves: duplicate rows SURVIVE
+    a retraction bit-for-bit, then the compaction collapses them."""
+    from bigdatastructure_a5_spark.streaming.dedup import (
+        compact_dedup_state,
+        process_batch,
+        retract_documents,
+    )
+    from bigdatastructure_a5_spark.streaming.state import join_path
+
+    docs = _docs(spark)
+    batches = _splits(docs, 2)
+    out, st = str(tmp_path / "out_dup"), str(tmp_path / "st_dup")
+    process_batch(spark, batches[0], st, out)
+    bands_p = join_path(st, "bands")
+    bands = spark.read.parquet(bands_p)
+    base_count = bands.count()
+    # simulate a retried batch's re-append: duplicate the whole store
+    bands.write.mode("append").parquet(bands_p)
+    n_dup = spark.read.parquet(bands_p).count()
+    assert n_dup == 2 * base_count
+
+    victim = int(
+        spark.read.parquet(bands_p).select("id").orderBy("id").first().id
+    )
+    # count the victim's rows EAGERLY: the staging swap replaces the
+    # store's files, so any lazy frame over the old listing dies after
+    victim_base_rows = int(
+        spark.read.parquet(bands_p).filter(F.col("id") == victim).count()
+    )
+    retract_documents(spark, st, [victim])
+    after = spark.read.parquet(bands_p)
+    # the victim's rows (both copies) are gone...
+    assert after.filter(F.col("id") == victim).count() == 0
+    # ...and every OTHER duplicate row survived untouched
+    survivors = after.count()
+    assert survivors == n_dup - victim_base_rows
+    per_key_max = (
+        after.groupBy(after.columns).count().agg(F.max("count")).first()[0]
+    )
+    assert per_key_max == 2  # duplicates intact after retraction
+
+    compact_dedup_state(spark, st)
+    compacted = spark.read.parquet(bands_p)
+    assert compacted.count() == (survivors // 2)
+    assert (
+        compacted.groupBy(compacted.columns).count().agg(F.max("count"))
+        .first()[0]
+        == 1
+    )
+
+
+def test_rewrite_partitions_scales_with_store_bytes(spark, tmp_path):
+    """The compaction rewrite's partition count (streaming/dedup.py
+    `_rewrite_partitions`): floored at defaultParallelism for small
+    stores (the §21 one-file trap), scaling with on-disk bytes past
+    floor * 16 MiB (the §22 spill knee)."""
+    from bigdatastructure_a5_spark.streaming.dedup import (
+        _REWRITE_PARTITION_BYTES,
+        _rewrite_partitions,
+    )
+    from bigdatastructure_a5_spark.streaming.state import fs_size_bytes
+
+    small = str(tmp_path / "small")
+    spark.range(10).write.parquet(small)
+    floor = spark.sparkContext.defaultParallelism
+    assert _rewrite_partitions(spark, small) == floor
+
+    sz = fs_size_bytes(spark, small)
+    assert 0 < sz < _REWRITE_PARTITION_BYTES
+    # missing path -> size 0 -> floor (not an error: maintenance ops
+    # probe stores that may not exist yet)
+    assert fs_size_bytes(spark, str(tmp_path / "missing")) == 0
+    assert _rewrite_partitions(spark, str(tmp_path / "missing")) == floor
+
+    # the scaling arm, without writing floor*16MiB of parquet: shrink
+    # the per-partition byte target (a tunable) and let the REAL size
+    # probe drive the formula past the floor
+    import bigdatastructure_a5_spark.streaming.dedup as sd
+
+    orig = sd._REWRITE_PARTITION_BYTES
+    try:
+        sd._REWRITE_PARTITION_BYTES = max(1, sz // (floor + 5))
+        assert _rewrite_partitions(spark, small) > floor
+    finally:
+        sd._REWRITE_PARTITION_BYTES = orig
