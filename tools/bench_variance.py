@@ -55,14 +55,24 @@ def prediction_interval(ts: list[float]) -> tuple[float, float]:
     return max(0.0, mean - half), mean + half
 
 
-def measure(sf_dir: str, reps: int) -> dict[str, list[float]]:
+def measure(
+    sf_dir: str, reps: int
+) -> tuple[dict[str, list[float]], dict[str, float | None]]:
+    from bench import _cpu_stat, _steal_pct
+
     _load_all()
     spark = get_spark("bench-variance")
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(sf_dir + "/region.parquet").count()  # JVM warmup
     out: dict[str, list[float]] = {}
+    # hypervisor steal per query BLOCK (the reps are contiguous, so a
+    # noisy-neighbor burst contaminates one block — r14's first envelope
+    # run had two blocks read 2-3x their steady state and the samples
+    # alone can't say why; the steal share can)
+    steal: dict[str, float | None] = {}
     for name, qd in sorted(REGISTRY.items()):
         ts = []
+        s0 = _cpu_stat()
         for _ in range(reps):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
@@ -70,7 +80,8 @@ def measure(sf_dir: str, reps: int) -> dict[str, list[float]]:
             df.write.mode("overwrite").format("noop").save()
             ts.append(time.perf_counter() - t0)
         out[name] = ts
-    return out
+        steal[name] = _steal_pct(s0, _cpu_stat())
+    return out, steal
 
 
 def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
@@ -133,7 +144,7 @@ def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    times = measure(sf_dir, reps)
+    times, steal = measure(sf_dir, reps)
     # raw samples for tools/read_bench.py — the markdown table is for
     # humans, the JSON is the machine-readable envelope
     jpath = (
@@ -141,7 +152,15 @@ def main() -> None:
         / "EXPERIMENTS_bench_variance.json"
     )
     jpath.write_text(
-        json.dumps({"sf_dir": sf_dir, "reps": reps, "samples": times}, indent=1)
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "reps": reps,
+                "samples": times,
+                "steal_pct_of_busy_per_block": steal,
+            },
+            indent=1,
+        )
     )
     section = render(times, sf_dir, reps)
     path = Path(__file__).resolve().parent.parent / "EXPERIMENTS.md"
