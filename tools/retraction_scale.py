@@ -270,7 +270,13 @@ def render(rows: list[dict], base_docs: int) -> str:
             "making retraction DISTINCT-free (removing rows can't create "
             "duplicates) and scaling compaction's partition count with "
             "store bytes at 16 MiB/partition: 113s->10.7s retract, "
-            "62.5s->32.2s compact at that rung.",
+            "62.5s->32.2s compact at that rung.  The first 655M-row run "
+            "then read 11x/4.9x at the top rung with both ops pinned at "
+            "the disk ceiling — harness artifact, not operator: earlier "
+            "reps' ~30GB of undeleted stores sat queued for writeback "
+            "and the timed ops competed with the flush; dropping each "
+            "rep's stores immediately restored 3.5x/4.7x (retract "
+            "119.6s->42.5s at identical code).",
             "",
         ]
     else:
