@@ -955,3 +955,30 @@ def test_pipeline_split_matches_duckdb(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in con.sql(PIPELINE_SPLIT_ORACLE).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_bench_steal_share_arithmetic():
+    """r14: hypervisor CPU steal is the contamination loadavg cannot see
+    (measured 2-75% of busy cycles on this box, minute to minute).  Pin
+    the busy-relative arithmetic bench.py records and read_bench warns
+    on: steal / (total - idle - iowait) between two /proc/stat
+    snapshots, None when the counters are unavailable."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import _cpu_stat, _steal_pct
+
+    #         user nice sys idle iow irq sirq steal
+    a = [1000, 0, 100, 5000, 50, 10, 10, 20]
+    b = [1800, 0, 180, 9000, 60, 15, 15, 120]
+    # busy delta = (800+0+80+5+5+100) = 990; steal delta = 100
+    assert _steal_pct(a, b) == round(100 * 100 / 990, 1)
+    # idle-only interval: busy 0 -> None, not a division crash
+    assert _steal_pct(a, [1000, 0, 100, 9000, 50, 10, 10, 20]) is None
+    # missing counters (non-Linux /proc) -> None
+    assert _steal_pct([], b) is None
+    assert _steal_pct(a, b[:5]) is None
+    # the live probe returns 8 jiffy counters on this box
+    live = _cpu_stat()
+    assert len(live) == 8 and all(v >= 0 for v in live)
