@@ -117,7 +117,13 @@ def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
         "made retraction shuffle-free and staged batch-1's ingested "
         "state (down from ~9-10s / sd 4.8 in r13, which made the row "
         "unfalsifiable), priced here so its PI is honest.  Per-query "
-        "PI verdicts are the honest comparison.",
+        "PI verdicts are the honest comparison.  The envelope JSON also "
+        "records hypervisor CPU steal per query block "
+        "(steal_pct_of_busy_per_block): this box loses a fluctuating "
+        "2-75% of busy cycles to the hypervisor, invisible to loadavg — "
+        "a block whose samples read far above its usual envelope should "
+        "be checked against its steal share before being read as a "
+        "regression.",
         "",
         "| query | min s | median s | max s | stddev s | PI95 s | share |",
         "| --- | --- | --- | --- | --- | --- | --- |",
