@@ -169,26 +169,31 @@ def connected_components(
                 # persist: truncate the lineage so the next round's plan
                 # starts from materialized blocks (module docstring —
                 # persisted-only iteration OOMs the driver in plan
-                # stringification)
-                new_labels = truncate(
+                # stringification).  The convergence flag rides along in
+                # the SAME projection: a label changes exactly when a
+                # neighbor min undercuts it (nmin < comp — NULL nmin
+                # means no neighbors contributed, i.e. unchanged), so the
+                # fixpoint test is an existence probe over the
+                # checkpointed blocks instead of the former
+                # labels x new_labels shuffle join + full count — one
+                # corpus-sized join per round removed (r14).
+                stepped = truncate(
                     labels.join(nbr_min, "id", "left").select(
                         "id",
                         F.least(
                             F.col("comp"), F.coalesce("nmin", F.col("comp"))
                         ).alias("comp"),
+                        (F.col("nmin") < F.col("comp")).alias("__changed"),
                     )
                 )
                 changed = (
-                    labels.select("id", F.col("comp").alias("old"))
-                    .join(new_labels, "id")
-                    .filter(F.col("old") != F.col("comp"))
-                    .count()
+                    stepped.filter(F.col("__changed")).limit(1).count()
                 )
-                labels = new_labels
+                labels = stepped.select("id", "comp")
                 if changed == 0:
                     if rounds is not None:
                         rounds.append(it + 1)
-                    return new_labels
+                    return labels
         finally:
             sym.unpersist()
     raise RuntimeError(

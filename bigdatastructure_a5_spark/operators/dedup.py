@@ -176,6 +176,7 @@ def lsh_candidate_pairs(
     bands: int = 32,
     rows_per_band: int = 4,
     tracker: list | None = None,
+    banded_keys: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing >= 1 LSH band.
 
@@ -191,18 +192,29 @@ def lsh_candidate_pairs(
     for the tail bands, hashing every document to the same constant
     bucket — the self-join silently degenerates to all-pairs, destroying
     the subquadratic guarantee exactly when nothing looks wrong.
+
+    ``banded_keys`` lets a caller that ALREADY materialized the band-key
+    frame (``band_keys(signatures, ...)`` — e.g. streaming/dedup's
+    ``process_batch``, which also joins the keys against its stored index
+    and appends them to that index) pass it in: the self-join then reads
+    the caller's persisted frame instead of re-deriving the whole
+    shingle -> minhash -> banding subtree per side.  The caller owns the
+    frame's persistence/release; ``signatures`` is ignored in that case.
     """
-    banded = band_keys(signatures, bands, rows_per_band)
-    # The self-join evaluates its child once PER SIDE — without a persist
-    # the whole shingle -> minhash -> banding subtree (the expensive
-    # 64-min aggregation) runs twice.  The caller releases it via
-    # session.materialize_release(tracker); standalone (no tracker) the
-    # function materializes its result and releases before returning.
     from bigdatastructure_a5_spark.session import adopt_tracker
 
     tracker, finish = adopt_tracker(tracker)
-    banded = persist_df(banded)
-    tracker.append(banded)
+    if banded_keys is not None:
+        banded = banded_keys
+    else:
+        # The self-join evaluates its child once PER SIDE — without a
+        # persist the whole shingle -> minhash -> banding subtree (the
+        # expensive 64-min aggregation) runs twice.  The caller releases
+        # it via session.materialize_release(tracker); standalone (no
+        # tracker) the function materializes its result and releases
+        # before returning.
+        banded = persist_df(band_keys(signatures, bands, rows_per_band))
+        tracker.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
     result = (
         a.join(

@@ -435,15 +435,17 @@ def dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       1. ingest batch 1 (even doc_ids) via ``process_batch`` — the
          foreachBatch body, callable directly for batch-mode backfills;
-      2. ``retract_documents``: erase every cross-parity even doc
-         congruent 0 mod 4 (derived from the shared materialized pair
-         set — deterministic, and HALF the cross-parity evens, so both
-         cross-batch outcomes stay live) from the band and shingle
-         stores (right-to-erasure — a deleted page must stop
-         suppressing future near-copies of itself);
-      3. ``compact_dedup_state``: DISTINCT + join-key-partitioned
-         rewrite of both stores (semantically a no-op — the oracle
-         proving that IS part of the gate);
+      2.+3. ``maintain_dedup_state(retract_ids=..., compact=True)``:
+         BOTH r12 maintenance semantics in one fused rewrite per store
+         (r14) — the retraction anti-join erases every cross-parity
+         even doc congruent 0 mod 4 (derived from the shared
+         materialized pair set — deterministic, and HALF the
+         cross-parity evens, so both cross-batch outcomes stay live;
+         right-to-erasure — a deleted page must stop suppressing
+         future near-copies of itself), and the compaction DISTINCT +
+         join-key-partitioned rewrite runs in the same pass
+         (semantically a no-op — the oracle proving that IS part of
+         the gate; fused == sequential store content is pytest-pinned);
       4. ingest batch 2 (odd doc_ids) — its cross-batch check now runs
          against the retracted-and-compacted index.
 
@@ -468,9 +470,8 @@ def dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged_dir,
     )
     from bigdatastructure_a5_spark.streaming.dedup import (
-        compact_dedup_state,
+        maintain_dedup_state,
         process_batch,
-        retract_documents,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -544,8 +545,13 @@ def dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x").alias("doc_id"))
         .distinct()
     )
-    retract_documents(spark, state, retract_ids)
-    compact_dedup_state(spark, state)
+    # retraction + compaction FUSED into one rewrite per store
+    # (maintain_dedup_state, r14): same final store content as the
+    # sequential retract_documents + compact_dedup_state — both ops'
+    # semantics stay on the gated path (the anti-join's erasure AND the
+    # compaction DISTINCT/join-key partitioning are applied) at half
+    # the store-rewrite I/O; fused == sequential is pytest-pinned
+    maintain_dedup_state(spark, state, retract_ids=retract_ids, compact=True)
     process_batch(spark, b2, state, out, **kw)
     return spark.read.parquet(out).select(
         "doc_id", (F.col("doc_id") % 2).cast("bigint").alias("ingest_batch")

@@ -169,14 +169,22 @@ def _process_batch_body(
     shingled = persist_df(shingle_sets(batch, id_col, text_col, shingle_n))
     tracked.append(shingled)
     sigs = minhash_signatures(shingled, num_hashes)
-    keys = band_keys(sigs, bands, rows_per_band)
+    # ONE persisted band-key frame for all three consumers: the
+    # within-batch candidate self-join (both sides), the cross-batch
+    # index join, and the step-4 state append.  Without it each consumer
+    # re-derives the shingle -> minhash -> banding subtree — the
+    # num_hashes-min aggregation is the heaviest per-row map in the
+    # batch, and it was evaluated 3x per microbatch (r14 measurement:
+    # the batch-2 ingest dominates dedup_retraction's wall).
+    keys = persist_df(band_keys(sigs, bands, rows_per_band))
+    tracked.append(keys)
 
     # (1) within-batch: the batch operator's own pair rule
     within = jaccard_pairs(
         shingled,
         threshold,
         candidates=lsh_candidate_pairs(
-            sigs, bands, rows_per_band, tracker=tracked
+            sigs, bands, rows_per_band, tracker=tracked, banded_keys=keys
         ),
         tracker=tracked,
     ).select(F.col("id_b").alias("id"))
@@ -348,6 +356,86 @@ def _rewrite_partitions(spark: SparkSession, path: str) -> int:
     return max(floor, fs_size_bytes(spark, path) // _REWRITE_PARTITION_BYTES + 1)
 
 
+def maintain_dedup_state(
+    spark: SparkSession,
+    state_dir: str,
+    retract_ids: DataFrame | list | None = None,
+    id_col: str = "doc_id",
+    compact: bool = False,
+    force: bool = False,
+) -> None:
+    """Retraction and/or compaction in ONE staging-swap rewrite per store.
+
+    ``retract_documents`` and ``compact_dedup_state`` each rewrite BOTH
+    stores through the full swap protocol (stage write, delete, rename);
+    a maintenance window that needs both therefore pays four
+    corpus-sized store rewrites.  This op applies the retraction
+    anti-join and the compaction DISTINCT in the same pass — two
+    rewrites, half the maintenance-window I/O, identical final store
+    content (removing rows then DISTINCTing commutes with DISTINCTing
+    then removing: both are per-row predicates/foldings — pinned by
+    tests/test_streaming_dedup.py::test_fused_maintenance_equals_sequential).
+
+    Same locks, same crash protocol, same MUST-run-while-stopped
+    contract as the single-purpose ops (which are now thin wrappers over
+    this).  ``retract_ids=None`` with ``compact=False`` is a no-op."""
+    from bigdatastructure_a5_spark.streaming.state import (
+        begin_compaction,
+        end_compaction,
+        read_state_or_none,
+        recover_interrupted_swap,
+        swap_in_frame,
+    )
+
+    if retract_ids is None and not compact:
+        return
+    drop = None
+    if retract_ids is not None:
+        ids = retract_ids
+        if not isinstance(ids, DataFrame):
+            ids = spark.createDataFrame(
+                [(int(i),) for i in ids], f"{id_col} bigint"
+            )
+        drop = F.broadcast(
+            ids.select(F.col(id_col).alias("id")).distinct()
+        )
+
+    bands_dir, _ = _store_paths(state_dir)
+    begin_compaction(spark, state_dir, force=force)
+    try:
+        for path in _store_paths(state_dir):
+            recover_interrupted_swap(spark, path)
+            store = read_state_or_none(spark, path)
+            if store is None:
+                continue
+            kept = store
+            if drop is not None:
+                # broadcast anti-join applied in the scan tasks — adds
+                # no exchange regardless of whether compaction follows
+                kept = kept.join(drop, "id", "left_anti")
+            if compact:
+                # repartition-THEN-distinct: hash partitioning on the
+                # join key is a subset of the distinct's grouping
+                # columns, so the aggregate reuses the repartition
+                # exchange — ONE shuffle of the corpus-sized store
+                # (see compact_dedup_state's docstring; partition count
+                # scales with on-disk bytes, _rewrite_partitions)
+                parts = _rewrite_partitions(spark, path)
+                key = ["band", "bhash"] if path == bands_dir else ["id"]
+                kept = kept.repartition(parts, *key).distinct()
+            swap_in_frame(
+                spark,
+                kept,
+                path,
+                partition_by=(
+                    ["bucket"] if "bucket" in store.columns else None
+                ),
+                op="maintain_dedup_state",
+            )
+    finally:
+        end_compaction(spark, state_dir)
+
+
 def retract_documents(
     spark: SparkSession,
     state_dir: str,
@@ -384,43 +472,14 @@ def retract_documents(
 
     Production note: retraction REMOVES rows only.  Collapsing retry
     re-appended duplicates and restoring the join-key file clustering
-    remain ``compact_dedup_state``'s job — run it in the same
-    maintenance window when either matters (the gate row runs both)."""
-    from bigdatastructure_a5_spark.streaming.state import (
-        begin_compaction,
-        end_compaction,
-        read_state_or_none,
-        recover_interrupted_swap,
-        swap_in_frame,
+    remain ``compact_dedup_state``'s job — when both matter in one
+    maintenance window, call ``maintain_dedup_state(...,
+    retract_ids=ids, compact=True)`` instead: it fuses the two into a
+    single rewrite per store (half the window's I/O; the gate row runs
+    the fused form)."""
+    maintain_dedup_state(
+        spark, state_dir, retract_ids=ids, id_col=id_col, force=force
     )
-
-    if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} bigint"
-        )
-    drop = F.broadcast(
-        ids.select(F.col(id_col).alias("id")).distinct()
-    )
-
-    begin_compaction(spark, state_dir, force=force)
-    try:
-        for path in _store_paths(state_dir):
-            recover_interrupted_swap(spark, path)
-            store = read_state_or_none(spark, path)
-            if store is None:
-                continue
-            kept = store.join(drop, "id", "left_anti")
-            swap_in_frame(
-                spark,
-                kept,
-                path,
-                partition_by=(
-                    ["bucket"] if "bucket" in store.columns else None
-                ),
-                op="retract_documents",
-            )
-    finally:
-        end_compaction(spark, state_dir)
 
 
 def compact_dedup_state(
@@ -460,48 +519,11 @@ def compact_dedup_state(
     any point between batches (no batch_id cut — the stores carry none
     and need none: unlike the carry, re-appended rows are IDENTICAL, so
     folding a pending batch's rows cannot corrupt a retry — the retry's
-    re-append just re-duplicates them until the next compaction)."""
-    from bigdatastructure_a5_spark.streaming.state import (
-        begin_compaction,
-        end_compaction,
-        read_state_or_none,
-        recover_interrupted_swap,
-        swap_in_frame,
-    )
+    re-append just re-duplicates them until the next compaction).
 
-    begin_compaction(spark, state_dir, force=force)
-    try:
-        bands_dir, _ = _store_paths(state_dir)
-        for path in _store_paths(state_dir):
-            recover_interrupted_swap(spark, path)
-            store = read_state_or_none(spark, path)
-            if store is None:
-                continue
-            # repartition on the store's JOIN key with a parallelism
-            # floor: a tiny/naturally-skewed DISTINCT would otherwise
-            # AQE-coalesce to ONE output file, and every later batch's
-            # candidate/verify scan then serializes through one task
-            # (observed materially slower per batch than the
-            # uncompacted store while iterating on EXPERIMENTS §21;
-            # with the floor, the compacted tail runs 1.67x FASTER).
-            # Keying the files by the join column also keeps same-key
-            # rows co-located for the per-batch equi-joins.
-            parts = _rewrite_partitions(spark, path)
-            key = ["band", "bhash"] if path == bands_dir else ["id"]
-            # repartition-THEN-distinct: hash partitioning on the join
-            # key is a subset of the distinct's grouping columns, so
-            # the aggregate reuses the repartition exchange — ONE
-            # shuffle of the corpus-sized store instead of two
-            # (verified plan + result parity, r14)
-            compacted = store.repartition(parts, *key).distinct()
-            swap_in_frame(
-                spark,
-                compacted,
-                path,
-                partition_by=(
-                    ["bucket"] if "bucket" in store.columns else None
-                ),
-                op="compact_dedup_state",
-            )
-    finally:
-        end_compaction(spark, state_dir)
+    Repartition notes live in ``maintain_dedup_state`` (this is a thin
+    wrapper): the rewrite keys files by the store's JOIN column with a
+    parallelism floor (a tiny DISTINCT would AQE-coalesce to one file —
+    the §21 finding) and a byte-scaled count (§22's spill knee), and
+    repartition-then-distinct shares one exchange."""
+    maintain_dedup_state(spark, state_dir, compact=True, force=force)

@@ -505,8 +505,14 @@ def _assemble_batch_body(
 
         # new tail = the shard's (single) incomplete last chunk; shards
         # ending exactly on a boundary store an EMPTY tail row — skipping
-        # the write would resurrect the pre-batch tail on the next read
-        touched = combined.select("shard").distinct()
+        # the write would resurrect the pre-batch tail on the next read.
+        # Touched shards come from the PERSISTED assembly, not the raw
+        # combined input: every touched shard emits >= 1 assembly row
+        # (complete chunks, or the under-full partial — combined rows
+        # are pre-filtered to n_tokens > 0, so a touched shard always
+        # packs something), and reading the persisted frame avoids
+        # re-evaluating the whole batch input a second time (r14).
+        touched = asm.select("shard").distinct()
         partial = asm.filter(F.col("n_tokens") < chunk_tokens).select(
             "shard", "toks"
         )

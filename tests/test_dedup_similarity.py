@@ -1078,3 +1078,29 @@ def test_probed_cells_drop_malformed_vectors(spark, sf_dir):
     for df in tracked:
         df.unpersist()
     assert got == want and len(got) > 0
+
+
+def test_lsh_precomputed_band_keys_match(spark, docs):
+    """lsh_candidate_pairs(banded_keys=...) — the r14 reuse hook for
+    callers that already materialized the band-key frame (streaming
+    process_batch joins/appends the same keys) — must emit exactly the
+    pairs of the self-derived path."""
+    from bigdatastructure_a5_spark.operators.dedup import (
+        band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    sigs = minhash_signatures(shingle_sets(docs, "doc_id", "text", 3), 64)
+    own = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    keys = band_keys(sigs, 16, 4).persist()
+    try:
+        pre = lsh_candidate_pairs(
+            sigs, bands=16, rows_per_band=4, banded_keys=keys
+        )
+        a = {(r.id_a, r.id_b) for r in own.collect()}
+        b = {(r.id_a, r.id_b) for r in pre.collect()}
+        assert a == b and a
+    finally:
+        keys.unpersist()

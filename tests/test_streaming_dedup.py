@@ -514,3 +514,55 @@ def test_rewrite_partitions_scales_with_store_bytes(spark, tmp_path):
         assert _rewrite_partitions(spark, small) > floor
     finally:
         sd._REWRITE_PARTITION_BYTES = orig
+
+
+def test_fused_maintenance_equals_sequential(spark, tmp_path):
+    """maintain_dedup_state(retract_ids=..., compact=True) — the r14
+    single-rewrite maintenance window — must leave BOTH stores with
+    exactly the content the sequential retract_documents +
+    compact_dedup_state pair produces (the anti-join and the DISTINCT
+    are per-row predicates/foldings, so fusing them commutes)."""
+    from bigdatastructure_a5_spark.streaming.dedup import (
+        compact_dedup_state,
+        maintain_dedup_state,
+        process_batch,
+        retract_documents,
+    )
+    from bigdatastructure_a5_spark.streaming.state import join_path
+
+    docs = _docs(spark)
+    batches = _splits(docs, 2)
+    seq_st = str(tmp_path / "st_seq")
+    fus_st = str(tmp_path / "st_fus")
+    for st in (seq_st, fus_st):
+        process_batch(spark, batches[0], st, str(tmp_path / "out_any"))
+        # plant retry duplicates so the compaction half is non-vacuous
+        bands_p = join_path(st, "bands")
+        spark.read.parquet(bands_p).write.mode("append").parquet(bands_p)
+
+    victims = [
+        int(r.id)
+        for r in spark.read.parquet(join_path(seq_st, "bands"))
+        .select("id")
+        .distinct()
+        .orderBy("id")
+        .limit(3)
+        .collect()
+    ]
+    retract_documents(spark, seq_st, victims)
+    compact_dedup_state(spark, seq_st)
+    maintain_dedup_state(spark, fus_st, retract_ids=victims, compact=True)
+
+    for sub in ("bands", "shingles"):
+        a = spark.read.parquet(join_path(seq_st, sub))
+        b = spark.read.parquet(join_path(fus_st, sub))
+        assert sorted(a.columns) == sorted(b.columns)
+        cols = a.columns
+        assert a.count() == b.count()
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+        # victims really gone (non-vacuous retraction half)
+        assert b.filter(F.col("id").isin(victims)).count() == 0
+        # duplicates really collapsed (non-vacuous compaction half)
+        assert (
+            b.groupBy(cols).count().agg(F.max("count")).first()[0] == 1
+        )
