@@ -982,3 +982,27 @@ def test_bench_steal_share_arithmetic():
     # the live probe returns 8 jiffy counters on this box
     live = _cpu_stat()
     assert len(live) == 8 and all(v >= 0 for v in live)
+
+
+def test_bench_steal_probe_generates_load():
+    """r14: an IDLE steal probe always reads ~0 no matter how contended
+    the host is (steal jiffies only accrue while the VM wants CPU), so
+    bench.py's pre-timing gate must measure under a real parallel load.
+    Run the live probe short and small and pin its contract: a float in
+    [0, 100] (this box is Linux), and the probe actually burned CPU —
+    the busy-jiffy delta across the window is non-trivial."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import _cpu_stat, _probe_steal
+
+    a = _cpu_stat()
+    pct = _probe_steal(seconds=0.5, procs=2)
+    b = _cpu_stat()
+    assert pct is None or 0.0 <= pct <= 100.0
+    d = [y - x for x, y in zip(a, b)]
+    busy = sum(d) - d[3] - d[4]
+    # 2 procs x 0.5s ~ 100 jiffies of busy at USER_HZ=100; allow wide
+    # margin for scheduling, but an idle probe (~0) must fail here
+    assert busy >= 20
