@@ -155,8 +155,12 @@ def join_filtered_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join, fact-first with filters pushed to both inputs; the
     customer dimension broadcasts."""
+    # YEAR(CAST(ts AS DATE)) = 2000 as a raw-column range so it reaches
+    # the parquet scan (PushedFilters + row-group stats skipping); the
+    # function-wrapped form is unpushable and scanned every row group
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.year(F.to_date("l_shipdate")) == 2000
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp_ntz"))
     )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").filter(
@@ -235,7 +239,10 @@ def agg_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (PushedFilters), shrinking the shuffle the reference prices at
     groups x shards x partial_size."""
     li = load_table(spark, sf_dir, "lineitem")
-    d = F.to_date("l_shipdate")
+    # YEAR = 2000 AND MONTH = 4 ⟺ ts in [2000-04-01, 2000-05-01) on the
+    # RAW column — pushable to the parquet scan, unlike the oracle's
+    # function-wrapped spelling, which Spark cannot push and which left
+    # this "pre-filter reaches the scan" row scanning every row group
     return group_agg(
         li,
         ["l_partkey"],
@@ -243,7 +250,10 @@ def agg_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             dec_sum_double("l_quantity").alias("sum_qty"),
         ],
-        pre_filter=(F.year(d) == 2000) & (F.month(d) == 4),
+        pre_filter=(
+            (F.col("l_shipdate") >= F.lit("2000-04-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("2000-05-01").cast("timestamp_ntz"))
+        ),
     )
 
 

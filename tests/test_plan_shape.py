@@ -21,6 +21,19 @@ def test_filter_pushed_to_parquet_scan(spark, sf_dir):
     assert "p_brand" in plan.split("PushedFilters:")[1][:200]
 
 
+def test_date_range_filters_pushed_to_fact_scan(spark, sf_dir):
+    """r14: YEAR(CAST(ts AS DATE)) = k is unpushable (function-wrapped);
+    both date-filtered rows now spell the identical predicate as a raw
+    l_shipdate range so the parquet scan carries the bounds and can skip
+    row groups on column stats.  Pin the pushed range, not just IsNotNull
+    — regressing to the wrapped form keeps results identical and would
+    otherwise go unnoticed."""
+    for name in ("agg_prefiltered", "join_three_way"):
+        pushed = _plan(spark, sf_dir, name).split("PushedFilters:")[1][:300]
+        assert "GreaterThanOrEqual(l_shipdate" in pushed, name
+        assert "LessThan(l_shipdate" in pushed, name
+
+
 def test_projection_prunes_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "projection_computed")
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
