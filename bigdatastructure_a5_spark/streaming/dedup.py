@@ -401,37 +401,57 @@ def maintain_dedup_state(
         )
 
     bands_dir, _ = _store_paths(state_dir)
+
+    def _rewrite_store(path: str) -> None:
+        recover_interrupted_swap(spark, path)
+        store = read_state_or_none(spark, path)
+        if store is None:
+            return
+        kept = store
+        if drop is not None:
+            # broadcast anti-join applied in the scan tasks — adds
+            # no exchange regardless of whether compaction follows
+            kept = kept.join(drop, "id", "left_anti")
+        if compact:
+            # repartition-THEN-distinct: hash partitioning on the
+            # join key is a subset of the distinct's grouping
+            # columns, so the aggregate reuses the repartition
+            # exchange — ONE shuffle of the corpus-sized store
+            # (see compact_dedup_state's docstring; partition count
+            # scales with on-disk bytes, _rewrite_partitions)
+            parts = _rewrite_partitions(spark, path)
+            key = ["band", "bhash"] if path == bands_dir else ["id"]
+            kept = kept.repartition(parts, *key).distinct()
+        swap_in_frame(
+            spark,
+            kept,
+            path,
+            partition_by=(
+                ["bucket"] if "bucket" in store.columns else None
+            ),
+            op="maintain_dedup_state",
+        )
+
     begin_compaction(spark, state_dir, force=force)
     try:
-        for path in _store_paths(state_dir):
-            recover_interrupted_swap(spark, path)
-            store = read_state_or_none(spark, path)
-            if store is None:
-                continue
-            kept = store
-            if drop is not None:
-                # broadcast anti-join applied in the scan tasks — adds
-                # no exchange regardless of whether compaction follows
-                kept = kept.join(drop, "id", "left_anti")
-            if compact:
-                # repartition-THEN-distinct: hash partitioning on the
-                # join key is a subset of the distinct's grouping
-                # columns, so the aggregate reuses the repartition
-                # exchange — ONE shuffle of the corpus-sized store
-                # (see compact_dedup_state's docstring; partition count
-                # scales with on-disk bytes, _rewrite_partitions)
-                parts = _rewrite_partitions(spark, path)
-                key = ["band", "bhash"] if path == bands_dir else ["id"]
-                kept = kept.repartition(parts, *key).distinct()
-            swap_in_frame(
-                spark,
-                kept,
-                path,
-                partition_by=(
-                    ["bucket"] if "bucket" in store.columns else None
-                ),
-                op="maintain_dedup_state",
-            )
+        # The two stores' rewrites touch disjoint paths and share no
+        # state beyond the (already-built) broadcast drop frame, so run
+        # them as two concurrent driver-submitted jobs: each rewrite at
+        # maintenance-window scale is scheduling + FS-round-trip latency
+        # as much as compute, and the second job's tasks back-fill the
+        # executor tail of the first (optimization-guide §2.6).  Crash
+        # recovery is unchanged — both rewrites happen inside ONE
+        # begin/end_compaction window, each store's staging swap is
+        # independently recoverable, and re-running the maintenance op
+        # is idempotent (the anti-join of already-removed ids and the
+        # DISTINCT of already-distinct rows are both no-ops).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [
+                pool.submit(_rewrite_store, p) for p in _store_paths(state_dir)
+            ]:
+                f.result()
     finally:
         end_compaction(spark, state_dir)
 
