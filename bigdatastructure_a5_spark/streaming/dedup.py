@@ -71,7 +71,7 @@ from bigdatastructure_a5_spark.operators.dedup import (
     minhash_signatures,
     shingle_sets,
 )
-from bigdatastructure_a5_spark.session import persist_df
+from bigdatastructure_a5_spark.session import ensure_min_partitions, persist_df
 
 
 def streaming_exact_dedup(
@@ -166,7 +166,18 @@ def _process_batch_body(
     rows_per_band = num_hashes // bands
     tracked: list = []
 
-    shingled = persist_df(shingle_sets(batch, id_col, text_col, shingle_n))
+    # Spread the batch BEFORE the heavy per-row maps: a batch-mode
+    # backfill hands this body a filter over a one-split parquet, and
+    # without widening the tokenize -> shingle -> minhash chain (the
+    # heaviest map work in the flow) runs as a SINGLE task — measured as
+    # (0+1)/1 stages filling both persisted frames while 31 cores idle.
+    # Size-proportional and clamped (ensure_min_partitions), so a real
+    # streaming micro-batch that already arrives wide is untouched.
+    shingled = persist_df(
+        shingle_sets(
+            ensure_min_partitions(batch), id_col, text_col, shingle_n
+        )
+    )
     tracked.append(shingled)
     sigs = minhash_signatures(shingled, num_hashes)
     # ONE persisted band-key frame for all three consumers: the
