@@ -326,6 +326,37 @@ def read_tails(
     )
 
 
+#: Optimizer-estimated batch bytes above which the carry delta is DERIVED
+#: from the persisted assembly (sum of chunk n_tokens minus the re-packed
+#: tail length) instead of re-aggregating the raw batch.  Re-aggregation
+#: re-evaluates the batch source — for a real ingest that means re-reading
+#: and RE-TOKENIZING every document in the micro-batch just to size() its
+#: token array (the same waste class the touched-shards read fixed in r14).
+#: The derivation is O(shards) on already-cached data but costs two extra
+#: tiny jobs (asm aggregate + tail-length join), measured ~0.2s/batch on
+#: local[32] — cheaper than the re-scan only once the batch is large, so
+#: the cutover derives from the batch's own size estimate (guide §2:
+#: scale-adaptive, not box-tuned).  Both paths write bit-identical carry
+#: rows (parity-pinned: test_assembly_carry_rows_match_raw_batch_totals).
+DERIVE_CARRY_MIN_BYTES = 256 * 1024 * 1024
+
+
+def _carry_from_assembly(batch: DataFrame, override: bool | None) -> bool:
+    """Pick the carry-delta strategy for this batch (see
+    DERIVE_CARRY_MIN_BYTES).  Unknown estimates — including Catalyst's
+    ~2^63 unknown sentinel — take the raw-aggregation path: it is always
+    correct and cheapest at the small end, so never guess 'large'."""
+    if override is not None:
+        return override
+    try:
+        size = int(
+            batch._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return False
+    return 0 < size < (1 << 62) and size >= DERIVE_CARRY_MIN_BYTES
+
+
 def assemble_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -337,6 +368,7 @@ def assemble_batch(
     id_col: str = "doc_id",
     shard_col: str = "shard",
     exactly_once: bool = False,
+    carry_from_assembly: bool | None = None,
 ) -> None:
     """One microbatch of the incremental ASSEMBLER (foreachBatch body):
     emit the batch's COMPLETED chunks as (shard, chunk_id, toks,
@@ -375,6 +407,7 @@ def assemble_batch(
             id_col,
             shard_col,
             exactly_once,
+            carry_from_assembly,
         )
     finally:
         release_writer_mark(spark, state_dir)
@@ -391,8 +424,11 @@ def _assemble_batch_body(
     id_col: str,
     shard_col: str,
     exactly_once: bool,
+    carry_from_assembly: bool | None = None,
 ) -> None:
     from bigdatastructure_a5_spark.operators.packing import assemble_chunks
+
+    derive_carry = _carry_from_assembly(batch, carry_from_assembly)
 
     n = F.size(F.col(toks_col))
     # the order key must cast to bigint to union with the tail sentinel;
@@ -448,6 +484,7 @@ def _assemble_batch_body(
 
     carry = read_carry(spark, state_dir, before_batch_id=batch_id)
     tails = read_tails(spark, state_dir, before_batch_id=batch_id)
+    tail_len = None
     if tails is not None:
         tail_docs = tails.filter(F.size("toks") > 0).select(
             "shard",
@@ -455,6 +492,18 @@ def _assemble_batch_body(
             "toks",
         )
         docs = tail_docs.unionByName(docs)
+        # per-shard tail length (empty tails count 0, consistent with
+        # tail_docs dropping them); on the derived-carry path it feeds
+        # two separate jobs (carry base + carry delta), so persist it
+        # there — the row_number window inside read_tails would
+        # otherwise re-shuffle the store once per use
+        tail_len = tails.select(
+            "shard", F.size("toks").cast("bigint").alias("__tl")
+        )
+        if derive_carry:
+            from bigdatastructure_a5_spark.session import persist_df as _p
+
+            tail_len = _p(tail_len)
     combined = docs.withColumn(
         "n_tokens", F.size("toks").cast("bigint")
     )
@@ -462,10 +511,7 @@ def _assemble_batch_body(
         # base = first position of the shard's UNFILLED chunk: tokens
         # packed so far minus the tail's length (the tail re-packs)
         base = carry.withColumnRenamed("base", "__packed")
-        if tails is not None:
-            tail_len = tails.select(
-                "shard", F.size("toks").cast("bigint").alias("__tl")
-            )
+        if tail_len is not None:
             base = base.join(tail_len, "shard", "left")
         else:
             base = base.withColumn("__tl", F.lit(0).cast("bigint"))
@@ -533,23 +579,59 @@ def _assemble_batch_body(
         )
         new_tails.write.mode("append").parquet(_tails_path(state_dir))
 
-        added = (
-            batch.select(
-                F.col(shard_col).alias("shard"),
-                F.size(F.col(toks_col)).cast("bigint").alias("n"),
+        if derive_carry:
+            # LARGE batch (see DERIVE_CARRY_MIN_BYTES): carry delta from
+            # the PERSISTED assembly, not a second evaluation of the raw
+            # batch.  sum(asm.n_tokens) per shard is tail_len + this
+            # batch's tokens by construction (concat_and_chunk slices
+            # cover every combined token exactly once), so subtracting
+            # the tail length recovers exactly the batch's own per-shard
+            # totals (guide §1.2: don't recompute the expensive subtree).
+            # `added > 0` keeps the carry row set bit-identical to the
+            # raw-batch aggregation: a shard whose only activity was its
+            # re-packed tail contributed no new tokens and never wrote a
+            # carry row.
+            packed_now = asm.groupBy("shard").agg(
+                F.sum("n_tokens").cast("bigint").alias("__packed_now")
             )
-            .filter(F.col("n") > 0)
-            .groupBy("shard")
-            .agg(F.sum("n").alias("added"))
-            .select(
+            if tail_len is not None:
+                packed_now = packed_now.join(tail_len, "shard", "left")
+            else:
+                packed_now = packed_now.withColumn(
+                    "__tl", F.lit(0).cast("bigint")
+                )
+            added = packed_now.select(
                 "shard",
                 F.lit(batch_id).cast("bigint").alias("batch_id"),
-                "added",
+                (
+                    F.col("__packed_now")
+                    - F.coalesce("__tl", F.lit(0).cast("bigint"))
+                ).alias("added"),
+            ).filter(F.col("added") > 0)
+        else:
+            # SMALL batch: one aggregation over the raw batch is cheaper
+            # than the assembly-derived jobs (measured — the derived
+            # path's extra agg+join round trips beat a tiny re-scan only
+            # once the batch outgrows them)
+            added = (
+                batch.select(
+                    F.col(shard_col).alias("shard"),
+                    F.size(F.col(toks_col)).cast("bigint").alias("n"),
+                )
+                .filter(F.col("n") > 0)
+                .groupBy("shard")
+                .agg(F.sum("n").alias("added"))
+                .select(
+                    "shard",
+                    F.lit(batch_id).cast("bigint").alias("batch_id"),
+                    "added",
+                )
             )
-        )
         added.write.mode("append").parquet(_carry_path(state_dir))
     finally:
         asm.unpersist()
+        if derive_carry and tail_len is not None:
+            tail_len.unpersist()
 
 
 def streaming_assembly_writer(

@@ -929,3 +929,69 @@ def test_assemble_batch_rejects_null_ids(spark, tmp_path):
             L,
             batch_id=0,
         )
+
+
+def test_assembly_carry_rows_match_raw_batch_totals(spark, tmp_path):
+    """Large batches DERIVE the carry delta from the persisted assembly
+    (sum of chunk n_tokens minus the re-packed tail length) instead of a
+    second aggregation over the raw batch (r14: for a real ingest the
+    re-aggregation re-reads and re-tokenizes every document just to
+    size() its token array).  The derivation must stay bit-identical to
+    the raw-batch totals: same (shard, batch_id) row set — a shard whose
+    only activity is its re-packed tail contributes no new tokens and
+    writes NO carry row — the same per-batch added values, and IDENTICAL
+    output chunks, for the same batch sequence run through both paths."""
+    from bigdatastructure_a5_spark.streaming.packing import assemble_batch
+
+    # batch 0: shard 0 gets 10 tokens (partial tail), shard 1 gets 20
+    # (one complete chunk + a 4-token tail, L=16)
+    # batch 1: shard 1 ONLY — shard 0's tail is re-packed but adds 0
+    # batch 2: shard 0 resumes (9 + 3 tokens)
+    batches = [
+        [(0, 0, 10), (1, 1, 20)],
+        [(2, 1, 7)],
+        [(3, 0, 9), (4, 0, 3)],
+    ]
+    expect = {}
+    for i, rows in enumerate(batches):
+        for _, s, n in rows:
+            expect[(s, i)] = expect.get((s, i), 0) + n
+    carries, outs = [], []
+    for mode, label in ((True, "derived"), (None, "auto_raw")):
+        state = str(tmp_path / f"st_{label}")
+        out = str(tmp_path / f"out_{label}")
+        for i, rows in enumerate(batches):
+            b = spark.createDataFrame(
+                [
+                    (d, s, [f"w{d}_{j}" for j in range(n)])
+                    for d, s, n in rows
+                ],
+                TOK_SCHEMA,
+            )
+            assemble_batch(
+                spark, b, state, out, L,
+                batch_id=i, carry_from_assembly=mode,
+            )
+        carries.append({
+            (r.shard, r.batch_id): r.added
+            for r in spark.read.parquet(
+                os.path.join(state, "carry")
+            ).collect()
+        })
+        outs.append(_read_out(spark, out))
+    # no (shard=0, batch_id=1) row: tail-only shards add nothing —
+    # on BOTH paths, which also agree with the raw per-batch totals
+    assert carries[0] == carries[1] == expect
+    assert outs[0] == outs[1]
+
+
+def test_assembly_carry_strategy_is_size_adaptive(spark):
+    """The derive-vs-reaggregate cutover follows the batch's own size
+    estimate, not the box: tiny batches re-aggregate (cheapest), and the
+    unknown-stats sentinel must never be read as 'large'."""
+    from bigdatastructure_a5_spark.streaming import packing as P
+
+    tiny = spark.createDataFrame([(0, 0, ["a", "b"])], TOK_SCHEMA)
+    assert P._carry_from_assembly(tiny, None) is False
+    assert P._carry_from_assembly(tiny, True) is True
+    assert P._carry_from_assembly(tiny, False) is False
