@@ -75,6 +75,29 @@ def _probe_steal(seconds: float = 2.0, procs: int | None = None) -> float | None
     return _steal_pct(a, _cpu_stat())
 
 
+def _needs_steal_retry(
+    best_steal: float | None,
+    extra_done: int,
+    retry_spent: float,
+    threshold: float,
+    max_extra: int,
+    budget: float,
+) -> bool:
+    """Should this query get ANOTHER rep?  True only when the winning
+    rep's own window was steal-contaminated (> threshold) and both the
+    per-query extra-rep cap and the global retry wall-budget allow it.
+    Extra reps can only DEEPEN the min (each is a full computation from
+    parquet after clearCache), so the metric's meaning is unchanged —
+    this recovers honest numbers from a mid-run neighbor storm that the
+    pre-timing probe could not see coming."""
+    return (
+        best_steal is not None
+        and best_steal > threshold
+        and extra_done < max_extra
+        and retry_spent < budget
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -134,27 +157,64 @@ def main() -> None:
     # identical code).  spark.catalog.clearCache() before every rep drops
     # any DataFrame persisted inside a builder, so each rep still computes
     # from parquet — min-of-2 removes noise, not work.
+    #
+    # Steal-retried (r14): the pre-timing probe cannot see a neighbor
+    # storm that STARTS mid-run (observed: probe 0.3% -> 25.5% measured
+    # during the run, totals 59-68s on code that times 40-45s clean), so
+    # each rep also measures ITS OWN window's steal, and a query whose
+    # winning rep was contaminated (> SPARK_GRAFT_BENCH_STEAL_MAX) gets
+    # up to 2 extra reps inside a global wall budget
+    # (SPARK_GRAFT_BENCH_STEAL_RETRY_SEC, default 120).  Extra reps are
+    # full computations from parquet and only deepen the min; per-query
+    # winner steal lands in `queries_steal` so a reader can tell which
+    # rows stayed contaminated even after retries.
+    retry_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRY_SEC", "120")
+    )
     timings: dict[str, float] = {}
+    queries_steal: dict[str, float | None] = {}
+    steal_retries = 0
+    retry_spent = 0.0
     stat_start = _cpu_stat()
     for name, qd in sorted(REGISTRY.items()):
-        best = float("inf")
-        for _ in range(2):
+
+        def _rep() -> tuple[float, float | None]:
             spark.catalog.clearCache()
+            a = _cpu_stat()
             t0 = time.perf_counter()
             df = qd.builder(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            return time.perf_counter() - t0, _steal_pct(a, _cpu_stat())
+
+        reps = [_rep() for _ in range(2)]
+        while _needs_steal_retry(
+            min(reps, key=lambda r: r[0])[1],
+            len(reps) - 2,
+            retry_spent,
+            steal_threshold,
+            2,
+            retry_budget,
+        ):
+            extra = _rep()
+            reps.append(extra)
+            steal_retries += 1
+            retry_spent += extra[0]
+        best, best_steal = min(reps, key=lambda r: r[0])
         timings[name] = round(best, 4)
+        queries_steal[name] = best_steal
     steal_pct = _steal_pct(stat_start, _cpu_stat())
 
     out = {
         "metric": (
-            "wallclock_all_queries_min_of_2"
+            "wallclock_all_queries_min_of_2_steal_retried"
             " (read via README.md 'Reading a BENCH_r{N}.json')"
         ),
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # steal share of the WINNING rep's own window, per query — which
+        # rows (if any) stayed contaminated even after retries
+        "queries_steal": queries_steal,
         "sf": sf,
         "loadavg": {
             "start": [round(v, 2) for v in load_start],
@@ -165,6 +225,10 @@ def main() -> None:
             # was already clean; capped by SPARK_GRAFT_BENCH_STEAL_*)
             "steal_probe_pct": steal_probe,
             "steal_cooldown_waited_sec": round(steal_waited, 1),
+            # mid-run storm recovery: extra reps granted to queries whose
+            # winning rep was steal-contaminated, and their total wall
+            "steal_retries": steal_retries,
+            "steal_retry_spent_sec": round(retry_spent, 1),
         },
         # Hypervisor CPU steal during the timed section, as a share of
         # non-idle CPU time — contamination loadavg CANNOT see (it is

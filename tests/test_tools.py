@@ -1006,3 +1006,30 @@ def test_bench_steal_probe_generates_load():
     # 2 procs x 0.5s ~ 100 jiffies of busy at USER_HZ=100; allow wide
     # margin for scheduling, but an idle probe (~0) must fail here
     assert busy >= 20
+
+
+def test_bench_steal_retry_policy():
+    """r14: the pre-timing probe cannot see a neighbor storm that starts
+    MID-RUN (observed probe 0.3% -> 25.5% measured during the run), so a
+    query whose winning rep was steal-contaminated gets bounded extra
+    reps.  Pin the decision: retry only when the winner's own window
+    exceeded the threshold, at most 2 extra per query, never past the
+    global wall budget, and never when steal is unmeasurable (None)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import _needs_steal_retry
+
+    # contaminated winner, budget available -> retry
+    assert _needs_steal_retry(25.5, 0, 0.0, 5.0, 2, 120.0) is True
+    # clean winner -> no retry
+    assert _needs_steal_retry(1.2, 0, 0.0, 5.0, 2, 120.0) is False
+    # at the threshold (not above) -> no retry
+    assert _needs_steal_retry(5.0, 0, 0.0, 5.0, 2, 120.0) is False
+    # per-query extra-rep cap reached -> stop even if still contaminated
+    assert _needs_steal_retry(25.5, 2, 0.0, 5.0, 2, 120.0) is False
+    # global wall budget exhausted -> stop
+    assert _needs_steal_retry(25.5, 0, 120.0, 5.0, 2, 120.0) is False
+    # off-Linux (steal unmeasurable) -> never retry
+    assert _needs_steal_retry(None, 0, 0.0, 5.0, 2, 120.0) is False

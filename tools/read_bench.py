@@ -136,13 +136,23 @@ def main() -> int:
         f"median total "
         f"{sum(statistics.median(v) for v in env['samples'].values()):.2f}s)"
     )
+    # r14: bench.py also records the winning rep's OWN steal window per
+    # query (`queries_steal`) — a flagged row whose winner was itself
+    # contaminated is host noise until re-measured, not a code verdict
+    qsteal = (doc.get("parsed", doc) or {}).get("queries_steal") or {}
     print(f"{'query':34s} {'raw':>7s} {'adj':>7s} {'PI95':>15s}  verdict")
     flagged = 0
     for q, raw, adj, lo, hi, verdict in rows:
         if verdict != "inside-PI":
+            s = qsteal.get(q)
+            tag = (
+                f"  [winner rep steal {s}% — contaminated row]"
+                if isinstance(s, (int, float)) and s > 5.0
+                else ""
+            )
             print(
                 f"{q:34s} {raw:7.3f} {adj:7.3f} "
-                f"{lo:7.3f}–{hi:<7.3f} {verdict}"
+                f"{lo:7.3f}–{hi:<7.3f} {verdict}{tag}"
             )
         if verdict == "REGRESSION":
             flagged += 1
