@@ -204,10 +204,22 @@ def main() -> None:
         queries_steal[name] = best_steal
     steal_pct = _steal_pct(stat_start, _cpu_stat())
 
+    # Staged fixture stores (VERDICT r14 item 3 — the explicit contract):
+    # three gate rows stage BATCH-INVARIANT fixture artifacts under /tmp
+    # keyed on the fixture fingerprint + a code-derived impl token (CC
+    # minhash pairs, the packing ingest splits, dedup_retraction's
+    # batch-1 state; see README "Reading a BENCH_r{N}.json").  The ledger
+    # below makes the precomputation driver-visible: entries with
+    # built=true carry the wall seconds THIS run spent building a store
+    # (the first run on a fresh box pays them all); built=false entries
+    # prove the store was adopted without any work this run.
+    from bigdatastructure_a5_spark.queries.scratch import STAGING_LEDGER
+
     out = {
         "metric": (
             "wallclock_all_queries_min_of_2_steal_retried"
-            " (read via README.md 'Reading a BENCH_r{N}.json')"
+            " (read via README.md 'Reading a BENCH_r{N}.json';"
+            " staged fixture stores itemized in staging_builds)"
         ),
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
@@ -215,6 +227,26 @@ def main() -> None:
         # steal share of the WINNING rep's own window, per query — which
         # rows (if any) stayed contaminated even after retries
         "queries_steal": queries_steal,
+        # the contamination threshold the retries used, so readers
+        # compare against the value in force, not a hardcoded 5.0
+        "steal_threshold_pct": steal_threshold,
+        # driver-contract self-proof (VERDICT r14 item 2: the artifact
+        # could not prove its own core count, so `suspect_cpus_ignored`
+        # fired despite the harness honoring $SPARK_GRAFT_CPUS)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        # aggregated per store: reps re-open stores, so fold the ledger
+        "staging_builds": [
+            {
+                "store": s,
+                "built": any(b for s2, b, _ in STAGING_LEDGER if s2 == s),
+                "build_wall_sec": round(
+                    sum(w for s2, _, w in STAGING_LEDGER if s2 == s), 3
+                ),
+            }
+            for s in sorted({s for s, _, _ in STAGING_LEDGER})
+        ],
         "sf": sf,
         "loadavg": {
             "start": [round(v, 2) for v in load_start],

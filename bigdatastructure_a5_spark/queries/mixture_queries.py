@@ -398,8 +398,21 @@ def pack_assembly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and ANY change to stage()'s content (shard derivation, mtime
     # scheme, projection) must bump the impl token, same convention as
     # _minhash_pairs_shared's cache (ADVICE r13 low)
+    # impl token derived from the staging code's own source bytes (this
+    # module defines stage()) + the tokenizer module it calls — any edit
+    # rotates the token and rebuilds the splits (VERDICT r14 item 3: no
+    # more hand-bumped |impl=rN| tokens)
+    import sys as _sys
+
+    from bigdatastructure_a5_spark.functions import hashing as _hashing
+    from bigdatastructure_a5_spark.queries.scratch import impl_token
+
     fprint = hashlib.md5(
-        (table_fingerprint(sf_dir, "documents") + "|splits=2|impl=r14").encode()
+        (
+            table_fingerprint(sf_dir, "documents")
+            + "|splits=2|impl="
+            + impl_token(_sys.modules[__name__], _hashing)
+        ).encode()
     ).hexdigest()[:12]
 
     def stage(build_dir: str) -> None:

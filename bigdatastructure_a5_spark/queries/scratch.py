@@ -29,7 +29,38 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from collections.abc import Callable
+
+#: Build ledger for the staged fixture stores (VERDICT r14 item 3: the
+#: cross-run staged-store family needs a driver-VISIBLE contract).  Every
+#: ``staged_dir`` call appends ``(store_name, built, build_wall_sec)`` —
+#: ``built=False`` means the store already existed and this process did
+#: NO build work (adoption is free).  bench.py copies the ledger into its
+#: JSON (``staging_builds``), so the FIRST bench on a fresh box reports
+#: exactly how much wall went into fixture staging, and a later bench
+#: proves it rebuilt nothing.  In-process only, deliberately: the ledger
+#: documents what THIS invocation precomputed, not the store's history.
+STAGING_LEDGER: list[tuple[str, bool, float]] = []
+
+
+def impl_token(*modules) -> str:
+    """Code-derived ``impl=`` fingerprint token for staged-store cache
+    keys: the md5 of the implementing modules' SOURCE BYTES, so any edit
+    to the code that produces a store's content invalidates the store
+    automatically (VERDICT r14: hand-bumped ``|impl=r13|`` tokens mean a
+    forgotten bump silently adopts a stale store built by older code —
+    derive the token from the code instead).  Doc-only edits also rotate
+    the token; that errs toward rebuilding, never toward staleness.
+    ``modules`` are imported module objects with a ``__file__``."""
+    import hashlib
+
+    h = hashlib.md5()
+    for m in modules:
+        with open(m.__file__, "rb") as fh:
+            h.update(fh.read())
+        h.update(b"\x00")
+    return h.hexdigest()[:10]
 
 
 def staged_dir(
@@ -47,11 +78,20 @@ def staged_dir(
     ``_SUCCESS``, or an explicitly written marker LAST)."""
     data = os.path.join(root, f"{prefix}-{fprint}")
     if os.path.isfile(os.path.join(data, ready_file)):
+        STAGING_LEDGER.append((f"{os.path.basename(os.path.dirname(root)) or os.path.basename(root)}/{prefix}", False, 0.0))
         return data
     os.makedirs(root, exist_ok=True)
     build_dir = f"{data}.build-{os.getpid()}"
     shutil.rmtree(build_dir, ignore_errors=True)
+    t0 = time.perf_counter()
     build(build_dir)
+    STAGING_LEDGER.append(
+        (
+            f"{os.path.basename(os.path.dirname(root)) or os.path.basename(root)}/{prefix}",
+            True,
+            round(time.perf_counter() - t0, 3),
+        )
+    )
     try:
         os.rename(build_dir, data)
     except OSError:

@@ -426,8 +426,6 @@ def _assemble_batch_body(
     exactly_once: bool,
     carry_from_assembly: bool | None = None,
 ) -> None:
-    from bigdatastructure_a5_spark.operators.packing import assemble_chunks
-
     derive_carry = _carry_from_assembly(batch, carry_from_assembly)
 
     n = F.size(F.col(toks_col))
@@ -504,6 +502,53 @@ def _assemble_batch_body(
             from bigdatastructure_a5_spark.session import persist_df as _p
 
             tail_len = _p(tail_len)
+            # from here on EVERY exit must unpersist tail_len — the
+            # try below starts immediately so an analysis error in
+            # concat_and_chunk/assemble_chunks/persist_df(asm) cannot
+            # leak the cached frame for the session (ADVICE r14 low)
+    _tail_persisted = derive_carry and tail_len is not None
+    try:
+        _assemble_batch_tail(
+            spark,
+            docs,
+            carry,
+            tail_len,
+            state_dir,
+            out_dir,
+            chunk_tokens,
+            batch_id,
+            toks_col,
+            shard_col,
+            exactly_once,
+            derive_carry,
+            batch,
+        )
+    finally:
+        if _tail_persisted:
+            tail_len.unpersist()
+
+
+def _assemble_batch_tail(
+    spark: SparkSession,
+    docs: DataFrame,
+    carry: DataFrame | None,
+    tail_len: DataFrame | None,
+    state_dir: str,
+    out_dir: str,
+    chunk_tokens: int,
+    batch_id: int,
+    toks_col: str,
+    shard_col: str,
+    exactly_once: bool,
+    derive_carry: bool,
+    batch: DataFrame,
+) -> None:
+    """The assembly body downstream of the tail_len persist point —
+    split out so the caller's try/finally covers every statement that
+    could raise after the persist (ADVICE r14 low: the cached tail_len
+    leaked on an exception before the old inner try)."""
+    from bigdatastructure_a5_spark.operators.packing import assemble_chunks
+
     combined = docs.withColumn(
         "n_tokens", F.size("toks").cast("bigint")
     )
@@ -600,13 +645,34 @@ def _assemble_batch_body(
                 packed_now = packed_now.withColumn(
                     "__tl", F.lit(0).cast("bigint")
                 )
+            delta = F.col("__packed_now") - F.coalesce(
+                "__tl", F.lit(0).cast("bigint")
+            )
+            # a NEGATIVE delta (sum(asm.n_tokens) < tail length) means
+            # the assembly lost tokens — accounting corruption; fail
+            # loudly like the module's other corruption classes instead
+            # of silently dropping the carry row (ADVICE r14 low).  The
+            # > 0 filter below keeps only the legitimate zero case out.
+            checked = F.when(
+                delta < 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "assemble_batch: negative carry delta for "
+                            "shard "
+                        ),
+                        F.col("shard").cast("string"),
+                        F.lit(
+                            " (assembled tokens < carried tail length) "
+                            "— token accounting corrupted"
+                        ),
+                    )
+                ).cast("bigint"),
+            ).otherwise(delta)
             added = packed_now.select(
                 "shard",
                 F.lit(batch_id).cast("bigint").alias("batch_id"),
-                (
-                    F.col("__packed_now")
-                    - F.coalesce("__tl", F.lit(0).cast("bigint"))
-                ).alias("added"),
+                checked.alias("added"),
             ).filter(F.col("added") > 0)
         else:
             # SMALL batch: one aggregation over the raw batch is cheaper
@@ -629,9 +695,9 @@ def _assemble_batch_body(
             )
         added.write.mode("append").parquet(_carry_path(state_dir))
     finally:
+        # tail_len's unpersist is owned by _assemble_batch_body's outer
+        # try/finally (which also covers exceptions BEFORE this point)
         asm.unpersist()
-        if derive_carry and tail_len is not None:
-            tail_len.unpersist()
 
 
 def streaming_assembly_writer(

@@ -1,34 +1,49 @@
-"""Bench variance: repeat every registry query N times and record spread.
+"""Bench variance: repeat the DRIVER'S OWN bench protocol N times and
+record the spread of its per-query min-of-2 values.
 
-The driver's bench (bench.py) reports min-of-2 wall-clock per query; on a
-shared box that min still wobbles run-to-run (observed ±20% on identical
-code).  This tool quantifies that wobble so a reviewer can tell noise from
-a regression: R reps per query (cache cleared before each), reporting min,
-median, max, the sample standard deviation, a proper 95% prediction
-interval for a single future observation (mean ± t(n-1, 0.975) · sd ·
-sqrt(1 + 1/n) — ADVICE r6 flagged the old median ± 1.96 sd band as
-understating at n=10), and each query's share of the total median (the
-shift-invariant statistic tools/read_bench.py uses), then rewrites the
-"Bench variance" section of EXPERIMENTS.md and drops the raw samples next
-to it as EXPERIMENTS_bench_variance.json for machine consumption.
+The driver's bench (bench.py) reports min-of-2 wall-clock per query from a
+FRESH process/session; on a shared box that min still wobbles run-to-run
+(observed ±20% on identical code).  This tool quantifies that wobble so a
+reviewer can tell noise from a regression.
 
-Usage: python tools/bench_variance.py [sf_dir] [reps]   (default reps: 10)
+Protocol (recalibrated r15, VERDICT r14 item 7): each envelope sample IS a
+bench.py observation.  The old envelope ran 10 consecutive reps of each
+query inside one long-lived session, which amortizes the first-rep
+plan-analysis/codegen cost that a real bench pays — its PIs under-covered
+fresh-session min-of-2 behavior for big-plan rows (the r14
+pipeline_curation false flag: PI ≤2.60 vs honest fresh-session 3.03).  Now
+the tool launches N SUBPROCESS runs of bench.py itself (fresh Python +
+JVM + session, min-of-2 with per-query steal retries, identical cooldown
+gates) and the per-query samples are the N min-of-2 values — the
+statistic read_bench.py verdicts a BENCH_r{N}.json against is then drawn
+from the exact distribution that produced it, JIT warmup and all.
+
+Pass-level steal resampling: a pass whose whole-run steal share exceeds
+``SPARK_GRAFT_BENCH_STEAL_MAX`` (same threshold bench.py uses) measured
+the neighbor, not the code — it is discarded and re-run, bounded by
+``SPARK_GRAFT_ENVELOPE_STEAL_RETRY_SEC`` of extra wall (default 900; the
+name is deliberately distinct from bench.py's per-query
+``SPARK_GRAFT_BENCH_STEAL_RETRY_SEC`` — ADVICE r14 low).  If the budget
+runs out during a persistent storm the contaminated passes are KEPT and
+the JSON's ``pass_steal_pct`` / ``passes_discarded`` document it.
+
+Usage: python tools/bench_variance.py [sf_dir] [passes]   (default: 7)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import statistics
+import subprocess
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
-from bigdatastructure_a5_spark.session import get_spark
-
 SECTION = "## 8. Bench variance"
+
+REPO = Path(__file__).resolve().parent.parent
 
 #: Two-sided 97.5% Student-t quantiles, df 1..30 (abramowitz-stegun values);
 #: beyond 30 the normal 1.96 is within 2%.
@@ -55,114 +70,84 @@ def prediction_interval(ts: list[float]) -> tuple[float, float]:
     return max(0.0, mean - half), mean + half
 
 
+def _run_bench_pass(sf_dir: str) -> dict:
+    """One fresh-process bench.py run; returns its parsed JSON line."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    # bench.py's contract: exactly one JSON line on stdout
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    return json.loads(lines[-1])
+
+
 def measure(
-    sf_dir: str, reps: int
-) -> tuple[
-    dict[str, list[float]], dict[str, float | None], dict[str, int]
-]:
-    import os
-
-    from bench import _cpu_stat, _needs_steal_retry, _steal_pct
-
-    _load_all()
-    spark = get_spark("bench-variance")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.read.parquet(sf_dir + "/region.parquet").count()  # JVM warmup
-    out: dict[str, list[float]] = {}
-    # hypervisor steal per query BLOCK (the reps are contiguous, so a
-    # noisy-neighbor burst contaminates one block — r14's first envelope
-    # run had two blocks read 2-3x their steady state and the samples
-    # alone can't say why; the steal share can)
-    steal: dict[str, float | None] = {}
-    # Steal-aware resampling (r14): a sample taken while the hypervisor
-    # stole > threshold of our busy cycles measures the NEIGHBOR, not
-    # the code, and one such rep inflates the PI enough to hide a real
-    # regression (both r14 envelope attempts caught blocks at 46-57%
-    # steal).  Each rep measures its own window; contaminated samples
-    # are DISCARDED and re-run — bounded per query (at most `reps`
-    # extra) and by a global wall budget so a permanent storm still
-    # terminates, in which case the contaminated samples are kept (the
-    # per-block steal share and the discard counts document it).
-    discarded: dict[str, int] = {}
+    sf_dir: str, passes: int
+) -> tuple[dict[str, list[float]], list[dict], int]:
+    """-> (samples per query, kept pass metadata, discarded passes)."""
     threshold = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "5.0"))
     retry_budget = float(
-        os.environ.get("SPARK_GRAFT_ENV_STEAL_RETRY_SEC", "600")
+        os.environ.get("SPARK_GRAFT_ENVELOPE_STEAL_RETRY_SEC", "900")
     )
+    samples: dict[str, list[float]] = {}
+    kept_meta: list[dict] = []
+    discarded = 0
     retry_spent = 0.0
-    for name, qd in sorted(REGISTRY.items()):
-        ts: list[float] = []
-        n_extra = 0
-        s0 = _cpu_stat()
-        while len(ts) < reps:
-            spark.catalog.clearCache()
-            a = _cpu_stat()
-            t0 = time.perf_counter()
-            df = qd.builder(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            st = _steal_pct(a, _cpu_stat())
-            # same pinned predicate as bench.py's per-query retries
-            # (tests/test_tools.py::test_bench_steal_retry_policy)
-            if _needs_steal_retry(
-                st, n_extra, retry_spent, threshold, reps, retry_budget
-            ):
-                n_extra += 1
-                retry_spent += dt
-                continue
-            ts.append(dt)
-        out[name] = ts
-        discarded[name] = n_extra
-        steal[name] = _steal_pct(s0, _cpu_stat())
-    return out, steal, discarded
+    while len(kept_meta) < passes:
+        doc = _run_bench_pass(sf_dir)
+        steal = doc.get("steal_pct_of_busy")
+        wall = sum(doc["queries"].values())
+        if (
+            steal is not None
+            and steal > threshold
+            and retry_spent < retry_budget
+        ):
+            # this pass measured the hypervisor neighbor, not the code
+            discarded += 1
+            retry_spent += wall
+            continue
+        kept_meta.append(
+            {
+                "total": round(wall, 3),
+                "steal_pct_of_busy": steal,
+                "queries_steal": doc.get("queries_steal"),
+                "loadavg": doc.get("loadavg"),
+            }
+        )
+        for q, v in doc["queries"].items():
+            samples.setdefault(q, []).append(v)
+    return samples, kept_meta, discarded
 
 
-def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
+def render(times: dict[str, list[float]], sf_dir: str, passes: int) -> str:
     lines = [
         SECTION,
         "",
-        f"`tools/bench_variance.py {sf_dir} {reps}`: every registry query "
-        f"run {reps}x in one session (cache cleared per rep, first rep "
-        "carries fresh-plan analysis + codegen).  The driver's bench "
-        "records min-of-2; the spread below is the yardstick for reading "
-        "a BENCH_r{N} delta.  Read a new value against the **PI95** "
-        "column — a 95% prediction interval for one future observation, "
-        "mean ± t(n-1, .975) · sd · sqrt(1 + 1/n): inside it is box "
-        "noise, not a code regression.  The observed max is also shown "
-        "but is a thin-tailed statistic at these rep counts (r5: three "
-        "sub-0.5s queries landed above a 6-rep max on pure noise).  One "
-        "caveat: these reps share ONE session, while BENCH_r{N} runs in "
-        "a fresh one — whole-run level shifts of ~10-30% (every query "
-        "moving together) are session-level box noise; `tools/"
-        "read_bench.py BENCH_r{N}.json` mechanizes the discounting: it "
-        "estimates the uniform shift, rescales each observation by it, "
-        "and verdicts against PI95 (the **share** column is the "
-        "shift-invariant statistic it uses).  Cross-ROUND totals are "
-        "only comparable on shared slots (the registry rotates; r13 "
-        "re-pinned it at 50 rows), and two rows are STRUCTURALLY heavy "
-        "by design: `pack_assembly_incremental` runs a real Structured "
-        "Streaming ingest (two AvailableNow microbatches with parquet "
-        "state stores and exactly-once per-batch output; ~5s steady "
-        "state, but its early reps run 2-3x that — stream-machinery "
-        "warm-up that amortizes across a session — so its sd and PI "
-        "read wide), and `dedup_retraction` runs TWO incremental-dedup "
-        "batches plus fused state-store rewrites — ~3.5s median after "
-        "r14 made retraction shuffle-free, staged batch-1's ingested "
-        "state, fused the two maintenance rewrites per store into one "
-        "and overlapped the stores' swaps (down from ~9-10s / sd 4.8 "
-        "in r13, which made the row unfalsifiable), priced here so its "
-        "PI is honest.  Per-query "
-        "PI verdicts are the honest comparison.  The envelope JSON also "
-        "records hypervisor CPU steal per query block "
-        "(steal_pct_of_busy_per_block): this box loses a fluctuating "
-        "2-75% of busy cycles to the hypervisor, invisible to loadavg — "
-        "a block whose samples read far above its usual envelope should "
-        "be checked against its steal share before being read as a "
-        "regression.  Since r14 each rep measures its own steal window "
-        "and contaminated samples (> SPARK_GRAFT_BENCH_STEAL_MAX of "
-        "busy) are discarded and re-run, bounded per query and by a "
-        "global wall budget (steal_discarded_per_block records the "
-        "discards; a block that still shows high steal exhausted its "
-        "allowance during a persistent storm).",
+        f"`tools/bench_variance.py {sf_dir} {passes}`: the driver's OWN "
+        f"bench protocol run {passes}x, each pass a fresh-process "
+        "`python bench.py` (new JVM/session, min-of-2 per query with "
+        "per-query steal retries, load + steal cooldown gates) — so each "
+        "sample below is drawn from exactly the distribution a "
+        "BENCH_r{N}.json observation comes from, first-rep plan "
+        "analysis/codegen included (VERDICT r14 item 7: the old "
+        "single-session 10-rep envelope amortized JIT warmup and "
+        "under-covered fresh-session behavior for big-plan rows).  "
+        "Read a new value against the **PI95** column — a 95% prediction "
+        "interval for one future observation, mean ± t(n-1, .975) · sd · "
+        "sqrt(1 + 1/n): inside it is box noise, not a code regression.  "
+        "`tools/read_bench.py BENCH_r{N}.json` mechanizes the verdict: "
+        "it estimates the uniform session shift (whole-run level moves "
+        "of ~10-30% where every query moves together), rescales, and "
+        "verdicts against PI95 (the **share** column is the "
+        "shift-invariant statistic).  Passes whose whole-run steal "
+        "exceeded the contamination threshold were discarded and re-run "
+        "(bounded — see the module docstring); per-pass steal is in the "
+        "JSON.  Cross-ROUND totals are only comparable on shared slots "
+        "(the registry rotates; r13 re-pinned it at 50 rows).",
         "",
         "| query | min s | median s | max s | stddev s | PI95 s | share |",
         "| --- | --- | --- | --- | --- | --- | --- |",
@@ -188,31 +173,34 @@ def render(times: dict[str, list[float]], sf_dir: str, reps: int) -> str:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    times, steal, discarded = measure(sf_dir, reps)
+    passes = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    times, kept_meta, discarded = measure(sf_dir, passes)
     # raw samples for tools/read_bench.py — the markdown table is for
     # humans, the JSON is the machine-readable envelope
-    jpath = (
-        Path(__file__).resolve().parent.parent
-        / "EXPERIMENTS_bench_variance.json"
-    )
+    jpath = REPO / "EXPERIMENTS_bench_variance.json"
     jpath.write_text(
         json.dumps(
             {
                 "sf_dir": sf_dir,
-                "reps": reps,
+                "protocol": "fresh_process_bench_min_of_2",
+                "passes": passes,
                 "samples": times,
-                "steal_pct_of_busy_per_block": steal,
-                # contaminated samples discarded and re-run per query
-                # (bounded; see measure() — a block that still reads
-                # high steal exhausted its retry allowance)
-                "steal_discarded_per_block": discarded,
+                # whole-run steal per KEPT pass (order matches samples)
+                "pass_steal_pct": [
+                    m["steal_pct_of_busy"] for m in kept_meta
+                ],
+                "pass_totals": [m["total"] for m in kept_meta],
+                "pass_loadavg": [m["loadavg"] for m in kept_meta],
+                # contaminated passes discarded and re-run (bounded; a
+                # high pass_steal_pct entry means the budget ran out
+                # during a persistent storm)
+                "passes_discarded": discarded,
             },
             indent=1,
         )
     )
-    section = render(times, sf_dir, reps)
-    path = Path(__file__).resolve().parent.parent / "EXPERIMENTS.md"
+    section = render(times, sf_dir, passes)
+    path = REPO / "EXPERIMENTS.md"
     text = path.read_text()
     tail = ""
     if SECTION in text:

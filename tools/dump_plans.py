@@ -30,7 +30,12 @@ from bigdatastructure_a5_spark import session as S
 from bigdatastructure_a5_spark.registry import REGISTRY, _load_all
 from bigdatastructure_a5_spark.session import get_spark
 
-OUT_ROOT = Path(__file__).resolve().parent.parent / "plans" / "r14"
+# round tag via env so the usage line stays SUFFIX [SF_DIR] [QUERY ...]
+OUT_ROOT = (
+    Path(__file__).resolve().parent.parent
+    / "plans"
+    / os.environ.get("SPARK_GRAFT_PLANS_TAG", "r15")
+)
 
 
 def formatted_plan(df) -> str:

@@ -122,8 +122,12 @@ def main() -> int:
     # VM; measured 2-18% of busy cycles minute-to-minute on this box,
     # enough to move parallel-stage walls 10-50% between runs that both
     # look idle from inside).
+    # contamination threshold: the one the ARTIFACT was produced under
+    # (bench.py records it since r15); 5.0 only as a legacy fallback for
+    # pre-r15 artifacts that carry no threshold field (ADVICE r14 low)
+    thr = (doc.get("parsed", doc) or {}).get("steal_threshold_pct", 5.0)
     steal = (doc.get("parsed", doc) or {}).get("steal_pct_of_busy")
-    if steal is not None and steal > 5.0:
+    if steal is not None and steal > thr:
         print(
             f"WARNING: {steal}% of busy CPU cycles were STOLEN by the "
             "hypervisor during this bench — per-query deltas below are "
@@ -147,7 +151,7 @@ def main() -> int:
             s = qsteal.get(q)
             tag = (
                 f"  [winner rep steal {s}% — contaminated row]"
-                if isinstance(s, (int, float)) and s > 5.0
+                if isinstance(s, (int, float)) and s > thr
                 else ""
             )
             print(
