@@ -235,6 +235,7 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     tracker: list | None = None,
     df_cap: int | None = None,
+    prepersisted: bool = False,
 ) -> DataFrame:
     """Exact Jaccard similarity pairs (id_a, id_b, jaccard >= threshold).
 
@@ -259,6 +260,14 @@ def jaccard_pairs(
     capped vocabulary (the standard stop-shingle approximation; boilerplate
     shingles carry no near-dup signal anyway).  Deterministic, so a capped
     oracle is expressible; the registered gate queries run uncapped.
+
+    ``prepersisted=True`` (inverted-index path): the caller passes a
+    ``shingled`` frame that is ALREADY persisted (or a cheap projection
+    of a persisted frame) and wide enough — skip the internal
+    ensure_min_partitions + persist_df, so a pipeline that caches ONE
+    fused frame (e.g. curate_documents' scored+shingled cache) doesn't
+    pay a second materialization of the same data (guide §5: cache once,
+    not per operator).
     """
     from bigdatastructure_a5_spark.session import adopt_tracker
 
@@ -301,9 +310,11 @@ def jaccard_pairs(
     # persist the single shingling pass — spread across the executor pool
     # first, since a one-split source would otherwise tokenize and
     # cache-encode in a single task.  Same calls at 100 TB, just
-    # StorageLevel.DISK_ONLY or a checkpoint.
-    nonempty = persist_df(ensure_min_partitions(nonempty))
-    tracker.append(nonempty)
+    # StorageLevel.DISK_ONLY or a checkpoint.  (Skipped when the caller
+    # already persisted the frame — see the docstring.)
+    if not prepersisted:
+        nonempty = persist_df(ensure_min_partitions(nonempty))
+        tracker.append(nonempty)
     sizes = nonempty.select("id", F.size("shingles").alias("n"))
     exploded = nonempty.select("id", F.explode("shingles").alias("g"))
     if df_cap is not None:

@@ -24,7 +24,6 @@ from bigdatastructure_a5_spark.operators.dedup import (
     jaccard_pairs,
     near_duplicates_minhash,
     shingle_sets,
-    shingle_sets_from_tokens,
     simhash64,
     simhash_near_pairs,
 )
@@ -1598,6 +1597,9 @@ def curate_documents(
     boilerplate shingles while df_cap≈64 keeps it exactly linear at a
     ~0.03% occurrence cost; the gate query runs uncapped (None) so the
     oracle stays the registered SQL."""
+    from bigdatastructure_a5_spark.functions.hashing import (
+        word_shingles_from_tokens,
+    )
     from bigdatastructure_a5_spark.operators.text import (
         lang_id_from_scores,
         quality_score,
@@ -1606,7 +1608,16 @@ def curate_documents(
 
     # ONE tokenizer pass feeds everything: lang scores (toks_col fusion),
     # n_tokens, quality (with the marker counts reused via stop_hits — the
-    # same integer values by construction), and downstream shingling.
+    # same integer values by construction), and shingling — fused INTO the
+    # scoring projection (r15): the flow's two big caches (kept-with-toks
+    # + a second shingle cache built inside jaccard_pairs) collapsed into
+    # ONE (doc_id, n_tokens, quality, shingles), removing a full pass
+    # over the kept corpus and a second cache materialization (guide §5).
+    # Documents too short to shingle (< 3 words) get an EMPTY array —
+    # word_shingles_from_tokens' guard — and are filtered out of the
+    # dedup input below exactly where shingle_sets_from_tokens dropped
+    # them (size(toks) >= 3 ⟺ size(shingles) > 0 after hashing/distinct
+    # of a non-empty shingle list).
     stop_sum = None
     for lang in STOPWORDS:  # the lexicon defines the sc_* column set
         c = F.col(f"sc_{lang}")
@@ -1615,34 +1626,57 @@ def curate_documents(
         docs.withColumn("__toks", tokens("text")), "text", toks_col="__toks"
     ).select(
         "doc_id",
-        F.col("__toks").alias("toks"),
         F.size("__toks").cast("bigint").alias("n_tokens"),
         quality_score("text", toks="__toks", stop_hits=stop_sum).alias(
             "quality"
         ),
         lang_id_from_scores().alias("detected_lang"),
+        F.array_distinct(
+            F.transform(
+                word_shingles_from_tokens("__toks", 3),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("shingles"),
     )
-    # kept feeds the dedup join AND the final anti-join; persist so the
-    # scoring pass runs once, not once per consumer.  The token ARRAY is
-    # kept in the cache instead of the raw text: shingling consumes it
-    # directly (shingle_sets_from_tokens), so the tokenizer regex — the
-    # heaviest per-row map in the flow — runs exactly once per document.
+    # Persist the scored frame BEFORE the quality/language filter (r15).
+    # Filtering first looks cheaper (fewer cached rows), but Catalyst
+    # pushes a deterministic filter below the projection that computes
+    # its columns, SUBSTITUTING the full expressions into the condition:
+    # the r14 plan's Filter carried the entire quality composite + the
+    # argmax language when-chain with every marker count (and the
+    # tokenizer regex inside each) inlined dozens of times — evaluated
+    # per row BELOW the widening repartition, i.e. the whole scoring
+    # pass ran twice, once single-task on the raw scan.  Caching the
+    # scored frame makes the cache the pushdown barrier: scoring runs
+    # exactly once, post-repartition, and the filter binds to cached
+    # scalar columns.  The cache carries the ~9% of rows the filter
+    # drops — at 100 TB flip the trade back by materializing the scored
+    # columns to storage (write+read) instead of recomputing them in a
+    # pushed filter; what must never happen is the silent double
+    # evaluation.
     from bigdatastructure_a5_spark.session import (
         materialize_release,
         persist_df,
     )
 
-    kept = persist_df(
-        scored.filter(
-            (F.col("quality") >= 0.5) & (F.col("detected_lang") == "en")
-        )
+    scored = persist_df(scored)
+    tracked: list = [scored]
+    # cheap scalar predicates over cached columns — nothing re-derives
+    # the scoring expressions from text
+    kept = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("detected_lang") == "en")
     )
-    tracked: list = [kept]
+    # the size() filter binds to the CACHED shingles column, so there is
+    # no computed-array-predicate pushdown hazard (see shingle_sets'
+    # docstring for the trap this avoids)
     pairs = jaccard_pairs(
-        shingle_sets_from_tokens(kept, "doc_id", "toks", 3),
+        kept.filter(F.size("shingles") > 0).select(
+            F.col("doc_id").alias("id"), "shingles"
+        ),
         threshold=0.8,
         tracker=tracked,
         df_cap=df_cap,
+        prepersisted=True,
     )
     # no distinct: LEFT ANTI ignores duplicate keys, so deduplicating the
     # dropped ids first would only add a shuffle.  The broadcast is

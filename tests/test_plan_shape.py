@@ -304,3 +304,45 @@ def test_aqe_skew_split_fires_join_only_and_defers_to_copartitioning(spark):
     # downstream same-key aggregate: AQE declines the split to keep the
     # join output co-partitioned for the aggregate
     assert "skew=true" not in with_agg, with_agg[:2000]
+
+
+def test_curation_scoring_not_duplicated_into_pushed_filter(spark):
+    """r15: filtering on computed quality/detected_lang columns let
+    Catalyst push the predicate below the scoring projection, SUBSTITUTING
+    the full quality composite + argmax language when-chain (tokenizer
+    regex included, dozens of copies) into the Filter condition — the
+    whole scoring pass ran twice per row, once below the widening
+    repartition (single-task on a one-split source).  curate_documents
+    now persists the scored frame so the cache is the pushdown barrier.
+    Pin it: no Filter condition anywhere in the plan may contain the
+    marker-count signature (array_contains over the token split)."""
+    from pyspark.sql import functions as F
+
+    from bigdatastructure_a5_spark.queries.pipeline import curate_documents
+
+    base = (
+        "the cat and the dog walked to the market and it was a good day "
+        "for all of them so they sat down together and watched the boats "
+    )
+    # half shared base, half unique tail: cross-doc Jaccard ~0.3 < 0.8
+    rows = [
+        (i, base + " ".join(f"tail{i}word{j}" for j in range(40)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+    curated = curate_documents(docs)
+    jvm = curated.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = curated._jdf.queryExecution().explainString(mode)
+    # formatted explain lists one "Condition : ..." line per Filter node
+    # (including those inside InMemoryRelation children)
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Condition") and "array_contains" in ln
+    ]
+    assert not bad, f"scoring expressions leaked into a Filter: {bad[:1]}"
+    # and the result is still right: originals kept, phantom set empty
+    assert curated.count() == 30
