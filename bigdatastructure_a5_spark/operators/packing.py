@@ -126,6 +126,90 @@ def concat_and_chunk(
     )
 
 
+def assemble_chunks_fused(
+    df: DataFrame,
+    chunk_tokens: int,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    toks_col: str = "toks",
+    base_col: str | None = None,
+) -> DataFrame:
+    """``concat_and_chunk`` + ``assemble_chunks`` in ONE pass over the
+    token frame — the collocated form assemble_chunks' docstring
+    prescribes for scale ("generate the geometry from the token frame
+    itself so the join is collocated").
+
+    The separate-geometry form evaluates its input twice (once for the
+    count projection feeding the window, once for the token side of the
+    join) and pays the join's exchanges; when the input is an unpersisted
+    micro-batch whose token array is COMPUTED (the streaming assembler's
+    tokenize projection), that is two tokenizer passes per batch.  Here
+    the token arrays ride through the one shard-keyed window exchange,
+    geometry is computed in place, and the (shard, chunk_id) aggregation
+    reuses the window's hash partitioning (shard ⊂ grouping keys), so the
+    whole assembly is: one evaluation of the input, one exchange.
+
+    Output and arithmetic are IDENTICAL to
+    ``assemble_chunks(concat_and_chunk(df, ...), df, ...)`` when every
+    geometry row finds its token row — trivially true here because both
+    come from the same rows (parity pytest-pinned).  Zero-token documents
+    drop, same as concat_and_chunk.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.size(F.col(toks_col)).cast("bigint")
+    base = (
+        F.coalesce(F.col(base_col).cast("bigint"), F.lit(0))
+        if base_col
+        else F.lit(0).cast("bigint")
+    )
+    out = (
+        df.filter(n > 0)
+        .withColumn("__end", base + F.sum(n).over(w))
+        .withColumn("__start", F.col("__end") - n)
+        .withColumn(
+            "chunk_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__start") / chunk_tokens),
+                    F.floor((F.col("__end") - 1) / chunk_tokens),
+                )
+            ),
+        )
+    )
+    chunk_lo = F.col("chunk_id") * chunk_tokens
+    lo = F.greatest(F.col("__start"), chunk_lo)
+    hi = F.least(F.col("__end"), chunk_lo + chunk_tokens)
+    piece = F.slice(
+        F.col(toks_col),
+        (lo - F.col("__start") + 1).cast("int"),
+        (hi - lo).cast("int"),
+    )
+    return (
+        out.select(
+            shard_col,
+            "chunk_id",
+            F.struct(
+                (lo - chunk_lo).alias("chunk_offset"), piece.alias("piece")
+            ).alias("p"),
+        )
+        .groupBy(shard_col, "chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("p")), lambda s: s["piece"]
+                )
+            ).alias("toks")
+        )
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+    )
+
+
 def assemble_chunks(
     packed: DataFrame,
     tokens_df: DataFrame,

@@ -246,7 +246,9 @@ def _pack_batch_body(
             "added",
         )
     )
-    added.write.mode("append").parquet(_carry_path(state_dir))
+    # O(shards) rows: one file per batch append (write-task count and
+    # the later read's file-count tax both drop)
+    added.coalesce(1).write.mode("append").parquet(_carry_path(state_dir))
 
 
 def streaming_pack_writer(
@@ -547,7 +549,9 @@ def _assemble_batch_tail(
     split out so the caller's try/finally covers every statement that
     could raise after the persist (ADVICE r14 low: the cached tail_len
     leaked on an exception before the old inner try)."""
-    from bigdatastructure_a5_spark.operators.packing import assemble_chunks
+    from bigdatastructure_a5_spark.operators.packing import (
+        assemble_chunks_fused,
+    )
 
     combined = docs.withColumn(
         "n_tokens", F.size("toks").cast("bigint")
@@ -571,21 +575,22 @@ def _assemble_batch_tail(
     else:
         combined = combined.withColumn("base", F.lit(0).cast("bigint"))
 
-    geo = concat_and_chunk(
-        combined.select("shard", "__oid", "n_tokens", "base"),
+    # FUSED geometry+assembly (r15): the old concat_and_chunk -> join ->
+    # assemble_chunks shape evaluated `combined` twice (count projection
+    # for the window + token side of the join) — for a streaming batch
+    # whose toks column is a COMPUTED projection, that re-tokenized every
+    # document a second time per batch, and the join added exchanges.
+    # assemble_chunks_fused windows the token frame itself: one
+    # evaluation, one exchange, provably identical output (parity
+    # pytest-pinned).  The tail sentinel id repeats across shards, which
+    # is fine here: the window keys on (shard, __oid), so each shard's
+    # sentinel row orders first within its own shard only.
+    asm = assemble_chunks_fused(
+        combined.select("shard", "__oid", "toks", "base"),
         chunk_tokens,
-        n_tokens_col="n_tokens",
         id_col="__oid",
         shard_col="shard",
         base_col="base",
-    )
-    # join tokens back on (shard, __oid): the tail sentinel id repeats
-    # across shards, so the shard must be part of the join key
-    asm = assemble_chunks(
-        geo,
-        combined.select("shard", "__oid", "toks"),
-        id_cols=["shard", "__oid"],
-        shard_col="shard",
     )
     from bigdatastructure_a5_spark.session import persist_df
 
@@ -603,26 +608,37 @@ def _assemble_batch_tail(
         # are pre-filtered to n_tokens > 0, so a touched shard always
         # packs something), and reading the persisted frame avoids
         # re-evaluating the whole batch input a second time (r14).
-        touched = asm.select("shard").distinct()
-        partial = asm.filter(F.col("n_tokens") < chunk_tokens).select(
-            "shard", "toks"
-        )
-        # empty placeholder in the BATCH'S OWN element type — a
-        # hardcoded array<string> would break integer token-id streams
-        # (coalesce type mismatch) the first time a shard ends exactly
-        # on a chunk boundary
-        toks_type = combined.schema["toks"].dataType.simpleString()
+        # ONE aggregation over the cached assembly (r15; was a
+        # distinct + left join + coalesce — two extra operators per
+        # batch): collect_list skips the NULLs the when() emits for
+        # complete chunks, so a shard with a partial yields [that
+        # array] and flatten unwraps it; a shard ending exactly on a
+        # boundary yields [] and flatten keeps it the empty tail row —
+        # in the batch's own element type, because the arrays come
+        # from the assembly itself (integer token-id streams included).
         new_tails = (
-            touched.join(partial, "shard", "left")
+            asm.groupBy("shard")
+            .agg(
+                F.flatten(
+                    F.collect_list(
+                        F.when(
+                            F.col("n_tokens") < chunk_tokens, F.col("toks")
+                        )
+                    )
+                ).alias("toks")
+            )
             .select(
                 "shard",
                 F.lit(batch_id).cast("bigint").alias("batch_id"),
-                F.coalesce(
-                    "toks", F.array().cast(toks_type)
-                ).alias("toks"),
+                "toks",
             )
         )
-        new_tails.write.mode("append").parquet(_tails_path(state_dir))
+        # O(shards) rows: one output file, not one per shuffle partition
+        # — fewer write tasks now and fewer files for every later
+        # read_tails (the §21 file-count tax grows per batch)
+        new_tails.coalesce(1).write.mode("append").parquet(
+            _tails_path(state_dir)
+        )
 
         if derive_carry:
             # LARGE batch (see DERIVE_CARRY_MIN_BYTES): carry delta from
@@ -693,7 +709,10 @@ def _assemble_batch_tail(
                     "added",
                 )
             )
-        added.write.mode("append").parquet(_carry_path(state_dir))
+        # O(shards) rows: one file per batch append (see pack_batch)
+        added.coalesce(1).write.mode("append").parquet(
+            _carry_path(state_dir)
+        )
     finally:
         # tail_len's unpersist is owned by _assemble_batch_body's outer
         # try/finally (which also covers exceptions BEFORE this point)

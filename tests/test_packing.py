@@ -404,3 +404,49 @@ def test_assembly_after_mixture_with_composite_keys(spark):
     assert [t for r in by_chunk for t in r.toks] == stream
     for r in by_chunk[:-1]:
         assert r.n_tokens == L
+
+
+def test_assemble_chunks_fused_equals_join_form(spark):
+    """r15: assemble_chunks_fused (one window pass over the token frame,
+    geometry computed in place) must produce row-for-row the same chunks
+    as concat_and_chunk -> join -> assemble_chunks, including straddling
+    docs, a >1-chunk doc, a non-zero base offset, and shard isolation."""
+    from pyspark.sql import functions as F
+
+    from bigdatastructure_a5_spark.operators.packing import (
+        assemble_chunks,
+        assemble_chunks_fused,
+        concat_and_chunk,
+    )
+
+    rows = []
+    for shard in range(3):
+        for i in range(12):
+            toks = [f"s{shard}d{i}t{j}" for j in range((i * 7) % 23 + 1)]
+            rows.append((shard, i, toks, (shard + 1) * 10))
+    df = spark.createDataFrame(
+        rows, "shard bigint, doc_id bigint, toks array<string>, base bigint"
+    ).repartition(4)
+
+    fused = assemble_chunks_fused(
+        df, 16, id_col="doc_id", shard_col="shard", base_col="base"
+    )
+    geo = concat_and_chunk(
+        df.withColumn("n_tokens", F.size("toks").cast("bigint")).select(
+            "shard", "doc_id", "n_tokens", "base"
+        ),
+        16,
+        id_col="doc_id",
+        shard_col="shard",
+        base_col="base",
+    )
+    joined = assemble_chunks(
+        geo, df.select("shard", "doc_id", "toks"), id_cols=["shard", "doc_id"],
+        shard_col="shard",
+    )
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, joined.collect()))
+    assert a == b and len(a) > 20
+    # the fused plan must not contain a join
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
