@@ -119,3 +119,48 @@ def test_pid_run_dir_clears_own_and_prunes_dead(tmp_path):
     assert run2 == run
     assert not os.listdir(run2)  # cleared at entry
     assert not os.path.isdir(dead)  # dead sibling pruned
+
+
+def test_staging_ledger_records_build_then_adoption(tmp_path):
+    """r15 (VERDICT r14 item 3): every staged_dir call appends to the
+    STAGING_LEDGER — built=True with a positive wall on a real build,
+    built=False/0.0 on adoption — which bench.py folds into its
+    artifact's staging_builds field."""
+    from bigdatastructure_a5_spark.queries import scratch
+
+    root = str(tmp_path / "bds_test_ledger" / "scope")
+    before = len(scratch.STAGING_LEDGER)
+    staged_dir(root, "store", "abc", "_OK", _build_ok)
+    staged_dir(root, "store", "abc", "_OK", _build_ok)
+    new = scratch.STAGING_LEDGER[before:]
+    assert len(new) == 2
+    name, built, wall = new[0]
+    assert name == "bds_test_ledger/store" and built and wall >= 0.0
+    name2, built2, wall2 = new[1]
+    assert name2 == name and not built2 and wall2 == 0.0
+
+
+def test_impl_token_tracks_module_source(tmp_path):
+    """r15: impl_token is the md5 of the implementing modules' source
+    bytes — stable across calls, different the moment the code changes
+    (the hand-bumped |impl=rN| hazard VERDICT r14 flagged)."""
+    import importlib.util
+    import sys
+
+    from bigdatastructure_a5_spark.queries.scratch import impl_token
+
+    p = tmp_path / "impl_token_probe_mod.py"
+    p.write_text("X = 1\n")
+    spec = importlib.util.spec_from_file_location("impl_token_probe", p)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["impl_token_probe"] = mod
+    spec.loader.exec_module(mod)
+    try:
+        t1 = impl_token(mod)
+        assert t1 == impl_token(mod)  # deterministic
+        p.write_text("X = 2\n")
+        t2 = impl_token(mod)
+        assert t2 != t1  # any source edit rotates the token
+        assert len(t1) == 10
+    finally:
+        del sys.modules["impl_token_probe"]
