@@ -74,15 +74,95 @@ def run_pass(sf_dir: str, cpus: int) -> dict:
     return json.loads(lines[-1])
 
 
+def run_pass_clean(sf_dir: str, cpus: int, max_tries: int = 3) -> dict:
+    """Retry a pass whose whole-run steal exceeded the contamination
+    threshold (same rule as the envelope's pass-level resampling): a
+    contaminated 32c pass reads slow and silently flattens every ratio —
+    the first committed run of this tool measured a 25%-steal 32c pass
+    and a 9%-steal 8c pass and concluded 0.99x.  Keep the LOWEST-steal
+    pass if the budget runs out; it self-documents via steal_pct_of_busy."""
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "5.0"))
+    best = None
+    for i in range(max_tries):
+        try:
+            doc = run_pass(sf_dir, cpus)
+        except subprocess.CalledProcessError as e:
+            # transient subprocess death (e.g. JVM OOM during a storm)
+            # burns a try, never the whole measurement
+            tail = (e.stderr or "")[-800:]
+            print(f"  pass cpus={cpus} try {i + 1}: CRASHED\n{tail}")
+            continue
+        s = doc.get("steal_pct_of_busy")
+        print(
+            f"  pass cpus={cpus} try {i + 1}: total {doc['value']}s "
+            f"steal {s}%"
+        )
+        if best is None or (s or 0) < (best.get("steal_pct_of_busy") or 0):
+            best = doc
+        if s is None or s <= threshold:
+            return doc
+    if best is None:
+        raise RuntimeError(
+            f"all {max_tries} bench passes at cpus={cpus} crashed"
+        )
+    return best
+
+
+def ensure_split_layout(src_dir: str, files_per_table: int = 32) -> str:
+    """Rewrite each single-file table of ``src_dir`` as a DIRECTORY of
+    ``files_per_table`` part files (same rows, same schema).
+
+    Why: the first committed run of this tool measured 8c/32c ratios ≈1
+    even at x10 and the root cause was the FIXTURE LAYOUT, not the
+    harness — every x10 table is one parquet file (documents: one row
+    group; lineitem: 110 MB = one 128 MB scan split), so scan-stage
+    parallelism is bounded by file splits at ANY core count.  A
+    core-scaling measurement needs enough splits that cores are the
+    binding resource; splitting the files is the honest way to get there
+    (the engine reads directory tables natively — catalog.load_table).
+    Small dimension tables (< 2 MB) are copied as-is."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out = src_dir.rstrip("/") + f"_split{files_per_table}"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.isfile(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for fn in sorted(os.listdir(src_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        src = os.path.join(src_dir, fn)
+        if os.path.getsize(src) < 2 * 1024 * 1024:
+            shutil.copy2(src, os.path.join(out, fn))
+            continue
+        tbl = pq.read_table(src)
+        d = os.path.join(out, fn)
+        os.makedirs(d)
+        n = tbl.num_rows
+        step = -(-n // files_per_table)
+        for i in range(files_per_table):
+            part = tbl.slice(i * step, step)
+            if part.num_rows == 0:
+                break
+            pq.write_table(part, os.path.join(d, f"part-{i:05d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from scale_fixtures import ensure_x10
 
     x10 = ensure_x10(base)
+    x10 = ensure_split_layout(x10)
     print(f"x10 fixture: {x10}")
-    doc32 = run_pass(x10, 32)
+    doc32 = run_pass_clean(x10, 32)
     print(f"32c total {doc32['value']}s steal {doc32.get('steal_pct_of_busy')}")
-    doc8 = run_pass(x10, 8)
+    doc8 = run_pass_clean(x10, 8)
     print(f"8c total {doc8['value']}s steal {doc8.get('steal_pct_of_busy')}")
 
     q32, q8 = doc32["queries"], doc8["queries"]
@@ -111,11 +191,18 @@ def main() -> None:
         "",
         "`tools/scaling_cpus.py`: the UNMODIFIED `bench.py` run as a fresh"
         " subprocess at `SPARK_GRAFT_CPUS=8` and `=32` against the x10"
-        " replication of sf0.1 (~6M lineitem rows — big enough that"
-        " parallel sections dominate the fixed overhead that makes the"
-        " sf0.1 probe read ~1 at any core count).  Both artifacts record"
+        " replication of sf0.1 (~6M lineitem rows), rewritten as 32-way"
+        " SPLIT-FILE tables.  The split matters and is itself a committed"
+        " finding: on the single-file x10 layout the measured geomean was"
+        " 1.02x at ANY core count because every table is one parquet file"
+        " (documents: one row group; lineitem: 110 MB = one 128 MB scan"
+        " split) — scan parallelism is bounded by file splits, not cores."
+        " That, not an ignored $SPARK_GRAFT_CPUS, is the complete"
+        " explanation of the driver's flat sf0.1 ratios"
+        " (`suspect_cpus_ignored`).  Both artifacts record"
         " `cpus`/`master`/`default_parallelism`, so the core-count"
-        " contract is self-proving.  Raw passes + per-query ratios:"
+        " contract is self-proving, and contaminated passes are retried"
+        " (pass-level steal rule).  Raw passes + per-query ratios:"
         " EXPERIMENTS_scaling_x10.json.",
         "",
         f"- 32-core total: **{doc32['value']}s** (steal"
