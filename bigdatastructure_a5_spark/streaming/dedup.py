@@ -300,13 +300,19 @@ def _process_batch_body(
     # band row is missing merely under-indexes (the doc generates no
     # candidates, same observable state as the batch never having been
     # indexed), which the foreachBatch retry repairs by re-appending.
-    shingled.write.mode("append").parquet(shingles_dir)
+    # zstd on the state appends, matching the compaction rewrites
+    # (streaming/state.swap_in_frame — measured -19% bytes and faster
+    # warm writes on these hash-heavy rows); store bytes are paid again
+    # by every later batch's candidate/verify reads
+    shingled.write.mode("append").option("compression", "zstd").parquet(
+        shingles_dir
+    )
     keys_out = keys
     if state_buckets is not None:
         keys_out = keys_out.withColumn(
             "bucket", F.pmod(F.col("bhash"), F.lit(state_buckets))
         )
-    writer = keys_out.write.mode("append")
+    writer = keys_out.write.mode("append").option("compression", "zstd")
     if state_buckets is not None:
         writer = writer.partitionBy("bucket")
     writer.parquet(bands_dir)
